@@ -1,0 +1,279 @@
+"""Analyzer chains — native re-implementation of the ES analysis DDL.
+
+The reference declares its analysis chain in
+``/root/reference/config/search_scheme.json`` (tokenizers :75-81, filters
+:59-74, char_filters :82-94, named analyzers :8-57); ElasticSearch executes
+it. Here every tokenizer / filter / char-filter is a pure Python function and
+every named analyzer is a composition, so the index build and the query path
+share one implementation.
+
+Two layers:
+
+* scalar layer (``tokenize_*`` / ``filter_*`` / ``analyze(name, text)``):
+  exact per-string semantics, used for keyword-ish fields, query analysis and
+  golden tests (FIXTURES.md §4).
+* batch layer (``standard_tokenize_batch``): the hot path for the inverted
+  index build — pyarrow.compute RE2 kernels over whole Arrow columns, no
+  per-row Python. Its token stream is identical to
+  ``analyze("standard", text)`` (golden-tested).
+
+Fidelity notes (documented deviations):
+
+* The "standard" tokenizer approximates UAX#29 word segmentation as maximal
+  runs of Unicode letters/digits (``[\\p{L}\\p{N}]+`` in RE2 /
+  ``[^\\W_]+`` in Python ``re``).  This matches UAX#29 for
+  letter/digit/diacritic text (our corpus) and, critically, is expressible
+  identically in pyarrow, Python and DuckDB (the correctness oracle).
+* ``edge_ngram`` follows the ES tokenizer default (``token_chars: []``): the
+  whole input is one "word"; n-grams are leading edges of the full string,
+  min_gram=2 / max_gram=20 (search_scheme.json:76-81).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- tokenizer regexes ----------------------------------------------------
+# RE2 flavor (pyarrow.compute, DuckDB) and Python-re flavor of the same class.
+RE2_TOKEN_DELIM = r"[^\p{L}\p{N}]+"
+RE2_TOKEN = r"[\p{L}\p{N}]+"
+_PY_TOKEN = re.compile(r"[^\W_]+", re.UNICODE)
+_PY_LETTERS = re.compile(r"[^\W\d_]+", re.UNICODE)  # ES "lowercase"/"simple" tokenizer
+_WS_RUN = re.compile(r"\s+")
+# Java \p{Punct} = ASCII punctuation; the filter pattern [\s+|\p{Punct}]
+# is a char class of whitespace + punctuation (search_scheme.json:69-73).
+_WS_PUNC = re.compile(r"[\s!-/:-@\[-`{-~]")
+_NON_ALNUM_ASCII = re.compile(r"[^a-zA-Z0-9]")
+
+EDGE_NGRAM_MIN = 2  # search_scheme.json:78
+EDGE_NGRAM_MAX = 20  # search_scheme.json:79
+KEYWORD_IGNORE_ABOVE = 256  # search_scheme.json:105,109,113,117
+
+
+# --- tokenizers (F1-F4) ---------------------------------------------------
+
+def tokenize_standard(text: str) -> list[str]:
+    """F1 — 'standard' tokenizer (UAX#29-approx; see module docstring)."""
+    return _PY_TOKEN.findall(text)
+
+
+def tokenize_whitespace(text: str) -> list[str]:
+    """F2 — 'whitespace' tokenizer: maximal non-whitespace runs."""
+    return text.split()
+
+
+def tokenize_keyword(text: str) -> list[str]:
+    """F3 — 'keyword' tokenizer: whole value is one token ('' -> no token)."""
+    return [text] if text else []
+
+
+def tokenize_letters(text: str) -> list[str]:
+    """ES 'lowercase'/'letter' tokenizer core: maximal letter runs."""
+    return _PY_LETTERS.findall(text)
+
+
+def tokenize_edge_ngram(
+    text: str, min_gram: int = EDGE_NGRAM_MIN, max_gram: int = EDGE_NGRAM_MAX
+) -> list[str]:
+    """F4 — 'edge_ngram' tokenizer, ES defaults (token_chars=[]):
+
+    leading-edge n-grams of the whole input, lengths min_gram..max_gram.
+    """
+    n = len(text)
+    return [text[:k] for k in range(min_gram, min(max_gram, n) + 1)]
+
+
+# --- token filters (F5-F11) ----------------------------------------------
+
+def filter_lowercase(tokens: list[str]) -> list[str]:
+    """F5 — Unicode lowercase."""
+    return [t.lower() for t in tokens]
+
+
+def fold_ascii(text: str) -> str:
+    """NFKD-decompose and strip combining marks (asciifolding core)."""
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
+    )
+
+
+def filter_asciifolding_preserve(tokens: list[str]) -> list[str]:
+    """F6 — asciifolding with preserve_original: folded token first, then the
+    original when it differs (search_scheme.json:60-63; FIXTURES.md café case).
+    """
+    out: list[str] = []
+    for t in tokens:
+        folded = fold_ascii(t)
+        out.append(folded)
+        if folded != t:
+            out.append(t)
+    return out
+
+
+def filter_whitespace_remove(tokens: list[str]) -> list[str]:
+    """F7 — pattern_replace \\s+ -> '' (search_scheme.json:64-68)."""
+    return [_WS_RUN.sub("", t) for t in tokens]
+
+
+def filter_ws_punc_remove(tokens: list[str]) -> list[str]:
+    """F8 — pattern_replace [\\s+|\\p{Punct}] -> '' (search_scheme.json:69-73)."""
+    return [_WS_PUNC.sub("", t) for t in tokens]
+
+
+def filter_unique(tokens: list[str]) -> list[str]:
+    """F9 — drop duplicate tokens, first occurrence kept."""
+    seen: set[str] = set()
+    out = []
+    for t in tokens:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def filter_limit_first(tokens: list[str]) -> list[str]:
+    """F10 — 'limit' filter, default max_token_count=1."""
+    return tokens[:1]
+
+
+def filter_trim(tokens: list[str]) -> list[str]:
+    """F11 — strip surrounding whitespace."""
+    return [t.strip() for t in tokens]
+
+
+# --- char filters (F12, F13) ---------------------------------------------
+
+def char_filter_remove_special(text: str) -> str:
+    """F12 — pattern_replace [^a-zA-Z0-9] -> '' (search_scheme.json:83-87)."""
+    return _NON_ALNUM_ASCII.sub("", text)
+
+
+def char_filter_amp_mapping(text: str) -> str:
+    """F13 — mapping '& => and' (search_scheme.json:88-93)."""
+    return text.replace("&", "and")
+
+
+# --- named analyzers (search_scheme.json:8-57 + built-ins) ----------------
+
+def _chain(
+    char_filters: list[Callable[[str], str]],
+    tokenizer: Callable[[str], list[str]],
+    filters: list[Callable[[list[str]], list[str]]],
+) -> Callable[[str], list[str]]:
+    def analyzer(text: str) -> list[str]:
+        for cf in char_filters:
+            text = cf(text)
+        tokens = tokenizer(text)
+        for f in filters:
+            tokens = f(tokens)
+        return tokens
+
+    return analyzer
+
+
+ANALYZERS: dict[str, Callable[[str], list[str]]] = {
+    # search_scheme.json:9-12
+    "analyzer_startswith": _chain(
+        [], tokenize_keyword, [filter_lowercase, filter_whitespace_remove]
+    ),
+    # search_scheme.json:13-16
+    "startswith_no_ws_punc": _chain(
+        [], tokenize_keyword, [filter_lowercase, filter_ws_punc_remove]
+    ),
+    # search_scheme.json:17-20
+    "analyzer_unique_tf": _chain(
+        [],
+        tokenize_standard,
+        [filter_lowercase, filter_whitespace_remove, filter_unique],
+    ),
+    # search_scheme.json:21-24
+    "analyzer_limit_first": _chain(
+        [], tokenize_standard, [filter_lowercase, filter_limit_first]
+    ),
+    # search_scheme.json:25-27 (tokenizer only — no lowercase)
+    "analyzer_elastic": _chain([], tokenize_standard, []),
+    # search_scheme.json:28-35
+    "analyzer_whitespace_token": _chain(
+        [], tokenize_whitespace, [filter_lowercase, filter_asciifolding_preserve]
+    ),
+    # search_scheme.json:36-49 (char filters apply in declared order)
+    "analyzer_keyword_token_sort": _chain(
+        [char_filter_amp_mapping, char_filter_remove_special],
+        tokenize_keyword,
+        [
+            filter_lowercase,
+            filter_asciifolding_preserve,
+            filter_trim,
+            filter_whitespace_remove,
+        ],
+    ),
+    # search_scheme.json:50-57
+    "analyzer_edge_ngram_token": _chain(
+        [], tokenize_edge_ngram, [filter_lowercase, filter_asciifolding_preserve]
+    ),
+    # ES built-in 'simple' (search_scheme.json:159-162)
+    "simple": _chain([], tokenize_letters, [filter_lowercase]),
+    # ES built-in 'standard' = standard tokenizer + lowercase (default on
+    # plain text fields, search_scheme.json:163-178) — the BM25 index analyzer.
+    "standard": _chain([], tokenize_standard, [filter_lowercase]),
+}
+
+
+def analyze(name: str, text: str) -> list[str]:
+    """Run named analyzer ``name`` over ``text`` -> token list."""
+    return ANALYZERS[name](text)
+
+
+def token_count(text: str) -> int:
+    """F14 — 'token_count' field type with the standard analyzer
+    (search_scheme.json:171-174): number of standard-analyzer tokens.
+    """
+    return len(ANALYZERS["standard"](text))
+
+
+# --- batch layer (hot path) ----------------------------------------------
+
+def standard_tokenize_batch(
+    texts: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Vectorized 'standard' analyzer over an Arrow string column.
+
+    Returns ``(doc_index, tokens, doc_len)`` where ``tokens`` is the flat
+    Arrow string array of all tokens in order, ``doc_index[i]`` is the row
+    each token came from, and ``doc_len[r]`` is the token count of row ``r``
+    (BM25 ``dl`` / F14). Nulls tokenize to zero tokens.
+
+    Implementation: one RE2 split over the lowercased column
+    (pc.split_pattern_regex), then numpy offset arithmetic to drop the empty
+    edge fragments — no per-row Python.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    lowered = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(lowered, pattern=RE2_TOKEN_DELIM)
+    lists = lists.fill_null([])  # null text -> no tokens
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offsets = np.asarray(lists.offsets)
+    lengths = np.diff(offsets)
+    doc_index = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    # split_pattern_regex leaves '' fragments at delimiter-adjacent edges
+    keep = np.asarray(pc.not_equal(flat, "").combine_chunks()
+                      if isinstance(flat, pa.ChunkedArray) else pc.not_equal(flat, ""))
+    tokens = flat.filter(pa.array(keep))
+    doc_index = doc_index[keep]
+    doc_len = np.bincount(doc_index, minlength=n).astype(np.int32)
+    return doc_index, tokens, doc_len
+
+
+def token_count_batch(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized F14 token counts (== len(analyze('standard', t)) per row)."""
+    return standard_tokenize_batch(texts)[2]
