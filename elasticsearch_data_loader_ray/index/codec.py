@@ -1,0 +1,205 @@
+"""Posting-list codec: delta-gap + LEB128 varint, block-max metadata.
+
+The reference delegates posting-list storage to ElasticSearch/Lucene
+(``/root/reference/config/search_scheme.json`` declares the fields; Lucene
+compresses postings). This engine owns that layer: doc_ids are delta-gap
+encoded then LEB128-varint packed; term frequencies are varint packed; every
+posting list carries block-max metadata (per BLOCK_SIZE postings: last doc_id
+and the max BM25 tf/dl impact) for block-max WAND / MaxScore pruning at query
+time.
+
+Everything here is numpy-vectorized: the encoder loops over *byte positions*
+(<= 10) and the segment builder loops over nothing — per-term slicing is done
+with offset arithmetic so one call encodes an entire segment's postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+# --- varint (LEB128) ------------------------------------------------------
+
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Bytes each value needs under LEB128 (1..10 for uint64)."""
+    v = values.astype(np.uint64, copy=False)
+    lens = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        lens += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return lens
+
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode uint values -> (bytes: uint8 array, per-value byte lengths).
+
+    Vectorized: iterates over byte positions (max 10), not values.
+    """
+    v = values.astype(np.uint64, copy=False)
+    lens = varint_byte_lengths(v)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    out = np.zeros(int(ends[-1]) if len(v) else 0, dtype=np.uint8)
+    max_len = int(lens.max()) if len(v) else 0
+    for j in range(max_len):
+        mask = lens > j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (lens[mask] - 1 > j).astype(np.uint8) << 7
+        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out, lens
+
+
+def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a uint8 LEB128 stream -> uint64 values (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = b.astype(np.uint64, copy=False)
+    is_end = (b & np.uint64(0x80)) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    idx = np.arange(len(b), dtype=np.int64)
+    group = np.searchsorted(ends, idx)
+    shift = ((idx - starts[group]) * 7).astype(np.uint64)
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(vals, group, (b & np.uint64(0x7F)) << shift)
+    if count is not None:
+        assert len(vals) == count, (len(vals), count)
+    return vals
+
+
+# --- delta-gap ------------------------------------------------------------
+
+def delta_encode_runs(sorted_ids: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Delta-gap encode concatenated ascending runs.
+
+    ``sorted_ids`` is the concatenation of per-term ascending doc_id lists;
+    ``run_starts`` marks each run's first index. Within a run the first value
+    is stored absolute and the rest as gaps (id[i] - id[i-1]).
+    """
+    gaps = np.empty_like(sorted_ids)
+    if len(sorted_ids) == 0:
+        return gaps
+    gaps[0] = sorted_ids[0]
+    gaps[1:] = sorted_ids[1:] - sorted_ids[:-1]
+    gaps[run_starts] = sorted_ids[run_starts]
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    """Inverse of a single-run delta encode: cumulative sum."""
+    return np.cumsum(gaps.astype(np.int64, copy=False))
+
+
+# --- BM25 impact ----------------------------------------------------------
+
+def bm25_tf_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                   k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    """Per-posting BM25 term factor  tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    Multiplied by idf(term) this is the posting's score contribution; the
+    per-block max of it is the block-max bound used for pruning.
+    """
+    tf = tf.astype(np.float64, copy=False)
+    dl = dl.astype(np.float64, copy=False)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avgdl)))
+
+
+def bm25_idf(df: np.ndarray | int, n_docs: int) -> np.ndarray | float:
+    """ES/Lucene BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    df_f = np.asarray(df, dtype=np.float64)
+    return np.log(1.0 + (n_docs - df_f + 0.5) / (df_f + 0.5))
+
+
+# --- segment posting-table builder ---------------------------------------
+
+def build_posting_table(
+    terms_sorted: np.ndarray,
+    doc_ids_sorted: np.ndarray,
+    tfs_sorted: np.ndarray,
+    dls_sorted: np.ndarray,
+    avgdl: float,
+) -> dict[str, np.ndarray | list]:
+    """Build an entire segment's encoded posting table in one vectorized pass.
+
+    Inputs are the segment's postings lex-sorted by (term, doc_id):
+    ``terms_sorted`` (object/str array), parallel ``doc_ids_sorted`` (int64),
+    ``tfs_sorted`` (int), ``dls_sorted`` (doc length of each posting's doc).
+
+    Returns columns for the segment's term table:
+      term, df, doc_ids_enc (bytes), tfs_enc (bytes),
+      block_last_doc (list<int64>), block_max_impact (list<float64>),
+      max_impact (float64 per term).
+    """
+    n = len(terms_sorted)
+    if n == 0:
+        return {
+            "term": np.empty(0, object), "df": np.empty(0, np.int64),
+            "doc_ids_enc": [], "tfs_enc": [],
+            "block_last_doc": [], "block_max_impact": [],
+            "max_impact": np.empty(0, np.float64),
+        }
+    # term run boundaries over the sorted term column
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = terms_sorted[1:] != terms_sorted[:-1]
+    run_starts = np.flatnonzero(change)
+    run_ends = np.r_[run_starts[1:], n]
+    dfs = run_ends - run_starts
+    uniq_terms = terms_sorted[run_starts]
+
+    # delta + varint over the whole concatenated stream; per-term byte slices
+    gaps = delta_encode_runs(doc_ids_sorted.astype(np.uint64, copy=False), run_starts)
+    id_bytes, id_lens = varint_encode(gaps)
+    tf_bytes, tf_lens = varint_encode(tfs_sorted.astype(np.uint64, copy=False))
+    id_byte_ends = np.cumsum(id_lens)
+    tf_byte_ends = np.cumsum(tf_lens)
+
+    def slices(stream: np.ndarray, byte_ends: np.ndarray) -> list[bytes]:
+        term_end = byte_ends[run_ends - 1]
+        term_start = np.r_[0, term_end[:-1]]
+        buf = stream.tobytes()
+        return [buf[int(s):int(e)] for s, e in zip(term_start, term_end)]
+
+    # block-max metadata per term, BLOCK_SIZE postings per block
+    impact = bm25_tf_impact(tfs_sorted, dls_sorted, avgdl)
+    posting_pos = np.arange(n, dtype=np.int64) - np.repeat(run_starts, dfs)
+    block_of_posting = posting_pos // BLOCK_SIZE
+    n_blocks = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_term = np.repeat(np.arange(len(dfs)), n_blocks)
+    block_base = np.r_[0, np.cumsum(n_blocks)[:-1]]
+    flat_block = block_base[np.repeat(np.arange(len(dfs)), dfs)] + block_of_posting
+    total_blocks = int(n_blocks.sum())
+    blk_max = np.zeros(total_blocks, dtype=np.float64)
+    np.maximum.at(blk_max, flat_block, impact)
+    blk_last = np.zeros(total_blocks, dtype=np.int64)
+    np.maximum.at(blk_last, flat_block, doc_ids_sorted)
+    term_max = np.zeros(len(dfs), dtype=np.float64)
+    np.maximum.at(term_max, block_term, blk_max)
+
+    blk_ends = np.cumsum(n_blocks)
+    blk_starts = np.r_[0, blk_ends[:-1]]
+    block_last_doc = [blk_last[int(s):int(e)].tolist() for s, e in zip(blk_starts, blk_ends)]
+    block_max_impact = [blk_max[int(s):int(e)].tolist() for s, e in zip(blk_starts, blk_ends)]
+
+    return {
+        "term": uniq_terms,
+        "df": dfs.astype(np.int64),
+        "doc_ids_enc": slices(id_bytes, id_byte_ends),
+        "tfs_enc": slices(tf_bytes, tf_byte_ends),
+        "block_last_doc": block_last_doc,
+        "block_max_impact": block_max_impact,
+        "max_impact": term_max,
+    }
+
+
+def decode_postings(doc_ids_enc: bytes, tfs_enc: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one term's postings -> (doc_ids int64 ascending, tfs int64)."""
+    gaps = varint_decode(np.frombuffer(doc_ids_enc, dtype=np.uint8), df)
+    tfs = varint_decode(np.frombuffer(tfs_enc, dtype=np.uint8), df)
+    return delta_decode(gaps), tfs.astype(np.int64)
