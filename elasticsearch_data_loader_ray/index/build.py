@@ -1,0 +1,380 @@
+"""Index build pipeline — Ray-Data-native, 4 resumable phases.
+
+Replaces the reference's load path (Mongo cursor -> enrich -> transform ->
+ES ``_bulk``, ``/root/reference/companybindex/main.go:105-279``) plus the
+index construction ES performs from ``config/search_scheme.json``. Shape:
+
+  A. corpus:   read_parquet(webtext) -> HtmlExtractor actor pool
+               (extract text, reject side-writes, doc_len) -> drop html ->
+               write cleaned corpus parquet.                     [no shuffle]
+  B. plan:     url-range segment boundaries from a seeded sample; exact
+               post-dedup per-segment doc counts + doc-length sums via a
+               url-only groupby; prefix sums -> per-segment doc_id offsets,
+               global N / avgdl -> plan.json.              [url-only shuffle]
+  C. segments: corpus -> bucket by url range -> groupby(bucket) ->
+               one vectorized SegmentBuilder per segment: dedup-by-url
+               (D1), dense doc_id = offset + rank, tokenize, tf, encode
+               postings (delta+varint+block-max), atomic segment write +
+               lineage manifest.                         [the main shuffle]
+  D. finalize: global term stats (term -> df) for BM25 idf; stats.json.
+                                                      [small term shuffle]
+
+Skew design: the shuffle key is the url-range bucket — uniform by
+construction — so Zipf-head terms never concentrate on one worker; a head
+term simply appears in every segment (the ES 3-shard analogue,
+``search_scheme.json:4-5``). Doc ids are global-rank-of-url: invariant to
+boundary placement, parallelism and retries (SURVEY.md §7 hard part (a)).
+
+Resumability: phase A commits ``corpus/_SUCCESS``; phase B ``plan.json``;
+phase C one manifest per segment (atomic tmp+rename) — a resumed build
+filters committed segments out *before* the shuffle; phase D ``stats.json``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.analyzers import standard_tokenize_batch
+from ..stages.extract import HtmlExtractor, count_rejects
+from . import codec, manifest as mf
+
+
+@dataclass
+class BuildConfig:
+    docs_per_segment: int = 50_000
+    extract_batch_size: int = 256
+    extract_concurrency: tuple[int, int] | int | None = None  # None -> (1, ncpus)
+    boundary_sample_per_segment: int = 200
+    seed: int = 42
+    index_block_rows: int = 4096  # parquet row-group size for term tables
+
+
+def _ncpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 4
+
+
+# --- phase A --------------------------------------------------------------
+
+def _build_corpus(input_path: str, index_dir: str, cfg: BuildConfig) -> None:
+    corpus_dir = os.path.join(index_dir, "corpus")
+    success = os.path.join(corpus_dir, "_SUCCESS")
+    if os.path.exists(success):
+        return
+    if os.path.isdir(corpus_dir):
+        shutil.rmtree(corpus_dir)
+    errors_dir = os.path.join(index_dir, "errors")
+    conc = cfg.extract_concurrency or (1, _ncpus())
+    ds = rd.read_parquet(input_path)
+    ds = ds.map_batches(
+        HtmlExtractor,
+        fn_constructor_kwargs={"errors_dir": errors_dir},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=conc,
+    )
+    ds.write_parquet(corpus_dir)
+    with open(success, "w") as f:
+        f.write("")
+
+
+# --- phase B --------------------------------------------------------------
+
+def _segment_boundaries(urls_ds: rd.Dataset, n_est: int, cfg: BuildConfig) -> list[str]:
+    """Seeded-sample url quantiles -> S-1 range cut points. Boundary placement
+    affects only segment membership, never doc ids (global url rank)."""
+    n_segments = max(1, math.ceil(n_est / cfg.docs_per_segment))
+    if n_segments == 1:
+        return []
+    want = n_segments * cfg.boundary_sample_per_segment
+    frac = min(1.0, want / max(1, n_est))
+    sample = urls_ds.random_sample(frac, seed=cfg.seed).take_all()
+    urls = sorted(r["url"] for r in sample)
+    if not urls:
+        return []
+    cuts = []
+    for k in range(1, n_segments):
+        cuts.append(urls[min(len(urls) - 1, k * len(urls) // n_segments)])
+    return sorted(set(cuts))
+
+
+def _bucket_of(urls: np.ndarray, boundaries: list[str]) -> np.ndarray:
+    if not boundaries:
+        return np.zeros(len(urls), dtype=np.int32)
+    return np.searchsorted(np.array(boundaries, dtype=object), urls,
+                           side="right").astype(np.int32)
+
+
+def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
+    plan_path = os.path.join(index_dir, "plan.json")
+    if os.path.exists(plan_path):
+        return mf.read_json(plan_path)
+    corpus_dir = os.path.join(index_dir, "corpus")
+    urls_ds = rd.read_parquet(corpus_dir, columns=["url", "doc_len"])
+    n_est = urls_ds.count()
+    if n_est == 0:
+        plan = {"boundaries": [], "offsets": [0], "n_docs": 0, "avgdl": 0.0,
+                "n_segments": 0, "seed": cfg.seed}
+        mf.write_json_atomic(plan_path, plan)
+        return plan
+    boundaries = _segment_boundaries(urls_ds.select_columns(["url"]), n_est, cfg)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
+        return t.append_column("bucket", pa.array(_bucket_of(urls, boundaries)))
+
+    import pandas as pd
+
+    def distinct_stats(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("url")
+        return pd.DataFrame(
+            {
+                "bucket": [int(df["bucket"].iloc[0])],
+                "n_docs": [len(d)],
+                "dl_sum": [int(d["doc_len"].sum())],
+                "n_dups": [len(df) - len(d)],
+            }
+        )
+
+    counts = (
+        urls_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    n_segments = len(boundaries) + 1
+    per_bucket = np.zeros(n_segments, dtype=np.int64)
+    per_bucket[counts["bucket"].to_numpy()] = counts["n_docs"].to_numpy()
+    offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
+    n_docs = int(per_bucket.sum())
+    dl_total = int(counts["dl_sum"].sum())
+    plan = {
+        "boundaries": boundaries,
+        "offsets": offsets.tolist(),
+        "per_segment_docs": per_bucket.tolist(),
+        "n_docs": n_docs,
+        "n_duplicates": int(counts["n_dups"].sum()),
+        "avgdl": (dl_total / n_docs) if n_docs else 0.0,
+        "n_segments": n_segments,
+        "seed": cfg.seed,
+    }
+    mf.write_json_atomic(plan_path, plan)
+    return plan
+
+
+# --- phase C --------------------------------------------------------------
+
+def _write_segment_files(index_dir: str, seg_id: int, terms: pa.Table,
+                         docs: pa.Table, row_group_size: int) -> None:
+    """Atomic segment publish: write into a tmp dir, rename into place."""
+    seg_dir = os.path.join(index_dir, "segments", f"segment={seg_id:06d}")
+    tmp_dir = seg_dir + f".tmp-{uuid.uuid4().hex}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(terms, os.path.join(tmp_dir, "terms.parquet"),
+                   row_group_size=row_group_size)
+    pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
+    if os.path.isdir(seg_dir):
+        shutil.rmtree(seg_dir)  # uncommitted leftover from a crashed attempt
+    os.replace(tmp_dir, seg_dir)
+
+
+def _build_segment(group: pa.Table, index_dir: str, plan: dict,
+                   cfg: BuildConfig) -> pa.Table:
+    """Vectorized per-segment build: dedup, doc ids, tokenize, encode, commit."""
+    t0 = time.perf_counter()
+    seg_id = int(group["bucket"][0].as_py())
+    n_input = group.num_rows
+    group = group.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+    urls = np.asarray(group["url"].to_numpy(zero_copy_only=False), dtype=object)
+    first = np.ones(len(urls), dtype=bool)
+    first[1:] = urls[1:] != urls[:-1]
+    deduped = group.filter(pa.array(first))
+    n_docs = deduped.num_rows
+    n_dups = n_input - n_docs
+    base = int(plan["offsets"][seg_id])
+    doc_ids = base + np.arange(n_docs, dtype=np.int64)
+    doc_len = deduped["doc_len"].to_numpy().astype(np.int64)
+
+    doc_idx, tokens, _dl = standard_tokenize_batch(deduped["text"])
+    tf_tbl = (
+        pa.table({"term": tokens, "d": pa.array(doc_idx)})
+        .group_by(["term", "d"])
+        .aggregate([("d", "count")])
+    )
+    terms = np.asarray(tf_tbl["term"].to_numpy(zero_copy_only=False), dtype=object)
+    d_local = tf_tbl["d"].to_numpy().astype(np.int64)
+    tfs = tf_tbl["d_count"].to_numpy().astype(np.int64)
+    order = np.lexsort((d_local, terms.astype(str)))
+    terms_s, d_s, tfs_s = terms[order], d_local[order], tfs[order]
+    table = codec.build_posting_table(
+        terms_s, doc_ids[d_s], tfs_s, doc_len[d_s], float(plan["avgdl"])
+    )
+
+    terms_out = pa.table(
+        {
+            "term": pa.array(table["term"], pa.string()),
+            "df": pa.array(table["df"], pa.int64()),
+            "doc_ids_enc": pa.array(table["doc_ids_enc"], pa.binary()),
+            "tfs_enc": pa.array(table["tfs_enc"], pa.binary()),
+            "block_last_doc": pa.array(table["block_last_doc"], pa.list_(pa.int64())),
+            "block_max_impact": pa.array(table["block_max_impact"], pa.list_(pa.float64())),
+            "max_impact": pa.array(table["max_impact"], pa.float64()),
+        }
+    )
+    docs_out = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "url": deduped["url"],
+            "doc_len": pa.array(doc_len.astype(np.int32), pa.int32()),
+            "segment_id": pa.array(np.full(n_docs, seg_id, dtype=np.int32)),
+        }
+    )
+    _write_segment_files(index_dir, seg_id, terms_out, docs_out, cfg.index_block_rows)
+
+    secs = time.perf_counter() - t0
+    checksum = hashlib.md5("\n".join(urls[first].tolist()).encode()).hexdigest()
+    n_postings = int(table["df"].sum())
+    mf.write_manifest(
+        index_dir, seg_id,
+        {
+            "n_input_rows": int(n_input),
+            "n_docs": int(n_docs),
+            "n_duplicates": int(n_dups),
+            "n_terms": terms_out.num_rows,
+            "n_postings": n_postings,
+            "doc_id_base": base,
+            "url_checksum": checksum,
+            "build_secs": round(secs, 4),
+            "docs_per_sec": round(n_docs / secs, 2) if secs > 0 else None,
+        },
+    )
+    return pa.table(
+        {
+            "segment_id": pa.array([seg_id], pa.int32()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_terms": pa.array([terms_out.num_rows], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "n_duplicates": pa.array([n_dups], pa.int64()),
+            "build_secs": pa.array([secs], pa.float64()),
+        }
+    )
+
+
+def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
+    done = set(mf.committed_segments(index_dir))
+    boundaries = plan["boundaries"]
+    corpus_dir = os.path.join(index_dir, "corpus")
+    ds = rd.read_parquet(corpus_dir)
+
+    done_ref = ray.put(frozenset(done))
+    plan_ref = ray.put(plan)
+
+    def add_bucket_filter(t: pa.Table) -> pa.Table:
+        urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
+        b = _bucket_of(urls, boundaries)
+        t = t.append_column("bucket", pa.array(b))
+        skip = ray.get(done_ref)
+        if skip:
+            keep = ~np.isin(b, np.fromiter(skip, dtype=np.int32))
+            t = t.filter(pa.array(keep))
+        return t
+
+    def seg_fn(group: pa.Table) -> pa.Table:
+        return _build_segment(group, index_dir, ray.get(plan_ref), cfg)
+
+    summaries = (
+        ds.map_batches(add_bucket_filter, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(seg_fn, batch_format="pyarrow")
+        .take_all()
+    )
+    return summaries
+
+
+# --- phase D --------------------------------------------------------------
+
+def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
+              timings: dict[str, float]) -> dict:
+    stats_path = os.path.join(index_dir, "stats.json")
+    term_files = [
+        os.path.join(index_dir, "segments", f"segment={s:06d}", "terms.parquet")
+        for s in sorted(mf.committed_segments(index_dir))
+    ]
+    term_stats_dir = os.path.join(index_dir, "term_stats")
+    if not os.path.exists(os.path.join(term_stats_dir, "_SUCCESS")):
+        if os.path.isdir(term_stats_dir):
+            shutil.rmtree(term_stats_dir)
+        if plan["n_docs"] > 0 and term_files:
+            (
+                rd.read_parquet(term_files, columns=["term", "df"])
+                .groupby("term")
+                .aggregate(Sum("df", alias_name="df"))
+                .sort("term")
+                .write_parquet(term_stats_dir)
+            )
+        else:
+            os.makedirs(term_stats_dir, exist_ok=True)
+        with open(os.path.join(term_stats_dir, "_SUCCESS"), "w") as f:
+            f.write("")
+    manifests = mf.committed_segments(index_dir)
+    rejects = count_rejects(os.path.join(index_dir, "errors"))
+    stats = {
+        "n_docs": plan["n_docs"],
+        "avgdl": plan["avgdl"],
+        "n_segments": plan["n_segments"],
+        "n_duplicates": sum(m["n_duplicates"] for m in manifests.values()),
+        "n_postings": sum(m["n_postings"] for m in manifests.values()),
+        "rejects": rejects,
+        "bm25": {"k1": codec.BM25_K1, "b": codec.BM25_B},
+        "per_segment": {
+            str(k): {
+                "n_docs": m["n_docs"],
+                "build_secs": m["build_secs"],
+                "docs_per_sec": m["docs_per_sec"],
+            }
+            for k, m in sorted(manifests.items())
+        },
+        "phase_secs": timings,
+    }
+    mf.write_json_atomic(stats_path, stats)
+    return stats
+
+
+# --- entry ----------------------------------------------------------------
+
+def build_index(input_path: str, index_dir: str,
+                cfg: BuildConfig | None = None) -> dict:
+    """Build (or resume) the full inverted index; returns stats.json content."""
+    cfg = cfg or BuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    timings: dict[str, float] = {}
+    t = time.perf_counter()
+    _build_corpus(input_path, index_dir, cfg)
+    timings["corpus"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    plan = _make_plan(index_dir, cfg)
+    timings["plan"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    if plan["n_docs"] > 0:
+        _build_segments(index_dir, plan, cfg)
+    timings["segments"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    stats = _finalize(index_dir, plan, cfg, timings)
+    timings["finalize"] = round(time.perf_counter() - t, 3)
+    return stats

@@ -1,0 +1,243 @@
+"""BM25 top-k query engine over the segment index.
+
+Reproduces the query capability the reference delegates to ElasticSearch
+(``/root/reference/config/search_scheme.json`` text fields; ES 7 default BM25
+k1=1.2, b=0.75): analyze the query with the standard analyzer, look up
+postings per term (J2), score BM25 with **global** df/avgdl, return top-k by
+(score desc, doc_id asc).
+
+Execution: one stateful searcher actor pool over a Dataset of segments; each
+task scores its segments against all queries (queries + idf broadcast via
+``ray.put``) and emits per-segment top-k; a ``groupby(query_id)`` merge
+produces the global top-k (A5 tree-merge analogue).
+
+Scoring modes:
+
+* exact (default): accumulate every query term in lexicographic term order —
+  bitwise-identical float64 scores vs the brute-force oracle.
+* maxscore (``use_maxscore=True``): terms processed in descending
+  idf*max_impact; once the remaining upper bound cannot beat the current
+  k-th score, remaining terms only update already-touched docs (classic
+  MaxScore, using the term-level bound from the block-max metadata).
+  Rank-identical; scores equal to ~1e-12 (float association order differs).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.analyzers import analyze
+from . import codec
+from . import manifest as mf
+
+
+@dataclass
+class SearchConfig:
+    use_maxscore: bool = False
+    concurrency: tuple[int, int] | int = (1, 8)
+    segments_per_batch: int = 4
+
+
+def query_terms(query: str) -> list[str]:
+    """Standard-analyzer terms, deduplicated, lexicographically sorted.
+
+    Duplicate query terms count once (documented choice; the oracle and the
+    DuckDB SQL use the same rule), and sorted order fixes the float64
+    accumulation order for bitwise reproducibility.
+    """
+    return sorted(set(analyze("standard", query)))
+
+
+def load_global_idf(index_dir: str, terms: list[str]) -> tuple[dict[str, float], int]:
+    """Global df for the given terms from the term_stats table -> idf map."""
+    stats = mf.read_json(os.path.join(index_dir, "stats.json"))
+    n_docs = int(stats["n_docs"])
+    ts_dir = os.path.join(index_dir, "term_stats")
+    idf: dict[str, float] = {}
+    if terms and n_docs:
+        files = [os.path.join(ts_dir, f) for f in sorted(os.listdir(ts_dir))
+                 if f.endswith(".parquet")]
+        if files:
+            tbl = pq.read_table(files, filters=[("term", "in", terms)])
+            for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+                idf[t] = float(codec.bm25_idf(int(df), n_docs))
+    return idf, n_docs
+
+
+class SegmentSearcher:
+    """Actor: scores segment batches against the broadcast query set."""
+
+    def __init__(self, index_dir: str, prepared_ref, idf_ref, avgdl: float,
+                 use_maxscore: bool):
+        self.index_dir = index_dir
+        self.queries = ray.get(prepared_ref)  # [(query_id, [terms], k)]
+        self.idf = ray.get(idf_ref)
+        self.avgdl = avgdl
+        self.use_maxscore = use_maxscore
+        self.all_terms = sorted({t for _, ts, _ in self.queries for t in ts
+                                 if t in self.idf})
+
+    def _load_segment(self, seg_dir: str):
+        terms_path = os.path.join(seg_dir, "terms.parquet")
+        docs_path = os.path.join(seg_dir, "docs.parquet")
+        if not self.all_terms:
+            return None
+        tt = pq.read_table(
+            terms_path,
+            columns=["term", "df", "doc_ids_enc", "tfs_enc", "max_impact"],
+            filters=[("term", "in", self.all_terms)],
+        )
+        docs = pq.read_table(docs_path, columns=["doc_id", "doc_len"])
+        if docs.num_rows == 0:
+            return None
+        doc_ids = docs["doc_id"].to_numpy()
+        base = int(doc_ids[0])
+        dl = docs["doc_len"].to_numpy().astype(np.float64)
+        postings: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+        for i in range(tt.num_rows):
+            term = tt["term"][i].as_py()
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()),
+            )
+            postings[term] = (ids, tfs, float(tt["max_impact"][i].as_py()))
+        return base, len(doc_ids), dl, postings
+
+    def _score_query(self, terms: list[str], k: int, base: int, n: int,
+                     dl: np.ndarray, postings: dict) -> tuple[np.ndarray, np.ndarray]:
+        terms = [t for t in terms if t in postings and t in self.idf]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        scores = np.zeros(n, dtype=np.float64)
+        touched = np.zeros(n, dtype=bool)
+        if not self.use_maxscore:
+            for t in terms:  # lexicographic order fixed by query_terms()
+                ids, tfs, _ = postings[t]
+                loc = ids - base
+                scores[loc] += self.idf[t] * codec.bm25_tf_impact(
+                    tfs, dl[loc], self.avgdl)
+                touched[loc] = True
+        else:
+            ubs = [(self.idf[t] * postings[t][2], t) for t in terms]
+            ubs.sort(reverse=True)
+            remaining = sum(u for u, _ in ubs)
+            theta = -np.inf
+            for u, t in ubs:
+                ids, tfs, _ = postings[t]
+                loc = ids - base
+                if remaining < theta:
+                    keep = touched[loc]
+                    loc, tfs = loc[keep], tfs[keep]
+                    if len(loc) == 0:
+                        remaining -= u
+                        continue
+                scores[loc] += self.idf[t] * codec.bm25_tf_impact(
+                    tfs, dl[loc], self.avgdl)
+                touched[loc] = True
+                remaining -= u
+                cand = scores[touched]
+                if len(cand) > k:
+                    theta = np.partition(cand, -k)[-k]
+        loc = np.flatnonzero(touched)
+        sc = scores[loc]
+        if len(loc) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth  # keep ALL ties at the k-th score for tie-break
+            loc, sc = loc[keep], sc[keep]
+        order = np.lexsort((loc, -sc))[:k]
+        return (loc[order] + base).astype(np.int64), sc[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            loaded = self._load_segment(seg_dir)
+            if loaded is None:
+                continue
+            base, n, dl, postings = loaded
+            for qid, terms, k in self.queries:
+                ids, sc = self._score_query(terms, int(k), base, n, dl, postings)
+                out_q.extend([qid] * len(ids))
+                out_d.extend(ids.tolist())
+                out_s.extend(sc.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def search(index_dir: str, queries: pa.Table | list[dict],
+           cfg: SearchConfig | None = None) -> pa.Table:
+    """Run BM25 top-k for a query table -> (query_id, rank, doc_id, score).
+
+    ``queries`` columns: query_id, query, k (schema.QUERIES).
+    """
+    cfg = cfg or SearchConfig()
+    if isinstance(queries, pa.Table):
+        qrows = queries.to_pylist()
+    else:
+        qrows = list(queries)
+    prepared = [(int(q["query_id"]), query_terms(q["query"]), int(q.get("k", 10)))
+                for q in qrows]
+    all_terms = sorted({t for _, ts, _ in prepared for t in ts})
+    idf, _n = load_global_idf(index_dir, all_terms)
+    stats = mf.read_json(os.path.join(index_dir, "stats.json"))
+    avgdl = float(stats["avgdl"])
+    seg_ids = sorted(mf.committed_segments(index_dir))
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    if not seg_ids or not idf:
+        return empty
+    seg_dirs = [os.path.join(index_dir, "segments", f"segment={s:06d}")
+                for s in seg_ids]
+
+    prepared_ref = ray.put(prepared)
+    idf_ref = ray.put(idf)
+    per_segment = (
+        rd.from_items([{"seg_dir": d} for d in seg_dirs])
+        .map_batches(
+            SegmentSearcher,
+            fn_constructor_kwargs={
+                "index_dir": index_dir,
+                "prepared_ref": prepared_ref,
+                "idf_ref": idf_ref,
+                "avgdl": avgdl,
+                "use_maxscore": cfg.use_maxscore,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.segments_per_batch,
+            concurrency=cfg.concurrency,
+        )
+    )
+    import pandas as pd
+
+    k_of = {qid: k for qid, _, k in prepared}
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qid = int(df["query_id"].iloc[0])
+        k = k_of[qid]
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "rank", "doc_id", "score"]]
+
+    merged = (
+        per_segment.groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(merged) == 0:
+        return empty
+    merged = merged.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(merged, preserve_index=False)

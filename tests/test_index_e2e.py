@@ -1,0 +1,140 @@
+"""End-to-end: webtext -> index build -> BM25 search, vs the brute oracle."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_data_loader_ray import fixtures
+from elasticsearch_data_loader_ray.index import manifest as mf
+from elasticsearch_data_loader_ray.index import oracle
+from elasticsearch_data_loader_ray.index.build import BuildConfig, build_index
+from elasticsearch_data_loader_ray.index.search import SearchConfig, search
+
+N_DOCS = 800
+
+
+@pytest.fixture(scope="module")
+def webtext(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webtext")
+    t = fixtures.generate_webtext(N_DOCS)
+    pq.write_table(t, str(d / "part-0.parquet"))
+    return t, str(d)
+
+
+@pytest.fixture(scope="module")
+def index_dir(webtext, tmp_path_factory):
+    _, src = webtext
+    out = str(tmp_path_factory.mktemp("index"))
+    cfg = BuildConfig(docs_per_segment=150, extract_concurrency=2)
+    stats = build_index(src, out, cfg)
+    return out, stats
+
+
+def test_build_stats(webtext, index_dir):
+    t, _ = webtext
+    _, stats = index_dir
+    urls = t["url"].to_pylist()
+    texts = t["text"].to_pylist()
+    kept = {u for u, x in zip(urls, texts) if x}  # non-null non-empty
+    assert stats["n_docs"] == len(kept)
+    assert stats["n_segments"] >= 3
+    assert stats["rejects"]["missing_payload"] == sum(
+        x is None for x in t["html"].to_pylist())
+    assert stats["rejects"]["empty_text"] == sum(x == "" for x in texts)
+    n_dup_rows = len([u for u, x in zip(urls, texts) if x]) - len(kept)
+    assert stats["n_duplicates"] == n_dup_rows
+    assert stats["n_postings"] > 0 and stats["avgdl"] > 0
+
+
+def test_corpus_byte_identical(webtext, index_dir):
+    t, _ = webtext
+    idx, _ = index_dir
+    corpus = pq.read_table(os.path.join(idx, "corpus"))
+    golden = {u: x for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist())}
+    for u, x in zip(corpus["url"].to_pylist(), corpus["text"].to_pylist()):
+        assert x == golden[u]
+
+
+def test_doc_ids_dense_and_url_sorted(index_dir):
+    idx, stats = index_dir
+    segs = sorted(mf.committed_segments(idx))
+    all_ids, all_urls = [], []
+    for s in segs:
+        d = pq.read_table(os.path.join(idx, "segments", f"segment={s:06d}", "docs.parquet"))
+        all_ids.extend(d["doc_id"].to_pylist())
+        all_urls.extend(d["url"].to_pylist())
+    assert all_ids == list(range(stats["n_docs"]))
+    assert all_urls == sorted(all_urls)
+
+
+def test_search_matches_oracle_bitwise(webtext, index_dir):
+    t, _ = webtext
+    idx, _ = index_dir
+    queries = fixtures.generate_queries()
+    got = search(idx, queries).to_pandas()
+    want = oracle.bm25_topk(t, queries).to_pandas()
+    # map oracle doc positions to the engine's ids: both are url-rank — equal
+    assert len(got) == len(want)
+    assert got["query_id"].tolist() == want["query_id"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # bitwise float64 equality (same accumulation order by construction)
+    assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_search_maxscore_rank_identical(webtext, index_dir):
+    t, _ = webtext
+    idx, _ = index_dir
+    queries = fixtures.generate_queries()
+    exact = search(idx, queries).to_pandas()
+    pruned = search(idx, queries, SearchConfig(use_maxscore=True)).to_pandas()
+    assert exact["doc_id"].tolist() == pruned["doc_id"].tolist()
+    assert exact["rank"].tolist() == pruned["rank"].tolist()
+    np.testing.assert_allclose(exact["score"], pruned["score"], rtol=1e-12)
+
+
+def test_absent_term_returns_empty(index_dir):
+    idx, _ = index_dir
+    import pyarrow as pa
+
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "query": pa.array(["zzqmissingzz"], pa.string()),
+                  "k": pa.array([10], pa.int64())})
+    got = search(idx, q)
+    assert got.num_rows == 0
+
+
+def test_resume_skips_committed_segments(webtext, tmp_path_factory):
+    _, src = webtext
+    out = str(tmp_path_factory.mktemp("index_resume"))
+    cfg = BuildConfig(docs_per_segment=200, extract_concurrency=2)
+    stats1 = build_index(src, out, cfg)
+    segs = sorted(mf.committed_segments(out))
+    # drop one manifest + its segment dir -> only that segment rebuilds
+    victim = segs[1]
+    os.unlink(mf.manifest_path(out, victim))
+    mtimes = {
+        s: os.path.getmtime(os.path.join(out, "segments", f"segment={s:06d}", "terms.parquet"))
+        for s in segs if s != victim
+    }
+    os.unlink(os.path.join(out, "stats.json"))
+    os.unlink(os.path.join(out, "term_stats", "_SUCCESS"))
+    stats2 = build_index(src, out, cfg)
+    assert stats2["n_docs"] == stats1["n_docs"]
+    assert sorted(mf.committed_segments(out)) == segs
+    for s, m in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(out, "segments", f"segment={s:06d}", "terms.parquet")) == m
+
+
+def test_manifest_lineage_fields(index_dir):
+    idx, _ = index_dir
+    m = next(iter(mf.committed_segments(idx).values()))
+    for field in ("n_docs", "n_postings", "url_checksum", "doc_id_base",
+                  "build_secs", "status"):
+        assert field in m
