@@ -358,15 +358,29 @@ def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
 
 # --- entry ----------------------------------------------------------------
 
-def build_index(input_path: str, index_dir: str,
-                cfg: BuildConfig | None = None) -> dict:
-    """Build (or resume) the full inverted index; returns stats.json content."""
+def build_index_from_corpus(corpus: rd.Dataset, index_dir: str,
+                            cfg: BuildConfig | None = None) -> dict:
+    """Build an index from an already-cleaned corpus Dataset (columns
+    url, warc_ts, text, lang, doc_len) — phase A becomes a plain write.
+    Used when the input is a text table rather than raw HTML webtext."""
     cfg = cfg or BuildConfig()
     os.makedirs(index_dir, exist_ok=True)
+    corpus_dir = os.path.join(index_dir, "corpus")
+    success = os.path.join(corpus_dir, "_SUCCESS")
     timings: dict[str, float] = {}
     t = time.perf_counter()
-    _build_corpus(input_path, index_dir, cfg)
+    if not os.path.exists(success):
+        if os.path.isdir(corpus_dir):
+            shutil.rmtree(corpus_dir)
+        corpus.write_parquet(corpus_dir)
+        with open(success, "w") as f:
+            f.write("")
     timings["corpus"] = round(time.perf_counter() - t, 3)
+    return _build_after_corpus(index_dir, cfg, timings)
+
+
+def _build_after_corpus(index_dir: str, cfg: BuildConfig,
+                        timings: dict[str, float]) -> dict:
     t = time.perf_counter()
     plan = _make_plan(index_dir, cfg)
     timings["plan"] = round(time.perf_counter() - t, 3)
@@ -378,3 +392,15 @@ def build_index(input_path: str, index_dir: str,
     stats = _finalize(index_dir, plan, cfg, timings)
     timings["finalize"] = round(time.perf_counter() - t, 3)
     return stats
+
+
+def build_index(input_path: str, index_dir: str,
+                cfg: BuildConfig | None = None) -> dict:
+    """Build (or resume) the full inverted index; returns stats.json content."""
+    cfg = cfg or BuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    timings: dict[str, float] = {}
+    t = time.perf_counter()
+    _build_corpus(input_path, index_dir, cfg)
+    timings["corpus"] = round(time.perf_counter() - t, 3)
+    return _build_after_corpus(index_dir, cfg, timings)

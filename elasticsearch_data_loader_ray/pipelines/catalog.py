@@ -1,0 +1,890 @@
+"""Driver-contract query catalog: Ray-Data pipelines + DuckDB oracle SQL.
+
+One entry per operator family from SURVEY.md §2 plus the training-data
+operations (dedup, similarity search, text analysis). Every Ray callable
+takes ``sf_dir`` and returns a Dataset / pyarrow Table; the paired SQL string
+computes the same result over the pre-registered DuckDB views. Column names
+and float rounding are kept identical on both sides (the driver hashes
+values after sorting columns by name).
+
+Float convention: any column whose value depends on float arithmetic order
+is rounded (ROUND(x, 6) / np.round(x, 6)) on BOTH sides so cross-engine
+last-ulp differences cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions import analyzers as an
+from ..functions.alphakey import ordered_alpha_key, same_as_alpha_key
+from ..functions.suffix import COMPANY_NAME_ENDINGS, split_company_name_endings
+from ..index import codec
+from ..index.build import BuildConfig, build_index_from_corpus
+from ..index.search import SearchConfig, search
+
+TOKEN_RE_SQL = r"[\p{L}\p{N}]+"
+STOPWORDS = ["the", "and", "of", "a", "in", "to", "is"]
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# Constructed "company name" over documents rows: exercises suffix match,
+# trailing-punctuation strip, and the no-match path (see suffix.py).
+NAME_EXPR_SQL = (
+    "upper(substr(text, 1, 20)) || ' ' || "
+    "CASE (doc_id % 4) WHEN 0 THEN 'LIMITED' WHEN 1 THEN 'PLC' "
+    "WHEN 2 THEN 'LTD.' ELSE 'HOLDINGS' END"
+)
+
+
+def _name_expr_py(text: str, doc_id: int) -> str:
+    suf = ["LIMITED", "PLC", "LTD.", "HOLDINGS"][doc_id % 4]
+    return text[:20].upper() + " " + suf
+
+
+def _suffix_split_case_sql(name: str, stripped: str) -> str:
+    """Generate the 72-branch first-match CASE for name_start (format.go
+    declaration-order semantics; see functions/suffix.py)."""
+    whens = []
+    for cne in COMPANY_NAME_ENDINGS:
+        lit = cne.replace("'", "''")
+        whens.append(
+            f"WHEN ends_with({stripped}, '{lit}') THEN "
+            f"CASE WHEN ends_with({stripped}, ' {lit}') THEN "
+            f"left({stripped}, length({stripped}) - {len(cne) + 1}) "
+            f"ELSE {stripped} END"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE {name} END"
+
+
+def _alpha_key_sql(expr: str) -> str:
+    return f"regexp_replace(replace(upper({expr}), '&', 'AND'), '[^A-Z0-9]', '', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# M2/M3 — validity filter
+# ---------------------------------------------------------------------------
+
+def q_validity_filter(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
+        ).select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_VALIDITY = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE text IS NOT NULL AND text <> ''"
+)
+
+
+# ---------------------------------------------------------------------------
+# M5 — record transform (constants, self link, composite key)
+# ---------------------------------------------------------------------------
+
+def q_record_transform(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        link = pa.array([f"/doc/{i}" for i in ids], pa.string())
+        comp = pa.array([f"{s}:{i}" for s, i in
+                         zip(t["source"].to_pylist(), ids)], pa.string())
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "kind": pa.array(["searchresults#document"] * n, pa.string()),
+            "record_type": pa.array(["documents"] * n, pa.string()),
+            "self_link": link,
+            "source_key_with_id": comp,
+        })
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+SQL_RECORD_TRANSFORM = (
+    "SELECT doc_id, 'searchresults#document' AS kind, "
+    "'documents' AS record_type, "
+    "'/doc/' || CAST(doc_id AS VARCHAR) AS self_link, "
+    "source || ':' || CAST(doc_id AS VARCHAR) AS source_key_with_id "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# M6/F15 — suffix split, and S6 alpha keys
+# ---------------------------------------------------------------------------
+
+def q_suffix_split(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(df: pd.DataFrame) -> pd.DataFrame:
+        names = [_name_expr_py(x, i) for x, i in zip(df["text"], df["doc_id"])]
+        parts = [split_company_name_endings(n) for n in names]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "name": names,
+            "name_start": [p[0] for p in parts],
+            "name_ending": [p[1] for p in parts],
+        })
+
+    return ds.map_batches(xf, batch_format="pandas")
+
+
+def _sql_suffix_split() -> str:
+    return (
+        f"WITH named AS (SELECT doc_id, {NAME_EXPR_SQL} AS name FROM documents), "
+        "stripped AS (SELECT doc_id, name, "
+        "regexp_replace(name, '[^A-Za-z0-9_]+$', '') AS s FROM named), "
+        "split AS (SELECT doc_id, name, "
+        + _suffix_split_case_sql("name", "s")
+        + " AS name_start FROM stripped) "
+        "SELECT doc_id, name, name_start, "
+        "substr(name, length(name_start) + 1) AS name_ending FROM split"
+    )
+
+
+def q_alpha_keys(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(df: pd.DataFrame) -> pd.DataFrame:
+        names = [_name_expr_py(x, i) for x, i in zip(df["text"], df["doc_id"])]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "same_as_alpha_key": [same_as_alpha_key(n) for n in names],
+            "ordered_alpha_key": [ordered_alpha_key(n) for n in names],
+        })
+
+    return ds.map_batches(xf, batch_format="pandas")
+
+
+def _sql_alpha_keys() -> str:
+    return (
+        f"WITH named AS (SELECT doc_id, {NAME_EXPR_SQL} AS name FROM documents), "
+        "stripped AS (SELECT doc_id, name, "
+        "regexp_replace(name, '[^A-Za-z0-9_]+$', '') AS s FROM named), "
+        "split AS (SELECT doc_id, name, "
+        + _suffix_split_case_sql("name", "s")
+        + " AS name_start FROM stripped) "
+        "SELECT doc_id, "
+        + _alpha_key_sql("name") + " AS same_as_alpha_key, "
+        + _alpha_key_sql("name_start") + " AS ordered_alpha_key FROM split"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14/A3 — token counts; doc-length stats
+# ---------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(
+                an.token_count_batch(t["text"]).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = (
+    f"SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) "
+    "AS BIGINT) AS n_tokens FROM documents"
+)
+
+
+def q_doc_len_stats(sf_dir: str):
+    ds = q_token_counts(sf_dir)
+    # partial per-batch sums -> tiny global aggregate (pre-aggregation pattern)
+    partials = ds.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(t["n_tokens"]).as_py() or 0], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n, s = int(partials["n"].sum()), int(partials["s"].sum())
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "total_tokens": pa.array([s], pa.int64()),
+        "avgdl": pa.array([round(s / n, 6) if n else 0.0], pa.float64()),
+    })
+
+
+SQL_DOC_LEN_STATS = (
+    "WITH tc AS (" + SQL_TOKEN_COUNTS + ") "
+    "SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens, "
+    "round(sum(n_tokens)::DOUBLE / count(*), 6) AS avgdl FROM tc"
+)
+
+
+# ---------------------------------------------------------------------------
+# A2 — term document frequencies (the index build aggregation)
+# ---------------------------------------------------------------------------
+
+def _term_doc_tf(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        idx, toks, _ = an.standard_tokenize_batch(t["text"])
+        ids = t["doc_id"].to_numpy()[idx]
+        g = (pa.table({"term": toks, "doc_id": pa.array(ids)})
+             .group_by(["term", "doc_id"]).aggregate([("doc_id", "count")]))
+        return pa.table({"term": g["term"], "doc_id": g["doc_id"],
+                         "tf": g["doc_id_count"]})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_term_df(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _term_doc_tf(sf_dir)
+        .groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+    )
+
+
+SQL_TERM_DF = (
+    f"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}')) AS term FROM documents), "
+    "tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2) "
+    "SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term"
+)
+
+
+def q_top_terms(sf_dir: str):
+    return q_term_df(sf_dir).sort(["cf", "term"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_TERMS = SQL_TERM_DF + " ORDER BY cf DESC, term ASC LIMIT 20"
+
+
+# ---------------------------------------------------------------------------
+# F4/F10 — first-token edge n-grams (O2 + edge_ngram analyzer surface)
+# ---------------------------------------------------------------------------
+
+def q_first_token_edge_ngrams(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        out_id, out_g = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = an.analyze("analyzer_limit_first", x or "")
+            if not toks:
+                continue
+            for g in an.tokenize_edge_ngram(toks[0]):
+                out_id.append(i)
+                out_g.append(g)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.string())})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+SQL_FIRST_TOKEN_EDGE_NGRAMS = (
+    f"WITH ft AS (SELECT doc_id, lower(regexp_extract(text, '{TOKEN_RE_SQL}')) "
+    "AS tok FROM documents WHERE regexp_extract(text, '" + TOKEN_RE_SQL + "') <> ''), "
+    "g AS (SELECT doc_id, tok, unnest(generate_series(2, least(20, length(tok)))) "
+    "AS n FROM ft WHERE length(tok) >= 2) "
+    "SELECT doc_id, substr(tok, 1, CAST(n AS INT)) AS gram FROM g"
+)
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup (content hash; min doc_id wins)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h, pa.string())})
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(df["doc_id"].min())],
+                             "n_copies": [len(df)]})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("h").map_groups(first, batch_format="pandas"))
+
+
+SQL_EXACT_DEDUP = (
+    "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies "
+    "FROM documents GROUP BY md5(coalesce(text, ''))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: exact n-gram Jaccard (SQL oracle), MinHash-LSH (scale path),
+# SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 3
+JACCARD_T = 0.8
+
+
+def _shingles(tokens: list[str], k: int = SHINGLE_K) -> set[str]:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)}
+
+
+def _doc_shingles_ds(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        out_id, out_s = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for s in _shingles(an.analyze("standard", x or "")):
+                out_id.append(i)
+                out_s.append(s)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "shingle": pa.array(out_s, pa.string())})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs n-gram Jaccard >= 0.8 via a shingle-join (no LSH).
+
+    Scale note: this is the *oracle-checkable* exact variant; the scale path
+    is q_minhash_lsh_pairs (candidates via banding, then exact verify).
+    """
+    sh = _doc_shingles_ds(sf_dir)
+    sizes_pdf = (sh.groupby("doc_id").count().to_pandas()
+                 .rename(columns={"count()": "n"}))
+    sizes = dict(zip(sizes_pdf["doc_id"], sizes_pdf["n"]))
+    sizes_ref = ray.put(sizes)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].tolist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    inter = (
+        _doc_shingles_ds(sf_dir).groupby("shingle")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"]).count()
+    )
+
+    def jac(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sizes_ref)
+        inter_n = df["count()"].to_numpy(dtype=np.float64)
+        na = df["doc_a"].map(sz).to_numpy(dtype=np.float64)
+        nb = df["doc_b"].map(sz).to_numpy(dtype=np.float64)
+        j = inter_n / (na + nb - inter_n)
+        out = pd.DataFrame({"doc_a": df["doc_a"], "doc_b": df["doc_b"],
+                            "jaccard": np.round(j, 6)})
+        return out[j >= JACCARD_T]
+
+    return inter.map_batches(jac, batch_format="pandas")
+
+
+SQL_NGRAM_JACCARD_PAIRS = (
+    f"WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}') AS ts FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) < 3 THEN "
+    "[array_to_string(ts, ' ')] ELSE "
+    "list_transform(generate_series(1, len(ts) - 2), "
+    "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END)) AS shingle "
+    "FROM toks WHERE len(ts) > 0), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b "
+    "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"
+)
+
+N_PERM = 128
+N_BANDS = 32  # 4 rows per band
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params():
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    """MinHash(128) + LSH(32 bands x 4 rows) candidates, exact-Jaccard
+    verified at >= 0.8 — the scale path for near-dup detection. Rows-only
+    driver check (the LSH step is not SQL-expressible); pytest asserts it
+    matches q_ngram_jaccard_pairs on the fixture corpus.
+    """
+    a_p, b_p = _minhash_params()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class MinHasher:
+        def __init__(self):
+            self.a, self.b = a_p, b_p
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_id, out_band, out_h = [], [], []
+            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                sh = _shingles(an.analyze("standard", x or ""))
+                if not sh:
+                    continue
+                hv = np.array(
+                    [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                     for s in sh], dtype=np.uint64)
+                # (a*h + b) mod p, min over shingles, per permutation
+                sig = np.min(
+                    (hv[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE),
+                    axis=0)
+                bands = sig.reshape(N_BANDS, N_PERM // N_BANDS)
+                for bi in range(N_BANDS):
+                    bh = hashlib.md5(bands[bi].tobytes()).hexdigest()[:16]
+                    out_id.append(i); out_band.append(bi); out_h.append(bh)
+            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                             "band": pa.array(out_band, pa.int32()),
+                             "bh": pa.array(out_h, pa.string())})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(df["doc_id"].tolist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = (
+        ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"]).count()
+    ).to_pandas()
+    if len(cand) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    # exact verification of the (small) candidate set
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    tbl = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+    tbl = tbl[tbl["doc_id"].isin(need)]
+    shs = {i: _shingles(an.analyze("standard", x or ""))
+           for i, x in zip(tbl["doc_id"], tbl["text"])}
+    rows = []
+    for da, db in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = shs[da], shs[db]
+        j = len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+        if j >= JACCARD_T:
+            rows.append((int(da), int(db), round(j, 6)))
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (tf-weighted token hashes) — rows-only."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        out_id, out_h = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = an.analyze("standard", x or "")
+            if not toks:
+                out_id.append(i); out_h.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            from collections import Counter
+
+            for tok, tf in Counter(toks).items():
+                hv = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                bits = np.unpackbits(
+                    np.frombuffer(hv.to_bytes(8, "little"), dtype=np.uint8))
+                acc += tf * (bits.astype(np.int64) * 2 - 1)
+            h = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+            out_id.append(i)
+            out_h.append(int.from_bytes(h, "little", signed=True))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "simhash": pa.array(out_h, pa.int64())})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language id + quality, fingerprint
+# ---------------------------------------------------------------------------
+
+def q_langid_quality(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def xf(t: pa.Table) -> pa.Table:
+        idx, toks, dl = an.standard_tokenize_batch(t["text"])
+        toks_np = np.asarray(toks.to_numpy(zero_copy_only=False), dtype=object)
+        is_stop = np.fromiter((x in stop for x in toks_np), dtype=np.int64,
+                              count=len(toks_np))
+        stop_cnt = np.bincount(idx, weights=is_stop, minlength=t.num_rows)
+        dl = dl.astype(np.float64)
+        ratio = np.divide(stop_cnt, dl, out=np.zeros_like(dl), where=dl > 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(dl.astype(np.int64), pa.int64()),
+            "stopword_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+            "lang_pred": pa.array(
+                np.where(ratio >= 0.05, "en", "unknown"), pa.string()),
+        })
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+SQL_LANGID_QUALITY = (
+    f"WITH tc AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}') AS ts FROM documents) "
+    "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, "
+    "round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE "
+    f"len(list_filter(ts, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(ts) "
+    "END, 6) AS stopword_ratio, "
+    "CASE WHEN (CASE WHEN len(ts) = 0 THEN 0.0 ELSE "
+    f"len(list_filter(ts, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(ts) "
+    "END) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred FROM tc"
+)
+
+
+def q_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(re.sub(r"\s+", " ", (x or "").lower()).strip().encode())
+               .hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(fps, pa.string())})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = (
+    "SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), "
+    "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: BM25 top-k over the documents table
+# ---------------------------------------------------------------------------
+
+DOC_QUERIES = [
+    "query scan", "the fast join", "window agg", "hash",
+    "customer order line", "zzqmissing", "table part value",
+    "slow filter the data",
+]
+DOC_K = 10
+
+
+def _doc_index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/edlr_cache/bm25_docs_{key}"
+
+
+def q_bm25_topk(sf_dir: str):
+    """Full engine path: documents -> corpus -> segment index -> BM25 top-k.
+
+    doc ids are preserved by using the zero-padded doc_id as the url (doc_id
+    rank == url rank for the dense ids of the fixture tables).
+    """
+    idx = _doc_index_dir(sf_dir)
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
+        t = t.filter(keep)
+        urls = pa.array([f"{i:015d}" for i in t["doc_id"].to_pylist()], pa.string())
+        n = t.num_rows
+        return pa.table({
+            "url": urls,
+            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+            "text": pc.cast(t["text"], pa.large_string()),
+            "lang": t["lang"],
+            "doc_len": pa.array(an.token_count_batch(
+                pc.cast(t["text"], pa.large_string())), pa.int32()),
+        })
+
+    corpus = ds.map_batches(to_corpus, batch_format="pyarrow")
+    build_index_from_corpus(corpus, idx, BuildConfig(docs_per_segment=2000))
+
+    queries = pa.table({
+        "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+        "query": pa.array(DOC_QUERIES, pa.string()),
+        "k": pa.array([DOC_K + 20] * len(DOC_QUERIES), pa.int64()),
+    })
+    res = search(idx, queries).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    # round, then re-rank on (rounded score desc, doc_id asc), take k
+    res["score"] = np.round(res["score"].to_numpy(), 6)
+    res = res.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res = res[res["rank"] <= DOC_K]
+    return pa.Table.from_pandas(
+        res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True))
+
+
+def _sql_bm25_topk() -> str:
+    from ..index.search import query_terms
+
+    values = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for t in query_terms(q):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values) if values else "(NULL, NULL)"
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, '{TOKEN_RE_SQL}')) "
+        "AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d LEFT JOIN "
+        "(SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))"
+        ") AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+
+EMB_QUERY_IDS = [0, 1, 2]
+EMB_K = 10
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k per query vector (numpy matmul per batch
+    against a broadcast query matrix), then a tiny global merge — the
+    baseline ANN path; see stages/similarity.py for the LSH-bucketed variant.
+    """
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(emb_path, filters=[("vec_id", "in", EMB_QUERY_IDS)])
+    q_ids = qt["vec_id"].to_pylist()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in qt["embedding"].to_pylist()])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(q_ref)
+        vecs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in t["embedding"].to_pylist()])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ qm.T  # (batch, n_q)
+        vids = t["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for c, qid in enumerate(ids_q):
+            s = sims[:, c]
+            k = min(EMB_K + 10, len(s))
+            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.extend([qid] * len(part))
+            out_v.extend(vids[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table({"query_vec_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos_sim": pa.array(out_s, pa.float64())})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(score, batch_format="pyarrow").to_pandas())
+    parts["cos_sim"] = np.round(parts["cos_sim"].to_numpy(), 6)
+    parts = parts.sort_values(["query_vec_id", "cos_sim", "vec_id"],
+                              ascending=[True, False, True])
+    parts["rank"] = parts.groupby("query_vec_id").cumcount() + 1
+    parts = parts[parts["rank"] <= EMB_K]
+    return pa.Table.from_pandas(
+        parts[["query_vec_id", "rank", "vec_id", "cos_sim"]].reset_index(drop=True))
+
+
+_EMB_IDS_SQL = ", ".join(str(i) for i in EMB_QUERY_IDS)
+SQL_EMBEDDING_TOPK = (
+    f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings "
+    f"WHERE vec_id IN ({_EMB_IDS_SQL})), "
+    "s AS (SELECT q.qid AS query_vec_id, e.vec_id, "
+    "round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim "
+    "FROM embeddings e CROSS JOIN q) "
+    "SELECT query_vec_id, rank, vec_id, cos_sim FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_vec_id "
+    "ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s) "
+    f"WHERE rank <= {EMB_K}"
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: pricing summary (pre-aggregation pattern), windowed agg
+# ---------------------------------------------------------------------------
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(
+            pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("rev", rev)
+        g = (t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("rev", "sum"), ("l_quantity", "count")]))
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "s_qty", "s_price", "s_rev", "n"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("s_qty", alias_name="sum_qty"),
+                   Sum("s_price", alias_name="sum_base_price"),
+                   Sum("s_rev", alias_name="sum_disc_price"),
+                   Sum("n", alias_name="count_order"))
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = np.round(out[c].to_numpy(dtype=np.float64), 2)
+    return pa.Table.from_pandas(out.reset_index(drop=True))
+
+
+SQL_LINEITEM_PRICING = (
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "count(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_events_tumbling(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
+        w = pc.multiply(pc.divide(epoch, 3_600_000_000), 3_600_000_000)
+        return pa.table({"event_type": t["event_type"],
+                         "window_us": pc.cast(w, pa.int64()),
+                         "value": t["value"]})
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_us"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.round(out["sum_value"].to_numpy(dtype=np.float64), 4)
+    return pa.Table.from_pandas(out.reset_index(drop=True))
+
+
+SQL_EVENTS_TUMBLING = (
+    "SELECT event_type, "
+    "CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS window_us, "
+    "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "validity_filter": q_validity_filter,
+        "record_transform": q_record_transform,
+        "suffix_split": q_suffix_split,
+        "alpha_keys": q_alpha_keys,
+        "token_counts": q_token_counts,
+        "doc_len_stats": q_doc_len_stats,
+        "term_df": q_term_df,
+        "top_terms": q_top_terms,
+        "first_token_edge_ngrams": q_first_token_edge_ngrams,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "langid_quality": q_langid_quality,
+        "fingerprint": q_fingerprint,
+        "bm25_topk": q_bm25_topk,
+        "embedding_topk": q_embedding_topk,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "events_tumbling": q_events_tumbling,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "validity_filter": SQL_VALIDITY,
+        "record_transform": SQL_RECORD_TRANSFORM,
+        "suffix_split": _sql_suffix_split(),
+        "alpha_keys": _sql_alpha_keys(),
+        "token_counts": SQL_TOKEN_COUNTS,
+        "doc_len_stats": SQL_DOC_LEN_STATS,
+        "term_df": SQL_TERM_DF,
+        "top_terms": SQL_TOP_TERMS,
+        "first_token_edge_ngrams": SQL_FIRST_TOKEN_EDGE_NGRAMS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        # minhash_lsh_pairs, simhash: rows-only (not SQL-expressible)
+        "langid_quality": SQL_LANGID_QUALITY,
+        "fingerprint": SQL_FINGERPRINT,
+        "bm25_topk": _sql_bm25_topk(),
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
+        "events_tumbling": SQL_EVENTS_TUMBLING,
+    }
