@@ -1,0 +1,170 @@
+"""Benchmark harness — headline index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline: full inverted-index build (extract -> plan -> segments -> term
+stats) over a deterministic synthetic webtext table (BASELINE.md: >=100k
+docs, seed 42), generated once and cached under /tmp. Also reports BM25
+top-10 p95 latency over the reference query set and per-entry timings of the
+driver query catalog at $GRAFT_SF_DIR.
+
+``--scaling``: runs the headline build in two fresh processes at
+num_cpus=8 and 32 (same input, page cache warmed) and reports the
+throughput scaling efficiency (BASELINE.md protocol; the sandbox substitute
+for the north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("EDLR_BENCH_DOCS", "100000"))
+BENCH_SRC = f"/tmp/edlr_bench/webtext_{BENCH_DOCS}"
+BENCH_IDX = "/tmp/edlr_bench/index"
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Entries excluded from the per-query timing loop at bench sf (the exact
+# all-pairs shingle join is intentionally quadratic; its scale path —
+# minhash_lsh_pairs — is benched instead).
+SKIP_QUERIES = {"ngram_jaccard_pairs"}
+
+
+def ensure_bench_input() -> None:
+    marker = os.path.join(BENCH_SRC, "_COMPLETE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(BENCH_SRC, ignore_errors=True)
+    from elasticsearch_data_loader_ray import fixtures
+
+    fixtures.write_webtext(BENCH_SRC, BENCH_DOCS)
+    with open(marker, "w") as f:
+        f.write("")
+
+
+def warm_page_cache() -> None:
+    for root, _, files in os.walk(BENCH_SRC):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from elasticsearch_data_loader_ray import fixtures
+    from elasticsearch_data_loader_ray.index import manifest as mf
+    from elasticsearch_data_loader_ray.index.build import BuildConfig, build_index
+    from elasticsearch_data_loader_ray.index.search import (
+        LocalSearcher,
+        SearchConfig,
+        search,
+    )
+
+    ensure_bench_input()
+    warm_page_cache()
+    shutil.rmtree(BENCH_IDX, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    stats = build_index(BENCH_SRC, BENCH_IDX, BuildConfig())
+    build_secs = time.perf_counter() - t0
+    docs_per_sec = stats["n_docs"] / build_secs
+
+    queries = fixtures.generate_queries()
+    # distributed batch search (actor pool) — whole reference set
+    t0 = time.perf_counter()
+    search(BENCH_IDX, queries, SearchConfig(use_maxscore=True))
+    batch_search_secs = time.perf_counter() - t0
+    # per-query latency, warm in-process searcher (serving path)
+    searcher = LocalSearcher(BENCH_IDX)
+    lat = []
+    for row in queries.to_pylist():
+        for _ in range(3):
+            t0 = time.perf_counter()
+            searcher.search(row["query"], int(row["k"]))
+            lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p95 = lat[int(0.95 * len(lat)) - 1] if lat else 0.0
+
+    # driver catalog timings at $GRAFT_SF_DIR
+    from elasticsearch_data_loader_ray.pipelines import catalog
+
+    qtimes: dict[str, float] = {}
+    for name, fn in catalog.queries().items():
+        if name in SKIP_QUERIES:
+            continue
+        t0 = time.perf_counter()
+        try:
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # report, don't die
+            qtimes[name] = -1.0
+            print(f"query {name} failed: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "index_build_secs",
+        "value": round(build_secs, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": BENCH_DOCS,
+        "n_docs_indexed": stats["n_docs"],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "n_postings": stats["n_postings"],
+        "n_segments": stats["n_segments"],
+        "query_p95_secs": round(p95, 4),
+        "batch_search_secs": round(batch_search_secs, 3),
+        "phase_secs": stats.get("phase_secs", {}),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   EDLR_BENCH_DOCS=str(BENCH_DOCS))
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "docs_per_sec_lo": tp_lo, "docs_per_sec_hi": tp_hi,
+        "build_secs_lo": r_lo["value"], "build_secs_hi": r_hi["value"],
+        "bench_docs": BENCH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

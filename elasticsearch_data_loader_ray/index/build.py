@@ -48,18 +48,32 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..functions.analyzers import standard_tokenize_batch
-from ..stages.extract import HtmlExtractor, count_rejects
+from ..stages.extract import count_rejects, extract_batch
 from . import codec, manifest as mf
+
+
+def seg_terms_path(index_dir: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "terms", f"segment={seg_id:06d}", "part-0.parquet")
+
+
+def seg_docs_path(index_dir: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "docs", f"segment={seg_id:06d}", "part-0.parquet")
 
 
 @dataclass
 class BuildConfig:
-    docs_per_segment: int = 50_000
-    extract_batch_size: int = 256
+    # None -> auto: n_docs / (4 * num_cpus), clamped to [1_000, 200_000] so
+    # segments outnumber workers (parallel phase C) but one segment's text
+    # still fits a worker's heap at web scale.
+    docs_per_segment: int | None = None
+    extract_batch_size: int = 1024
     extract_concurrency: tuple[int, int] | int | None = None  # None -> (1, ncpus)
     boundary_sample_per_segment: int = 200
     seed: int = 42
-    index_block_rows: int = 4096  # parquet row-group size for term tables
+    # parquet row-group size for term tables: term lookups read whole row
+    # groups (min/max pruning over the term-sorted file), so smaller groups
+    # => less read amplification per query term
+    index_block_rows: int = 1024
 
 
 def _ncpus() -> int:
@@ -67,6 +81,19 @@ def _ncpus() -> int:
         return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         return 4
+
+
+def pin_worker_threads() -> None:
+    """Cap pyarrow's internal thread pool to this task's CPU share.
+
+    Arrow sizes its pool to hardware concurrency and ignores the
+    OMP_NUM_THREADS Ray sets per worker — N workers x N arrow threads
+    thrashes the node (measured 10-17x slowdown in segment builds). Call at
+    the top of every arrow-heavy worker function; idempotent.
+    """
+    want = max(1, int(os.environ.get("OMP_NUM_THREADS", "1")))
+    if pa.cpu_count() != want:
+        pa.set_cpu_count(want)
 
 
 # --- phase A --------------------------------------------------------------
@@ -79,14 +106,14 @@ def _build_corpus(input_path: str, index_dir: str, cfg: BuildConfig) -> None:
     if os.path.isdir(corpus_dir):
         shutil.rmtree(corpus_dir)
     errors_dir = os.path.join(index_dir, "errors")
-    conc = cfg.extract_concurrency or (1, _ncpus())
-    ds = rd.read_parquet(input_path)
+    # stateless tasks, not an actor pool: a pool sized to the node starves
+    # the read/write operators of CPU slots and serializes the phase
+    ds = rd.read_parquet(input_path, override_num_blocks=max(2 * _ncpus(), 16))
     ds = ds.map_batches(
-        HtmlExtractor,
-        fn_constructor_kwargs={"errors_dir": errors_dir},
+        extract_batch,
+        fn_kwargs={"errors_dir": errors_dir},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=conc,
     )
     ds.write_parquet(corpus_dir)
     with open(success, "w") as f:
@@ -95,10 +122,19 @@ def _build_corpus(input_path: str, index_dir: str, cfg: BuildConfig) -> None:
 
 # --- phase B --------------------------------------------------------------
 
+def _docs_per_segment(cfg: BuildConfig, n_est: int) -> int:
+    if cfg.docs_per_segment:
+        return cfg.docs_per_segment
+    # ~2 segments per CPU for parallelism; >=4000 docs so per-segment fixed
+    # costs (parquet writes, manifest) stay a small fraction; <=200k so one
+    # segment's text fits a worker heap at web scale
+    return int(min(200_000, max(4_000, math.ceil(n_est / (2 * _ncpus())))))
+
+
 def _segment_boundaries(urls_ds: rd.Dataset, n_est: int, cfg: BuildConfig) -> list[str]:
     """Seeded-sample url quantiles -> S-1 range cut points. Boundary placement
     affects only segment membership, never doc ids (global url rank)."""
-    n_segments = max(1, math.ceil(n_est / cfg.docs_per_segment))
+    n_segments = max(1, math.ceil(n_est / _docs_per_segment(cfg, n_est)))
     if n_segments == 1:
         return []
     want = n_segments * cfg.boundary_sample_per_segment
@@ -132,44 +168,71 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
                 "n_segments": 0, "seed": cfg.seed}
         mf.write_json_atomic(plan_path, plan)
         return plan
-    boundaries = _segment_boundaries(urls_ds.select_columns(["url"]), n_est, cfg)
+    if n_est <= 5_000_000:
+        # driver fast path: one url-column pull, exact boundaries/counts in
+        # numpy (urls are ~1% of corpus bytes; above the cutoff, fall back to
+        # the fully distributed path)
+        tbl = pa.concat_tables(
+            ray.get(urls_ds.to_arrow_refs())).combine_chunks()
+        urls = np.asarray(tbl["url"].to_numpy(zero_copy_only=False), dtype=object)
+        dls = tbl["doc_len"].to_numpy().astype(np.int64)
+        order = np.argsort(urls, kind="stable")
+        urls_s, dls_s = urls[order], dls[order]
+        first = np.ones(len(urls_s), dtype=bool)
+        first[1:] = urls_s[1:] != urls_s[:-1]
+        uniq_urls, uniq_dls = urls_s[first], dls_s[first]
+        n_docs = len(uniq_urls)
+        n_dups = len(urls_s) - n_docs
+        dps = _docs_per_segment(cfg, n_docs)
+        n_segments = max(1, math.ceil(n_docs / dps))
+        cut_idx = [min(n_docs - 1, k * n_docs // n_segments)
+                   for k in range(1, n_segments)]
+        boundaries = sorted({str(uniq_urls[i]) for i in cut_idx})
+        n_segments = len(boundaries) + 1
+        bucket = _bucket_of(uniq_urls, boundaries)
+        per_bucket = np.bincount(bucket, minlength=n_segments).astype(np.int64)
+        offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
+        dl_total = int(uniq_dls.sum())
+    else:
+        boundaries = _segment_boundaries(urls_ds.select_columns(["url"]), n_est, cfg)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
-        return t.append_column("bucket", pa.array(_bucket_of(urls, boundaries)))
+        def add_bucket(t: pa.Table) -> pa.Table:
+            urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
+            return t.append_column("bucket", pa.array(_bucket_of(urls, boundaries)))
 
-    import pandas as pd
+        import pandas as pd
 
-    def distinct_stats(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates("url")
-        return pd.DataFrame(
-            {
-                "bucket": [int(df["bucket"].iloc[0])],
-                "n_docs": [len(d)],
-                "dl_sum": [int(d["doc_len"].sum())],
-                "n_dups": [len(df) - len(d)],
-            }
+        def distinct_stats(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop_duplicates("url")
+            return pd.DataFrame(
+                {
+                    "bucket": [int(df["bucket"].iloc[0])],
+                    "n_docs": [len(d)],
+                    "dl_sum": [int(d["doc_len"].sum())],
+                    "n_dups": [len(df) - len(d)],
+                }
+            )
+
+        counts = (
+            urls_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(distinct_stats, batch_format="pandas")
+            .to_pandas()
+            .sort_values("bucket")
         )
-
-    counts = (
-        urls_ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(distinct_stats, batch_format="pandas")
-        .to_pandas()
-        .sort_values("bucket")
-    )
-    n_segments = len(boundaries) + 1
-    per_bucket = np.zeros(n_segments, dtype=np.int64)
-    per_bucket[counts["bucket"].to_numpy()] = counts["n_docs"].to_numpy()
-    offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
-    n_docs = int(per_bucket.sum())
-    dl_total = int(counts["dl_sum"].sum())
+        n_segments = len(boundaries) + 1
+        per_bucket = np.zeros(n_segments, dtype=np.int64)
+        per_bucket[counts["bucket"].to_numpy()] = counts["n_docs"].to_numpy()
+        offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
+        n_docs = int(per_bucket.sum())
+        n_dups = int(counts["n_dups"].sum())
+        dl_total = int(counts["dl_sum"].sum())
     plan = {
         "boundaries": boundaries,
         "offsets": offsets.tolist(),
         "per_segment_docs": per_bucket.tolist(),
         "n_docs": n_docs,
-        "n_duplicates": int(counts["n_dups"].sum()),
+        "n_duplicates": n_dups,
         "avgdl": (dl_total / n_docs) if n_docs else 0.0,
         "n_segments": n_segments,
         "seed": cfg.seed,
@@ -182,24 +245,36 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
 
 def _write_segment_files(index_dir: str, seg_id: int, terms: pa.Table,
                          docs: pa.Table, row_group_size: int) -> None:
-    """Atomic segment publish: write into a tmp dir, rename into place."""
-    seg_dir = os.path.join(index_dir, "segments", f"segment={seg_id:06d}")
-    tmp_dir = seg_dir + f".tmp-{uuid.uuid4().hex}"
-    os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(terms, os.path.join(tmp_dir, "terms.parquet"),
-                   row_group_size=row_group_size)
-    pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
-    if os.path.isdir(seg_dir):
-        shutil.rmtree(seg_dir)  # uncommitted leftover from a crashed attempt
-    os.replace(tmp_dir, seg_dir)
+    """Atomic segment publish: write each table into a tmp dir and rename.
+
+    Layout is hive-partitioned per table (``terms/segment=K/``,
+    ``docs/segment=K/``) so a whole-index read is ONE threaded
+    pyarrow/Ray read with partition+predicate pushdown. The manifest written
+    after both renames is the commit point (crash between renames leaves an
+    uncommitted dir that the next build overwrites).
+    """
+    for sub, tbl, rgs in (("terms", terms, row_group_size),
+                          ("docs", docs, 1 << 20)):
+        final_dir = os.path.join(index_dir, sub, f"segment={seg_id:06d}")
+        tmp_dir = final_dir + f".tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(tmp_dir, "part-0.parquet"),
+                       row_group_size=rgs)
+        if os.path.isdir(final_dir):
+            shutil.rmtree(final_dir)  # uncommitted leftover from a crash
+        os.replace(tmp_dir, final_dir)
 
 
 def _build_segment(group: pa.Table, index_dir: str, plan: dict,
                    cfg: BuildConfig) -> pa.Table:
     """Vectorized per-segment build: dedup, doc ids, tokenize, encode, commit."""
+    pin_worker_threads()
     t0 = time.perf_counter()
     seg_id = int(group["bucket"][0].as_py())
     n_input = group.num_rows
+    # groups arrive as many zero-copy slices of shuffle outputs; every kernel
+    # below is much faster over contiguous buffers
+    group = group.combine_chunks()
     group = group.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
     urls = np.asarray(group["url"].to_numpy(zero_copy_only=False), dtype=object)
     first = np.ones(len(urls), dtype=bool)
@@ -217,23 +292,25 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
         .group_by(["term", "d"])
         .aggregate([("d", "count")])
     )
-    terms = np.asarray(tf_tbl["term"].to_numpy(zero_copy_only=False), dtype=object)
-    d_local = tf_tbl["d"].to_numpy().astype(np.int64)
-    tfs = tf_tbl["d_count"].to_numpy().astype(np.int64)
-    order = np.lexsort((d_local, terms.astype(str)))
-    terms_s, d_s, tfs_s = terms[order], d_local[order], tfs[order]
+    tf_tbl = tf_tbl.sort_by([("term", "ascending"), ("d", "ascending")])
+    terms_s = np.asarray(tf_tbl["term"].to_numpy(zero_copy_only=False), dtype=object)
+    d_s = tf_tbl["d"].to_numpy().astype(np.int64)
+    tfs_s = tf_tbl["d_count"].to_numpy().astype(np.int64)
     table = codec.build_posting_table(
         terms_s, doc_ids[d_s], tfs_s, doc_len[d_s], float(plan["avgdl"])
     )
 
+    offs = pa.array(table["block_offsets"].astype(np.int32), pa.int32())
     terms_out = pa.table(
         {
             "term": pa.array(table["term"], pa.string()),
             "df": pa.array(table["df"], pa.int64()),
             "doc_ids_enc": pa.array(table["doc_ids_enc"], pa.binary()),
             "tfs_enc": pa.array(table["tfs_enc"], pa.binary()),
-            "block_last_doc": pa.array(table["block_last_doc"], pa.list_(pa.int64())),
-            "block_max_impact": pa.array(table["block_max_impact"], pa.list_(pa.float64())),
+            "block_last_doc": pa.ListArray.from_arrays(
+                offs, pa.array(table["block_last_flat"], pa.int64())),
+            "block_max_impact": pa.ListArray.from_arrays(
+                offs, pa.array(table["block_max_flat"], pa.float64())),
             "max_impact": pa.array(table["max_impact"], pa.float64()),
         }
     )
@@ -280,7 +357,10 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
     done = set(mf.committed_segments(index_dir))
     boundaries = plan["boundaries"]
     corpus_dir = os.path.join(index_dir, "corpus")
-    ds = rd.read_parquet(corpus_dir)
+    # shuffle reduce-side parallelism follows the upstream block count: read
+    # with >= one block per segment so every segment builds concurrently
+    ds = rd.read_parquet(
+        corpus_dir, override_num_blocks=max(plan["n_segments"], _ncpus()))
 
     done_ref = ray.put(frozenset(done))
     plan_ref = ray.put(plan)
@@ -312,27 +392,35 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
 def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
               timings: dict[str, float]) -> dict:
     stats_path = os.path.join(index_dir, "stats.json")
-    term_files = [
-        os.path.join(index_dir, "segments", f"segment={s:06d}", "terms.parquet")
-        for s in sorted(mf.committed_segments(index_dir))
-    ]
+    term_files = [seg_terms_path(index_dir, s)
+                  for s in sorted(mf.committed_segments(index_dir))]
     term_stats_dir = os.path.join(index_dir, "term_stats")
+    manifests = mf.committed_segments(index_dir)
     if not os.path.exists(os.path.join(term_stats_dir, "_SUCCESS")):
         if os.path.isdir(term_stats_dir):
             shutil.rmtree(term_stats_dir)
+        os.makedirs(term_stats_dir, exist_ok=True)
+        total_terms = sum(m["n_terms"] for m in manifests.values())
         if plan["n_docs"] > 0 and term_files:
-            (
-                rd.read_parquet(term_files, columns=["term", "df"])
-                .groupby("term")
-                .aggregate(Sum("df", alias_name="df"))
-                .sort("term")
-                .write_parquet(term_stats_dir)
-            )
-        else:
-            os.makedirs(term_stats_dir, exist_ok=True)
+            if total_terms <= 5_000_000:
+                # small vocab: one threaded read + C++ group_by on the driver
+                # beats three distributed stages of overhead
+                tt = pq.read_table(term_files, columns=["term", "df"])
+                agg = (tt.group_by("term").aggregate([("df", "sum")])
+                       .rename_columns(["term", "df"])
+                       .sort_by([("term", "ascending")]))
+                pq.write_table(agg, os.path.join(term_stats_dir, "part-0.parquet"),
+                               row_group_size=cfg.index_block_rows)
+            else:
+                (
+                    rd.read_parquet(term_files, columns=["term", "df"])
+                    .groupby("term")
+                    .aggregate(Sum("df", alias_name="df"))
+                    .sort("term")
+                    .write_parquet(term_stats_dir)
+                )
         with open(os.path.join(term_stats_dir, "_SUCCESS"), "w") as f:
             f.write("")
-    manifests = mf.committed_segments(index_dir)
     rejects = count_rejects(os.path.join(index_dir, "errors"))
     stats = {
         "n_docs": plan["n_docs"],

@@ -141,7 +141,9 @@ def build_posting_table(
         return {
             "term": np.empty(0, object), "df": np.empty(0, np.int64),
             "doc_ids_enc": [], "tfs_enc": [],
-            "block_last_doc": [], "block_max_impact": [],
+            "block_last_flat": np.empty(0, np.int64),
+            "block_max_flat": np.empty(0, np.float64),
+            "block_offsets": np.zeros(1, np.int64),
             "max_impact": np.empty(0, np.float64),
         }
     # term run boundaries over the sorted term column
@@ -182,20 +184,29 @@ def build_posting_table(
     term_max = np.zeros(len(dfs), dtype=np.float64)
     np.maximum.at(term_max, block_term, blk_max)
 
-    blk_ends = np.cumsum(n_blocks)
-    blk_starts = np.r_[0, blk_ends[:-1]]
-    block_last_doc = [blk_last[int(s):int(e)].tolist() for s, e in zip(blk_starts, blk_ends)]
-    block_max_impact = [blk_max[int(s):int(e)].tolist() for s, e in zip(blk_starts, blk_ends)]
+    # flat block arrays + per-term offsets (zero-copy Arrow ListArray later)
+    block_offsets = np.r_[0, np.cumsum(n_blocks)]
 
     return {
         "term": uniq_terms,
         "df": dfs.astype(np.int64),
         "doc_ids_enc": slices(id_bytes, id_byte_ends),
         "tfs_enc": slices(tf_bytes, tf_byte_ends),
-        "block_last_doc": block_last_doc,
-        "block_max_impact": block_max_impact,
+        "block_last_flat": blk_last,
+        "block_max_flat": blk_max,
+        "block_offsets": block_offsets,
         "max_impact": term_max,
     }
+
+
+def block_lists(table: dict) -> tuple[list[list[int]], list[list[float]]]:
+    """Per-term block metadata as Python lists (test/debug convenience)."""
+    offs = table["block_offsets"]
+    last = [table["block_last_flat"][int(s):int(e)].tolist()
+            for s, e in zip(offs[:-1], offs[1:])]
+    mx = [table["block_max_flat"][int(s):int(e)].tolist()
+          for s, e in zip(offs[:-1], offs[1:])]
+    return last, mx
 
 
 def decode_postings(doc_ids_enc: bytes, tfs_enc: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:

@@ -36,6 +36,7 @@ import ray.data as rd
 from ..functions.analyzers import analyze
 from . import codec
 from . import manifest as mf
+from .build import seg_docs_path, seg_terms_path
 
 
 @dataclass
@@ -76,17 +77,20 @@ class SegmentSearcher:
 
     def __init__(self, index_dir: str, prepared_ref, idf_ref, avgdl: float,
                  use_maxscore: bool):
+        def deref(x):
+            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
         self.index_dir = index_dir
-        self.queries = ray.get(prepared_ref)  # [(query_id, [terms], k)]
-        self.idf = ray.get(idf_ref)
+        self.queries = deref(prepared_ref)  # [(query_id, [terms], k)]
+        self.idf = deref(idf_ref)
         self.avgdl = avgdl
         self.use_maxscore = use_maxscore
         self.all_terms = sorted({t for _, ts, _ in self.queries for t in ts
                                  if t in self.idf})
 
-    def _load_segment(self, seg_dir: str):
-        terms_path = os.path.join(seg_dir, "terms.parquet")
-        docs_path = os.path.join(seg_dir, "docs.parquet")
+    def _load_segment(self, seg_id: int):
+        terms_path = seg_terms_path(self.index_dir, seg_id)
+        docs_path = seg_docs_path(self.index_dir, seg_id)
         if not self.all_terms:
             return None
         tt = pq.read_table(
@@ -156,8 +160,8 @@ class SegmentSearcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_d, out_s = [], [], []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            loaded = self._load_segment(seg_dir)
+        for seg_id in batch["segment_id"].to_pylist():
+            loaded = self._load_segment(int(seg_id))
             if loaded is None:
                 continue
             base, n, dl, postings = loaded
@@ -173,6 +177,97 @@ class SegmentSearcher:
                 "score": pa.array(out_s, pa.float64()),
             }
         )
+
+
+class LocalSearcher:
+    """Warm single-process serving path: global doc-length array loaded once,
+    per-query postings fetched with ONE threaded multi-file parquet read
+    (term-predicate pushdown over all segments' term tables). Accumulation is
+    per term in lexicographic order into a global dense score array —
+    bitwise-identical to the distributed path (each doc's additions happen in
+    the same order).
+    """
+
+    def __init__(self, index_dir: str):
+        import pyarrow.dataset as pads
+
+        self.index_dir = index_dir
+        stats = mf.read_json(os.path.join(index_dir, "stats.json"))
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.seg_ids = sorted(mf.committed_segments(index_dir))
+        self.term_files = [seg_terms_path(index_dir, s) for s in self.seg_ids]
+        # datasets opened once: file metadata cached across queries
+        self.term_ds = (pads.dataset(self.term_files) if self.term_files else None)
+        doc_files = [seg_docs_path(index_dir, s) for s in self.seg_ids]
+        self.dl = np.zeros(self.n_docs, dtype=np.float64)
+        if doc_files:
+            dt = pq.read_table(doc_files, columns=["doc_id", "doc_len"])
+            self.dl[dt["doc_id"].to_numpy()] = dt["doc_len"].to_numpy()
+        self._idf_cache: dict[str, float | None] = {}
+
+    def _idf(self, terms: list[str]) -> dict[str, float]:
+        missing = [t for t in terms if t not in self._idf_cache]
+        if missing:
+            got, _ = load_global_idf(self.index_dir, missing)
+            for t in missing:
+                self._idf_cache[t] = got.get(t)
+        return {t: v for t in terms
+                if (v := self._idf_cache.get(t)) is not None}
+
+    def search(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.dataset as pads
+
+        terms = query_terms(query)
+        idf = self._idf(terms)
+        terms = [t for t in terms if t in idf]
+        if not terms or self.term_ds is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        tt = self.term_ds.to_table(
+            columns=["term", "df", "doc_ids_enc", "tfs_enc"],
+            filter=pads.field("term").isin(terms),
+        )
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()))
+            by_term.setdefault(t, []).append((ids, tfs))
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for t in terms:  # lexicographic accumulation order
+            for ids, tfs in by_term.get(t, []):
+                scores[ids] += idf[t] * codec.bm25_tf_impact(
+                    tfs, self.dl[ids], self.avgdl)
+                touched[ids] = True
+        loc = np.flatnonzero(touched)
+        sc = scores[loc]
+        if len(loc) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            loc, sc = loc[keep], sc[keep]
+        order = np.lexsort((loc, -sc))[:k]
+        return loc[order].astype(np.int64), sc[order]
+
+
+def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
+                     searcher: LocalSearcher | None = None) -> pa.Table:
+    """Single-process query path over a (reusable) LocalSearcher."""
+    qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
+    searcher = searcher or LocalSearcher(index_dir)
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for q in qrows:
+        ids, sc = searcher.search(q["query"], int(q.get("k", 10)))
+        for r, (i, s) in enumerate(zip(ids, sc), start=1):
+            out_q.append(int(q["query_id"])); out_r.append(r)
+            out_d.append(int(i)); out_s.append(float(s))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })
 
 
 def search(index_dir: str, queries: pa.Table | list[dict],
@@ -199,13 +294,11 @@ def search(index_dir: str, queries: pa.Table | list[dict],
     )
     if not seg_ids or not idf:
         return empty
-    seg_dirs = [os.path.join(index_dir, "segments", f"segment={s:06d}")
-                for s in seg_ids]
 
     prepared_ref = ray.put(prepared)
     idf_ref = ray.put(idf)
     per_segment = (
-        rd.from_items([{"seg_dir": d} for d in seg_dirs])
+        rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
             SegmentSearcher,
             fn_constructor_kwargs={

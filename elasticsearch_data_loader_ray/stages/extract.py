@@ -47,54 +47,66 @@ def extract_text(html_bytes: bytes, pattern: re.Pattern[str] | None = None) -> s
 _P_TAG = re.compile(r"<p[^>]*>(.*?)</p>", re.DOTALL)
 
 
-class HtmlExtractor:
+def _side_write(errors_dir: str | None, kind: str, batch: pa.Table) -> None:
+    if errors_dir is None or batch.num_rows == 0:
+        return
+    d = os.path.join(errors_dir, kind)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+    pq.write_table(batch.select(["url", "warc_ts", "lang"]), path)
+
+
+def extract_batch(batch: pa.Table, errors_dir: str | None = None) -> pa.Table:
     """map_batches stage: webtext batch -> corpus batch (+ reject side-writes).
 
     Output columns: url, warc_ts, text, lang, doc_len. Rejected rows are
-    dropped from the output and appended under ``errors_dir/<kind>/`` with a
-    ``reason`` column; counts are carried in the ``n_rejects_*`` attributes of
-    each written file's row count (aggregated later from the files).
+    dropped from the output and appended under ``errors_dir/<kind>/``.
+    Stateless by design — the only "state" is a module-compiled regex — so it
+    runs as elastic Ray tasks rather than a CPU-reserving actor pool (the
+    reference likewise builds a fresh Transformer per batch,
+    ``companybindex/main.go:170-171``).
+    """
+    from ..index.build import pin_worker_threads
+
+    pin_worker_threads()
+    html_col = batch["html"]
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    null_mask = np.asarray(html_col.is_null())
+
+    texts: list[str | None] = [None] * batch.num_rows
+    raw = html_col.to_pylist()
+    for i, payload in enumerate(raw):
+        if payload is not None:
+            texts[i] = extract_text(payload, _P_TAG)
+    text_arr = pa.array(texts, pa.large_string())
+    empty_mask = (~null_mask) & (np.asarray(pc.equal(
+        text_arr.fill_null("\x00"), "")))
+
+    _side_write(errors_dir, REJECT_MISSING_PAYLOAD, batch.filter(pa.array(null_mask)))
+    _side_write(errors_dir, REJECT_EMPTY_TEXT, batch.filter(pa.array(empty_mask)))
+
+    keep = ~(null_mask | empty_mask)
+    out = batch.select(["url", "warc_ts", "lang"]).filter(pa.array(keep))
+    kept_text = text_arr.filter(pa.array(keep))
+    out = out.append_column("text", kept_text)
+    out = out.append_column(
+        "doc_len", pa.array(token_count_batch(kept_text), pa.int32())
+    )
+    return out.select(["url", "warc_ts", "text", "lang", "doc_len"])
+
+
+class HtmlExtractor:
+    """Callable-class form of :func:`extract_batch` (actor-pool variant for
+    callers that want constructor-time configuration, e.g. a heavier parser).
     """
 
     def __init__(self, errors_dir: str | None = None):
         self.pattern = _P_TAG
         self.errors_dir = errors_dir
-        if errors_dir:
-            os.makedirs(os.path.join(errors_dir, REJECT_MISSING_PAYLOAD), exist_ok=True)
-            os.makedirs(os.path.join(errors_dir, REJECT_EMPTY_TEXT), exist_ok=True)
-
-    def _side_write(self, kind: str, batch: pa.Table) -> None:
-        if self.errors_dir is None or batch.num_rows == 0:
-            return
-        path = os.path.join(self.errors_dir, kind, f"part-{uuid.uuid4().hex}.parquet")
-        pq.write_table(batch.select(["url", "warc_ts", "lang"]), path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html_col = batch["html"]
-        if isinstance(html_col, pa.ChunkedArray):
-            html_col = html_col.combine_chunks()
-        null_mask = np.asarray(html_col.is_null())
-
-        texts: list[str | None] = [None] * batch.num_rows
-        raw = html_col.to_pylist()
-        for i, payload in enumerate(raw):
-            if payload is not None:
-                texts[i] = extract_text(payload, self.pattern)
-        text_arr = pa.array(texts, pa.large_string())
-        empty_mask = (~null_mask) & (np.asarray(pc.equal(
-            text_arr.fill_null("\x00"), "")))
-
-        self._side_write(REJECT_MISSING_PAYLOAD, batch.filter(pa.array(null_mask)))
-        self._side_write(REJECT_EMPTY_TEXT, batch.filter(pa.array(empty_mask)))
-
-        keep = ~(null_mask | empty_mask)
-        out = batch.select(["url", "warc_ts", "lang"]).filter(pa.array(keep))
-        kept_text = text_arr.filter(pa.array(keep))
-        out = out.append_column("text", kept_text)
-        out = out.append_column(
-            "doc_len", pa.array(token_count_batch(kept_text), pa.int32())
-        )
-        return out.select(["url", "warc_ts", "text", "lang", "doc_len"])
+        return extract_batch(batch, self.errors_dir)
 
 
 def count_rejects(errors_dir: str) -> dict[str, int]:

@@ -83,6 +83,7 @@ def test_build_posting_table_matches_brute():
     )
     brute = _brute_posting_table(terms, doc_ids, tfs, dls, avgdl)
     assert sorted(table["term"].tolist()) == sorted(brute)
+    blast, bmax = codec.block_lists(table)
     for i, t in enumerate(table["term"]):
         ids, fs = codec.decode_postings(
             table["doc_ids_enc"][i], table["tfs_enc"][i], int(table["df"][i])
@@ -90,8 +91,8 @@ def test_build_posting_table_matches_brute():
         b_ids, b_fs, b_last, b_max, b_term_max = brute[t]
         assert ids.tolist() == b_ids
         assert fs.tolist() == b_fs
-        assert table["block_last_doc"][i] == b_last
-        assert table["block_max_impact"][i] == pytest.approx(b_max)
+        assert blast[i] == b_last
+        assert bmax[i] == pytest.approx(b_max)
         assert table["max_impact"][i] == pytest.approx(b_term_max)
 
 
@@ -104,8 +105,9 @@ def test_block_boundaries_multi_block():
     dls = np.full(n, 10, dtype=np.int64)
     table = codec.build_posting_table(terms, ids, tfs, dls, 10.0)
     assert table["df"].tolist() == [n]
-    assert len(table["block_last_doc"][0]) == 3
-    assert table["block_last_doc"][0] == [2 * 127, 2 * 255, 2 * 299]
+    blast, _ = codec.block_lists(table)
+    assert len(blast[0]) == 3
+    assert blast[0] == [2 * 127, 2 * 255, 2 * 299]
     out_ids, _ = codec.decode_postings(table["doc_ids_enc"][0], table["tfs_enc"][0], n)
     assert out_ids.tolist() == ids.tolist()
 

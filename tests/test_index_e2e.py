@@ -62,10 +62,12 @@ def test_corpus_byte_identical(webtext, index_dir):
 
 def test_doc_ids_dense_and_url_sorted(index_dir):
     idx, stats = index_dir
+    from elasticsearch_data_loader_ray.index.build import seg_docs_path
+
     segs = sorted(mf.committed_segments(idx))
     all_ids, all_urls = [], []
     for s in segs:
-        d = pq.read_table(os.path.join(idx, "segments", f"segment={s:06d}", "docs.parquet"))
+        d = pq.read_table(seg_docs_path(idx, s))
         all_ids.extend(d["doc_id"].to_pylist())
         all_urls.extend(d["url"].to_pylist())
     assert all_ids == list(range(stats["n_docs"]))
@@ -98,6 +100,17 @@ def test_search_maxscore_rank_identical(webtext, index_dir):
     np.testing.assert_allclose(exact["score"], pruned["score"], rtol=1e-12)
 
 
+def test_search_inprocess_matches_distributed(webtext, index_dir):
+    from elasticsearch_data_loader_ray.index.search import search_inprocess
+
+    idx, _ = index_dir
+    queries = fixtures.generate_queries()
+    dist = search(idx, queries).to_pandas()
+    local = search_inprocess(idx, queries).to_pandas()
+    assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+    assert dist["score"].tolist() == local["score"].tolist()  # bitwise
+
+
 def test_absent_term_returns_empty(index_dir):
     idx, _ = index_dir
     import pyarrow as pa
@@ -116,20 +129,19 @@ def test_resume_skips_committed_segments(webtext, tmp_path_factory):
     stats1 = build_index(src, out, cfg)
     segs = sorted(mf.committed_segments(out))
     # drop one manifest + its segment dir -> only that segment rebuilds
+    from elasticsearch_data_loader_ray.index.build import seg_terms_path
+
     victim = segs[1]
     os.unlink(mf.manifest_path(out, victim))
-    mtimes = {
-        s: os.path.getmtime(os.path.join(out, "segments", f"segment={s:06d}", "terms.parquet"))
-        for s in segs if s != victim
-    }
+    mtimes = {s: os.path.getmtime(seg_terms_path(out, s))
+              for s in segs if s != victim}
     os.unlink(os.path.join(out, "stats.json"))
     os.unlink(os.path.join(out, "term_stats", "_SUCCESS"))
     stats2 = build_index(src, out, cfg)
     assert stats2["n_docs"] == stats1["n_docs"]
     assert sorted(mf.committed_segments(out)) == segs
     for s, m in mtimes.items():
-        assert os.path.getmtime(
-            os.path.join(out, "segments", f"segment={s:06d}", "terms.parquet")) == m
+        assert os.path.getmtime(seg_terms_path(out, s)) == m
 
 
 def test_manifest_lineage_fields(index_dir):
