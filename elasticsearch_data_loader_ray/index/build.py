@@ -287,23 +287,37 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
     doc_len = deduped["doc_len"].to_numpy().astype(np.int64)
 
     doc_idx, tokens, _dl = standard_tokenize_batch(deduped["text"])
-    tf_tbl = (
-        pa.table({"term": tokens, "d": pa.array(doc_idx)})
-        .group_by(["term", "d"])
-        .aggregate([("d", "count")])
-    )
-    tf_tbl = tf_tbl.sort_by([("term", "ascending"), ("d", "ascending")])
-    terms_s = np.asarray(tf_tbl["term"].to_numpy(zero_copy_only=False), dtype=object)
-    d_s = tf_tbl["d"].to_numpy().astype(np.int64)
-    tfs_s = tf_tbl["d_count"].to_numpy().astype(np.int64)
+    # Integer term ids end to end: dictionary-encode the flat token column
+    # (one C++ hash pass), rank the (small) vocab lexicographically, then a
+    # single np.unique over rank*n_docs+doc yields tf per posting already
+    # sorted by (term, doc). No per-posting Python string objects — the
+    # object path was superlinear in segment size (allocator + compare cost).
+    import pyarrow.compute as pc
+
+    enc = tokens.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    tids = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary
+    vocab_order = pc.sort_indices(vocab).to_numpy().astype(np.int64)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vocab_order] = np.arange(len(vocab), dtype=np.int64)
+    key = rank[tids] * np.int64(max(n_docs, 1)) + doc_idx
+    uk, tfs_s = np.unique(key, return_counts=True)
+    rank_s = uk // max(n_docs, 1)
+    d_s = (uk % max(n_docs, 1)).astype(np.int64)
     table = codec.build_posting_table(
-        terms_s, doc_ids[d_s], tfs_s, doc_len[d_s], float(plan["avgdl"])
+        rank_s, doc_ids[d_s], tfs_s.astype(np.int64), doc_len[d_s],
+        float(plan["avgdl"])
     )
+    # unique ranks -> term strings (vocab-sized, the only string materialize)
+    vocab_sorted = vocab.take(pa.array(vocab_order))
+    term_strings = vocab_sorted.take(pa.array(table["term"].astype(np.int64)))
 
     offs = pa.array(table["block_offsets"].astype(np.int32), pa.int32())
     terms_out = pa.table(
         {
-            "term": pa.array(table["term"], pa.string()),
+            "term": pc.cast(term_strings, pa.string()),
             "df": pa.array(table["df"], pa.int64()),
             "doc_ids_enc": pa.array(table["doc_ids_enc"], pa.binary()),
             "tfs_enc": pa.array(table["tfs_enc"], pa.binary()),
