@@ -74,6 +74,7 @@ class BuildConfig:
     # groups (min/max pruning over the term-sorted file), so smaller groups
     # => less read amplification per query term
     index_block_rows: int = 1024
+    enable_metrics: bool = False  # push counters to the ST2 metrics actor
 
 
 def _ncpus() -> int:
@@ -339,6 +340,12 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
     _write_segment_files(index_dir, seg_id, terms_out, docs_out, cfg.index_block_rows)
 
     secs = time.perf_counter() - t0
+    if cfg.enable_metrics:
+        from ..state import metrics as _metrics
+
+        h = _metrics.get_or_create()
+        h.incr.remote("indexed", int(n_docs), partition=f"segment-{seg_id}")
+        h.incr.remote("duplicates", int(n_dups), partition=f"segment-{seg_id}")
     checksum = hashlib.md5("\n".join(urls[first].tolist()).encode()).hexdigest()
     n_postings = int(table["df"].sum())
     mf.write_manifest(

@@ -840,6 +840,201 @@ SQL_EVENTS_TUMBLING = (
 
 
 # ---------------------------------------------------------------------------
+# M5 full transform + alphabetical-search index (the reference's product API)
+# ---------------------------------------------------------------------------
+
+_TITLE_EXPR_SQL = "substr(split_part(text, chr(10) || chr(10), 1), 1, 120)"
+
+
+def q_es_doc_transform(sf_dir: str):
+    from ..stages.transform import transform_records
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return ds.map_batches(
+        transform_records, batch_format="pyarrow",
+        fn_kwargs={"id_column": "doc_id"},
+    ).select_columns([
+        "id", "kind", "record_type", "lang", "links_self", "title",
+        "title_start", "title_ending", "alpha_key", "ordered_alpha_key",
+        "ordered_alpha_key_with_id",
+    ])
+
+
+def _sql_es_doc_transform() -> str:
+    return (
+        "WITH named AS (SELECT CAST(doc_id AS VARCHAR) AS id, lang, "
+        f"{_TITLE_EXPR_SQL} AS title FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        "stripped AS (SELECT *, "
+        "regexp_replace(title, '[^A-Za-z0-9_]+$', '') AS s FROM named), "
+        "split AS (SELECT *, "
+        + _suffix_split_case_sql("title", "s")
+        + " AS title_start FROM stripped) "
+        "SELECT id, 'searchresults#document' AS kind, "
+        "'documents' AS record_type, lang, '/doc/' || id AS links_self, "
+        "title, title_start, "
+        "substr(title, length(title_start) + 1) AS title_ending, "
+        + _alpha_key_sql("title") + " AS alpha_key, "
+        + _alpha_key_sql("title_start") + " AS ordered_alpha_key, "
+        + _alpha_key_sql("title_start") + " || ':' || id "
+        "AS ordered_alpha_key_with_id FROM split"
+    )
+
+
+ALPHA_PREFIX = "TH"
+ALPHA_LIMIT = 20
+
+
+def q_alpha_prefix_search(sf_dir: str):
+    from ..pipelines.alpha_index import alpha_prefix_search, build_alpha_index
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/edlr_cache/alpha_{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(t["doc_id"], pa.string()),
+            "text": t["text"], "lang": t["lang"],
+        })
+
+    build_alpha_index(ds.map_batches(to_corpus, batch_format="pyarrow"), out)
+    t = alpha_prefix_search(out, ALPHA_PREFIX, limit=ALPHA_LIMIT)
+    return t.select(["id", "ordered_alpha_key_with_id", "title"])
+
+
+def _sql_alpha_prefix_search() -> str:
+    return (
+        "WITH t AS (" + _sql_es_doc_transform() + ") "
+        "SELECT id, ordered_alpha_key_with_id, title FROM t "
+        f"WHERE ordered_alpha_key_with_id LIKE '{ALPHA_PREFIX}%' "
+        "ORDER BY ordered_alpha_key_with_id, id "
+        f"LIMIT {ALPHA_LIMIT}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path + multimodal plumbing (rows-only: approximate / stubbed)
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(sf_dir: str):
+    from ..stages.similarity import ann_topk
+
+    return ann_topk(f"{sf_dir}/embeddings.parquet", EMB_QUERY_IDS,
+                    k=EMB_K, n_probes=8)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Media plumbing over documents-as-binary payloads (decode stubbed —
+    see stages/multimodal.py): rows-only check."""
+    from ..stages.multimodal import ImageFeatureStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [x.encode() if x else None for x in t["text"].to_pylist()]
+        n = t.num_rows
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.string()),
+            "media_type": pa.array(["image/png"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([32] * n, pa.int32()),
+            "height": pa.array([24] * n, pa.int32()),
+        })
+
+    feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        # scalar summary columns (list columns don't survive generic
+        # driver-side sorting/hashing)
+        lists = t["features"].to_pylist()
+        return pa.table({
+            "media_id": t["media_id"],
+            "decoded": t["decoded"],
+            "feature_dim": pa.array([len(x) for x in lists], pa.int64()),
+            "feature_sum": pa.array(
+                [round(float(sum(x)), 5) for x in lists], pa.float64()),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sliding + session windows over events (streaming-shaped ops)
+# ---------------------------------------------------------------------------
+
+_WIN_US = 3_600_000_000  # 1h window
+_SLIDE_US = 1_800_000_000  # 30min slide -> every event in 2 windows
+
+
+def q_events_sliding(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(pc.cast(t["ts"], pa.int64()), pa.int64()).to_numpy()
+        slot = epoch // _SLIDE_US
+        starts = np.concatenate([slot * _SLIDE_US, (slot - 1) * _SLIDE_US])
+        types = np.concatenate([t["event_type"].to_numpy(zero_copy_only=False)] * 2)
+        vals = np.concatenate([t["value"].to_numpy()] * 2)
+        return pa.table({"event_type": pa.array(types),
+                         "window_start_us": pa.array(starts, pa.int64()),
+                         "value": pa.array(vals, pa.float64())})
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby(["event_type", "window_start_us"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    out["sum_value"] = np.round(out["sum_value"].to_numpy(dtype=np.float64), 4)
+    return pa.Table.from_pandas(out.reset_index(drop=True))
+
+
+SQL_EVENTS_SLIDING = (
+    "WITH e AS (SELECT event_type, value, "
+    f"CAST(floor(epoch_us(ts) / {_SLIDE_US}) AS BIGINT) AS slot FROM events), "
+    "x AS (SELECT event_type, value, unnest([slot, slot - 1]) AS wslot FROM e) "
+    f"SELECT event_type, wslot * {_SLIDE_US} AS window_start_us, "
+    "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+    "FROM x GROUP BY 1, 2"
+)
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_events_sessions(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df["ts"].astype("int64").to_numpy())
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > _SESSION_GAP_US).sum())
+        return pd.DataFrame({"user_id": [int(df["user_id"].iloc[0])],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(ts)]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONS = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS t, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS pt "
+    "FROM events) "
+    "SELECT user_id, CAST(sum(CASE WHEN pt IS NULL OR t - pt > "
+    f"{_SESSION_GAP_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
+    "count(*) AS n_events FROM e GROUP BY user_id"
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -864,6 +1059,12 @@ def queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_tumbling": q_events_tumbling,
+        "es_doc_transform": q_es_doc_transform,
+        "alpha_prefix_search": q_alpha_prefix_search,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+        "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -887,4 +1088,9 @@ def oracle_sql() -> dict:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "events_tumbling": SQL_EVENTS_TUMBLING,
+        "es_doc_transform": _sql_es_doc_transform(),
+        "alpha_prefix_search": _sql_alpha_prefix_search(),
+        # ann_lsh_topk, multimodal_features: rows-only (approximate / stubbed)
+        "events_sliding": SQL_EVENTS_SLIDING,
+        "events_sessions": SQL_EVENTS_SESSIONS,
     }

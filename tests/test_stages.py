@@ -1,0 +1,205 @@
+"""Tests: record transform (M5), alpha index (O1/O3), LSH ANN, multimodal
+plumbing, metrics actor (ST2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data as rd
+
+from elasticsearch_data_loader_ray import fixtures
+from elasticsearch_data_loader_ray.stages.transform import (
+    IGNORE_ABOVE,
+    doc_title,
+    transform_records,
+)
+
+
+def _corpus_table(n=120):
+    t = fixtures.generate_webtext(n)
+    import pyarrow.compute as pc
+
+    return t.filter(pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], "")))
+
+
+def test_transform_records_fields():
+    t = _corpus_table()
+    out = transform_records(t)
+    assert out.num_rows == t.num_rows
+    row = out.slice(0, 1).to_pylist()[0]
+    assert row["kind"] == "searchresults#document"
+    assert row["record_type"] == "documents"
+    assert row["links_self"] == f"/doc/{row['id']}"
+    assert row["ordered_alpha_key_with_id"] == (
+        row["ordered_alpha_key"] + ":" + row["id"])
+    assert row["title"] == doc_title(t["text"][0].as_py())
+    # suffix-split invariant (transform.go:62-63): start+ending == title when
+    # a suffix matched within the title bytes
+    assert (row["title_start"] + row["title_ending"]).startswith(
+        row["title_start"])
+
+
+def test_transform_ignore_above_keyword_mask():
+    long_title = "X" * 300
+    t = pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "text": pa.array([long_title + "\n\nbody", "short title\n\nbody"],
+                         pa.large_string()),
+        "lang": pa.array(["en", "en"]),
+    })
+    out = transform_records(t)
+    # 300-char title exceeds TITLE_MAX=120, so check alpha-key-with-id mask
+    okw = out["ordered_alpha_key_with_id_keyword"].to_pylist()
+    kw = out["title_keyword"].to_pylist()
+    assert all(v is None or len(v) <= IGNORE_ABOVE for v in okw)
+    assert kw[1] == "short title"
+
+
+def test_transform_drops_invalid():
+    t = pa.table({
+        "url": pa.array(["a", "b", "c"]),
+        "text": pa.array(["ok\n\nbody", None, ""], pa.large_string()),
+        "lang": pa.array(["en", "en", "en"]),
+    })
+    assert transform_records(t).num_rows == 1
+
+
+def test_alpha_index_prefix_and_paging(tmp_path):
+    from elasticsearch_data_loader_ray.pipelines.alpha_index import (
+        KEY,
+        alpha_page_after,
+        alpha_prefix_search,
+        build_alpha_index,
+    )
+
+    t = _corpus_table(300)
+    ds = rd.from_arrow(t.select(["url", "text", "lang"]))
+    out = str(tmp_path / "alpha")
+    build_alpha_index(ds, out)
+    full = transform_records(t)
+    keys = sorted(full[KEY].to_pylist())
+    prefix = keys[len(keys) // 2][:2]
+    got = alpha_prefix_search(out, prefix, limit=10)
+    want = sorted(k for k in keys if k.startswith(prefix))[:10]
+    assert got[KEY].to_pylist() == want
+    # keyset paging walks the whole index in order without overlap
+    after = keys[10]
+    page = alpha_page_after(out, after, size=5)
+    assert page[KEY].to_pylist() == [k for k in keys if k > after][:5]
+
+
+def test_lsh_ann_finds_planted_near_dups(tmp_path):
+    """LSH is the near-dup scale path: recall is measured on PLANTED
+    high-cosine neighbors (random vectors have no meaningful neighbors —
+    hyperplane LSH collision probability vanishes at cos~0.4)."""
+    from elasticsearch_data_loader_ray.stages.similarity import ann_topk
+
+    rng = np.random.default_rng(99)
+    base = rng.standard_normal((400, 32)).astype(np.float32)
+    n_q = 20
+    jitter = base[:n_q] + 0.05 * rng.standard_normal((n_q, 32)).astype(np.float32)
+    vecs = np.vstack([base, jitter])  # planted pair: i <-> 400+i, cos ~0.999
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }), path)
+    got = ann_topk(path, list(range(n_q)), k=5, n_probes=12).to_pandas()
+    hits = 0
+    for qid in range(n_q):
+        found = set(got[got["query_vec_id"] == qid]["vec_id"])
+        assert qid in found  # self-match always in the query's own bucket
+        hits += (400 + qid) in found
+    assert hits / n_q >= 0.7, hits
+
+
+def test_lsh_ann_embeddings_schema():
+    from elasticsearch_data_loader_ray.stages.similarity import ann_topk
+
+    got = ann_topk("/root/testdata/sf0.001/embeddings.parquet", [0, 1], k=5,
+                   n_probes=4)
+    assert got.column_names == ["query_vec_id", "rank", "vec_id", "cos_sim"]
+    for qid in (0, 1):
+        sub = got.filter(pa.compute.equal(got["query_vec_id"], qid))
+        assert sub["vec_id"].to_pylist()[0] == qid  # rank 1 = self, cos 1.0
+
+
+def test_multimodal_feature_stage_plumbing():
+    from elasticsearch_data_loader_ray.stages.multimodal import (
+        FEATURE_DIM,
+        ImageFeatureStage,
+        synth_media_table,
+    )
+
+    t = synth_media_table(60)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                         batch_size=16, concurrency=2).to_pandas()
+    assert len(out) == 60
+    ok = out[out["decoded"]]
+    assert len(ok) == sum(p is not None for p in t["payload"].to_pylist())
+    feat = ok.iloc[0]["features"]
+    assert len(feat) == FEATURE_DIM
+    assert abs(sum(feat) - 1.0) < 1e-5  # histogram normalized
+    # determinism: same payload -> same features
+    out2 = rd.from_arrow(t).map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2).to_pandas()
+    assert ok.iloc[0]["features"] == pytest.approx(
+        out2[out2["decoded"]].iloc[0]["features"])
+
+
+def test_multimodal_strict_raises():
+    from elasticsearch_data_loader_ray.stages.multimodal import ImageFeatureStage
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatureStage(strict=True)
+
+
+def test_frame_sample():
+    from elasticsearch_data_loader_ray.stages.multimodal import (
+        frame_sample,
+        synth_media_table,
+    )
+
+    t = synth_media_table(10)
+    out = frame_sample(t, frame_bytes=512, every_nth=2)
+    assert out.num_rows > 0
+    assert all(len(f) <= 512 for f in out["frame"].to_pylist())
+    assert all(i % 2 == 0 for i in out["frame_index"].to_pylist())
+
+
+def test_metrics_actor():
+    from elasticsearch_data_loader_ray.state import metrics
+
+    h = metrics.get_or_create()
+    ray.get(h.reset.remote())
+    ray.get(h.incr.remote("read", 10, partition="p0"))
+    ray.get(h.incr.remote("read", 5, partition="p1"))
+    ray.get(h.incr.remote("skipped", 2))
+    snap = ray.get(h.snapshot.remote())
+    assert snap["totals"] == {"read": 15, "skipped": 2}
+    assert snap["per_partition"]["p0"]["read"] == 10
+    assert snap["rates_per_sec"]["read"] > 0
+
+
+def test_build_with_metrics(tmp_path):
+    from elasticsearch_data_loader_ray.index.build import BuildConfig, build_index
+    from elasticsearch_data_loader_ray.state import metrics
+
+    h = metrics.get_or_create()
+    ray.get(h.reset.remote())
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(fixtures.generate_webtext(300), f"{src}/p.parquet")
+    stats = build_index(src, str(tmp_path / "idx"),
+                        BuildConfig(docs_per_segment=100, enable_metrics=True))
+    snap = ray.get(h.snapshot.remote())
+    assert snap["totals"]["indexed"] == stats["n_docs"]
+    assert len(snap["per_partition"]) == stats["n_segments"]
