@@ -277,3 +277,29 @@ def standard_tokenize_batch(
 def token_count_batch(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Vectorized F14 token counts (== len(analyze('standard', t)) per row)."""
     return standard_tokenize_batch(texts)[2]
+
+
+def analyze_column(texts: pa.ChunkedArray | pa.Array,
+                   analyzer_name: str) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Named-analyzer version of :func:`standard_tokenize_batch`.
+
+    Returns ``(doc_index, tokens, doc_len)``. 'standard' takes the RE2 batch
+    fast path; other chains (keyword-ish multi-fields — short token streams)
+    run the scalar analyzer per row with the chain compiled once.
+    """
+    if analyzer_name == "standard":
+        return standard_tokenize_batch(texts)
+    fn = ANALYZERS[analyzer_name]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    flat: list[str] = []
+    lengths = np.zeros(n, dtype=np.int64)
+    for i, v in enumerate(texts.to_pylist()):
+        if not v:
+            continue
+        toks = fn(v)
+        lengths[i] = len(toks)
+        flat.extend(toks)
+    doc_index = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    return doc_index, pa.array(flat, pa.string()), lengths.astype(np.int32)

@@ -75,6 +75,11 @@ class BuildConfig:
     # => less read amplification per query term
     index_block_rows: int = 1024
     enable_metrics: bool = False  # push counters to the ST2 metrics actor
+    # extra indexed fields beyond the main ("text", standard-analyzer) one:
+    # (field_name, source_column, analyzer_name) — the ES multi-field
+    # analogue (search_scheme.json:140-198); analyzer_name from
+    # functions.analyzers.ANALYZERS
+    fields: tuple = ()
 
 
 def _ncpus() -> int:
@@ -287,56 +292,78 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
     doc_ids = base + np.arange(n_docs, dtype=np.int64)
     doc_len = deduped["doc_len"].to_numpy().astype(np.int64)
 
-    doc_idx, tokens, _dl = standard_tokenize_batch(deduped["text"])
-    # Integer term ids end to end: dictionary-encode the flat token column
-    # (one C++ hash pass), rank the (small) vocab lexicographically, then a
-    # single np.unique over rank*n_docs+doc yields tf per posting already
-    # sorted by (term, doc). No per-posting Python string objects — the
-    # object path was superlinear in segment size (allocator + compare cost).
     import pyarrow.compute as pc
 
-    enc = tokens.dictionary_encode()
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    tids = enc.indices.to_numpy().astype(np.int64)
-    vocab = enc.dictionary
-    vocab_order = pc.sort_indices(vocab).to_numpy().astype(np.int64)
-    rank = np.empty(len(vocab), dtype=np.int64)
-    rank[vocab_order] = np.arange(len(vocab), dtype=np.int64)
-    key = rank[tids] * np.int64(max(n_docs, 1)) + doc_idx
-    uk, tfs_s = np.unique(key, return_counts=True)
-    rank_s = uk // max(n_docs, 1)
-    d_s = (uk % max(n_docs, 1)).astype(np.int64)
-    table = codec.build_posting_table(
-        rank_s, doc_ids[d_s], tfs_s.astype(np.int64), doc_len[d_s],
-        float(plan["avgdl"])
-    )
-    # unique ranks -> term strings (vocab-sized, the only string materialize)
-    vocab_sorted = vocab.take(pa.array(vocab_order))
-    term_strings = vocab_sorted.take(pa.array(table["term"].astype(np.int64)))
+    def encode_field(field: str, doc_idx: np.ndarray, tokens: pa.Array,
+                     dls_per_doc: np.ndarray, avgdl: float | None) -> pa.Table:
+        """Posting table for one field. Integer term ids end to end:
+        dictionary-encode the flat token column (one C++ hash pass), rank
+        the (small) vocab lexicographically, then a single np.unique over
+        rank*n_docs+doc yields tf per posting already sorted by
+        (term, doc). No per-posting Python string objects — the object path
+        was superlinear in segment size (allocator + compare cost)."""
+        enc = tokens.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tids = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary
+        vocab_order = pc.sort_indices(vocab).to_numpy().astype(np.int64)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[vocab_order] = np.arange(len(vocab), dtype=np.int64)
+        key = rank[tids] * np.int64(max(n_docs, 1)) + doc_idx
+        uk, tfs_s = np.unique(key, return_counts=True)
+        rank_s = uk // max(n_docs, 1)
+        d_s = (uk % max(n_docs, 1)).astype(np.int64)
+        table = codec.build_posting_table(
+            rank_s, doc_ids[d_s], tfs_s.astype(np.int64), dls_per_doc[d_s],
+            avgdl,
+        )
+        vocab_sorted = vocab.take(pa.array(vocab_order))
+        term_strings = vocab_sorted.take(
+            pa.array(table["term"].astype(np.int64)))
+        offs = pa.array(table["block_offsets"].astype(np.int32), pa.int32())
+        nt = len(table["term"])
+        return pa.table(
+            {
+                "field": pa.array([field] * nt, pa.string()),
+                "term": pc.cast(term_strings, pa.string()),
+                "df": pa.array(table["df"], pa.int64()),
+                "doc_ids_enc": pa.array(table["doc_ids_enc"], pa.binary()),
+                "tfs_enc": pa.array(table["tfs_enc"], pa.binary()),
+                "block_last_doc": pa.ListArray.from_arrays(
+                    offs, pa.array(table["block_last_flat"], pa.int64())),
+                "block_max_impact": pa.ListArray.from_arrays(
+                    offs, pa.array(table["block_max_flat"], pa.float64())),
+                "max_impact": pa.array(table["max_impact"], pa.float64()),
+            }
+        )
 
-    offs = pa.array(table["block_offsets"].astype(np.int32), pa.int32())
-    terms_out = pa.table(
-        {
-            "term": pc.cast(term_strings, pa.string()),
-            "df": pa.array(table["df"], pa.int64()),
-            "doc_ids_enc": pa.array(table["doc_ids_enc"], pa.binary()),
-            "tfs_enc": pa.array(table["tfs_enc"], pa.binary()),
-            "block_last_doc": pa.ListArray.from_arrays(
-                offs, pa.array(table["block_last_flat"], pa.int64())),
-            "block_max_impact": pa.ListArray.from_arrays(
-                offs, pa.array(table["block_max_flat"], pa.float64())),
-            "max_impact": pa.array(table["max_impact"], pa.float64()),
-        }
-    )
-    docs_out = pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "url": deduped["url"],
-            "doc_len": pa.array(doc_len.astype(np.int32), pa.int32()),
-            "segment_id": pa.array(np.full(n_docs, seg_id, dtype=np.int32)),
-        }
-    )
+    doc_idx, tokens, _dl = standard_tokenize_batch(deduped["text"])
+    field_tables = [encode_field("text", doc_idx, tokens, doc_len,
+                                 float(plan["avgdl"]))]
+    docs_cols = {
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "url": deduped["url"],
+        "doc_len": pa.array(doc_len.astype(np.int32), pa.int32()),
+        "segment_id": pa.array(np.full(n_docs, seg_id, dtype=np.int32)),
+    }
+    field_dl_sums: dict[str, int] = {}
+    from ..functions.analyzers import analyze_column
+
+    for fname, src_col, analyzer_name in cfg.fields:
+        f_idx, f_toks, f_dl = analyze_column(deduped[src_col], analyzer_name)
+        f_dl64 = f_dl.astype(np.int64)
+        # global avgdl for extra fields is unknown at encode time: block-max
+        # bounds use the avgdl-free upper bound (see codec.bm25_tf_impact);
+        # exact scoring uses stats.json per-field avgdl at query time
+        field_tables.append(encode_field(fname, f_idx, f_toks, f_dl64, None))
+        docs_cols[f"doc_len_{fname}"] = pa.array(f_dl, pa.int32())
+        field_dl_sums[fname] = int(f_dl64.sum())
+
+    terms_out = pa.concat_tables(field_tables).combine_chunks()
+    # within a field terms are sorted; keep field-major order for row-group
+    # pruning on (field, term)
+    docs_out = pa.table(docs_cols)
     _write_segment_files(index_dir, seg_id, terms_out, docs_out, cfg.index_block_rows)
 
     secs = time.perf_counter() - t0
@@ -347,7 +374,7 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
         h.incr.remote("indexed", int(n_docs), partition=f"segment-{seg_id}")
         h.incr.remote("duplicates", int(n_dups), partition=f"segment-{seg_id}")
     checksum = hashlib.md5("\n".join(urls[first].tolist()).encode()).hexdigest()
-    n_postings = int(table["df"].sum())
+    n_postings = int(pc.sum(terms_out["df"]).as_py() or 0)
     mf.write_manifest(
         index_dir, seg_id,
         {
@@ -356,6 +383,7 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
             "n_duplicates": int(n_dups),
             "n_terms": terms_out.num_rows,
             "n_postings": n_postings,
+            "field_dl_sums": field_dl_sums,
             "doc_id_base": base,
             "url_checksum": checksum,
             "build_secs": round(secs, 4),
@@ -426,26 +454,36 @@ def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
             if total_terms <= 5_000_000:
                 # small vocab: one threaded read + C++ group_by on the driver
                 # beats three distributed stages of overhead
-                tt = pq.read_table(term_files, columns=["term", "df"])
-                agg = (tt.group_by("term").aggregate([("df", "sum")])
-                       .rename_columns(["term", "df"])
-                       .sort_by([("term", "ascending")]))
+                tt = pq.read_table(term_files, columns=["field", "term", "df"])
+                agg = (tt.group_by(["field", "term"]).aggregate([("df", "sum")])
+                       .rename_columns(["field", "term", "df"])
+                       .sort_by([("field", "ascending"), ("term", "ascending")]))
                 pq.write_table(agg, os.path.join(term_stats_dir, "part-0.parquet"),
                                row_group_size=cfg.index_block_rows)
             else:
                 (
-                    rd.read_parquet(term_files, columns=["term", "df"])
-                    .groupby("term")
+                    rd.read_parquet(term_files, columns=["field", "term", "df"])
+                    .groupby(["field", "term"])
                     .aggregate(Sum("df", alias_name="df"))
-                    .sort("term")
+                    .sort(["field", "term"])
                     .write_parquet(term_stats_dir)
                 )
         with open(os.path.join(term_stats_dir, "_SUCCESS"), "w") as f:
             f.write("")
     rejects = count_rejects(os.path.join(index_dir, "errors"))
+    n_docs = plan["n_docs"]
+    per_field: dict[str, dict[str, float]] = {
+        "text": {"avgdl": plan["avgdl"]}}
+    for fname, _src, _an in cfg.fields:
+        dl_sum = sum(m.get("field_dl_sums", {}).get(fname, 0)
+                     for m in manifests.values())
+        per_field[fname] = {"avgdl": (dl_sum / n_docs) if n_docs else 0.0}
     stats = {
         "n_docs": plan["n_docs"],
         "avgdl": plan["avgdl"],
+        "per_field": per_field,
+        "field_analyzers": {"text": "standard",
+                            **{f: a for f, _s, a in cfg.fields}},
         "n_segments": plan["n_segments"],
         "n_duplicates": sum(m["n_duplicates"] for m in manifests.values()),
         "n_postings": sum(m["n_postings"] for m in manifests.values()),

@@ -98,14 +98,20 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 # --- BM25 impact ----------------------------------------------------------
 
-def bm25_tf_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+def bm25_tf_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float | None,
                    k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
     """Per-posting BM25 term factor  tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
 
     Multiplied by idf(term) this is the posting's score contribution; the
     per-block max of it is the block-max bound used for pruning.
+
+    ``avgdl=None`` gives the avgdl-free UPPER BOUND (the dl/avgdl -> 0
+    limit) — used when encoding fields whose global avgdl is not yet known;
+    always >= the true impact, so pruning stays correct.
     """
     tf = tf.astype(np.float64, copy=False)
+    if avgdl is None:
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b))
     dl = dl.astype(np.float64, copy=False)
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avgdl)))
 

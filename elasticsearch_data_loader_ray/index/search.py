@@ -2,9 +2,12 @@
 
 Reproduces the query capability the reference delegates to ElasticSearch
 (``/root/reference/config/search_scheme.json`` text fields; ES 7 default BM25
-k1=1.2, b=0.75): analyze the query with the standard analyzer, look up
-postings per term (J2), score BM25 with **global** df/avgdl, return top-k by
-(score desc, doc_id asc).
+k1=1.2, b=0.75): analyze the query with the target field's analyzer, look up
+postings per (field, term) (J2), score BM25 with **global** df/avgdl, return
+top-k by (score desc, doc_id asc). Multi-fields (different analyzer chains
+over the same source column, ``search_scheme.json:140-198``) are separate
+``field`` values in the term tables; each query targets one field
+(default ``text``).
 
 Execution: one stateful searcher actor pool over a Dataset of segments; each
 task scores its segments against all queries (queries + idf broadcast via
@@ -38,6 +41,8 @@ from . import codec
 from . import manifest as mf
 from .build import seg_docs_path, seg_terms_path
 
+DEFAULT_FIELD = "text"
+
 
 @dataclass
 class SearchConfig:
@@ -46,95 +51,143 @@ class SearchConfig:
     segments_per_batch: int = 4
 
 
-def query_terms(query: str) -> list[str]:
-    """Standard-analyzer terms, deduplicated, lexicographically sorted.
+def _dl_column(field: str) -> str:
+    return "doc_len" if field == DEFAULT_FIELD else f"doc_len_{field}"
+
+
+def query_terms(query: str, analyzer: str = "standard") -> list[str]:
+    """Analyzer terms, deduplicated, lexicographically sorted.
 
     Duplicate query terms count once (documented choice; the oracle and the
     DuckDB SQL use the same rule), and sorted order fixes the float64
     accumulation order for bitwise reproducibility.
     """
-    return sorted(set(analyze("standard", query)))
+    return sorted(set(analyze(analyzer, query)))
 
 
-def load_global_idf(index_dir: str, terms: list[str]) -> tuple[dict[str, float], int]:
-    """Global df for the given terms from the term_stats table -> idf map."""
-    stats = mf.read_json(os.path.join(index_dir, "stats.json"))
+def _load_stats(index_dir: str) -> dict:
+    return mf.read_json(os.path.join(index_dir, "stats.json"))
+
+
+def _field_analyzer(stats: dict, field: str) -> str:
+    return stats.get("field_analyzers", {}).get(field, "standard")
+
+
+def _avgdl(stats: dict, field: str) -> float:
+    pf = stats.get("per_field", {})
+    if field in pf:
+        return float(pf[field]["avgdl"])
+    return float(stats["avgdl"])
+
+
+def _term_filters(by_field: dict[str, list[str]]):
+    """DNF filter: (field==f AND term IN terms_f) OR ..."""
+    return [[("field", "==", f), ("term", "in", ts)]
+            for f, ts in by_field.items() if ts]
+
+
+def load_global_idf(index_dir: str,
+                    by_field: dict[str, list[str]]) -> tuple[dict, int]:
+    """Global df per (field, term) from term_stats -> idf map keyed
+    (field, term)."""
+    stats = _load_stats(index_dir)
     n_docs = int(stats["n_docs"])
     ts_dir = os.path.join(index_dir, "term_stats")
-    idf: dict[str, float] = {}
-    if terms and n_docs:
+    idf: dict[tuple[str, str], float] = {}
+    filters = _term_filters(by_field)
+    if filters and n_docs:
         files = [os.path.join(ts_dir, f) for f in sorted(os.listdir(ts_dir))
                  if f.endswith(".parquet")]
         if files:
-            tbl = pq.read_table(files, filters=[("term", "in", terms)])
-            for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
-                idf[t] = float(codec.bm25_idf(int(df), n_docs))
+            tbl = pq.read_table(files, filters=filters)
+            for f, t, df in zip(tbl["field"].to_pylist(),
+                                tbl["term"].to_pylist(),
+                                tbl["df"].to_pylist()):
+                idf[(f, t)] = float(codec.bm25_idf(int(df), n_docs))
     return idf, n_docs
+
+
+def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int]]:
+    qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
+    out = []
+    for q in qrows:
+        field = q.get("field") or DEFAULT_FIELD
+        terms = query_terms(q["query"], _field_analyzer(stats, field))
+        out.append((int(q["query_id"]), field, terms, int(q.get("k", 10))))
+    return out
 
 
 class SegmentSearcher:
     """Actor: scores segment batches against the broadcast query set."""
 
-    def __init__(self, index_dir: str, prepared_ref, idf_ref, avgdl: float,
-                 use_maxscore: bool):
+    def __init__(self, index_dir: str, prepared_ref, idf_ref,
+                 avgdl_by_field: dict[str, float], use_maxscore: bool):
         def deref(x):
             return ray.get(x) if isinstance(x, ray.ObjectRef) else x
 
         self.index_dir = index_dir
-        self.queries = deref(prepared_ref)  # [(query_id, [terms], k)]
-        self.idf = deref(idf_ref)
-        self.avgdl = avgdl
+        self.queries = deref(prepared_ref)  # [(qid, field, [terms], k)]
+        self.idf = deref(idf_ref)           # {(field, term): idf}
+        self.avgdl = avgdl_by_field
         self.use_maxscore = use_maxscore
-        self.all_terms = sorted({t for _, ts, _ in self.queries for t in ts
-                                 if t in self.idf})
+        self.by_field: dict[str, list[str]] = {}
+        for _qid, field, terms, _k in self.queries:
+            got = self.by_field.setdefault(field, [])
+            got.extend(t for t in terms if (field, t) in self.idf)
+        self.by_field = {f: sorted(set(ts)) for f, ts in self.by_field.items()}
 
     def _load_segment(self, seg_id: int):
-        terms_path = seg_terms_path(self.index_dir, seg_id)
-        docs_path = seg_docs_path(self.index_dir, seg_id)
-        if not self.all_terms:
+        filters = _term_filters(self.by_field)
+        if not filters:
             return None
         tt = pq.read_table(
-            terms_path,
-            columns=["term", "df", "doc_ids_enc", "tfs_enc", "max_impact"],
-            filters=[("term", "in", self.all_terms)],
+            seg_terms_path(self.index_dir, seg_id),
+            columns=["field", "term", "df", "doc_ids_enc", "tfs_enc",
+                     "max_impact"],
+            filters=filters,
         )
-        docs = pq.read_table(docs_path, columns=["doc_id", "doc_len"])
+        dl_cols = sorted({_dl_column(f) for f in self.by_field})
+        docs = pq.read_table(seg_docs_path(self.index_dir, seg_id),
+                             columns=["doc_id", *dl_cols])
         if docs.num_rows == 0:
             return None
-        doc_ids = docs["doc_id"].to_numpy()
-        base = int(doc_ids[0])
-        dl = docs["doc_len"].to_numpy().astype(np.float64)
-        postings: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+        base = int(docs["doc_id"][0].as_py())
+        dl = {f: docs[_dl_column(f)].to_numpy().astype(np.float64)
+              for f in self.by_field}
+        postings: dict[tuple[str, str], tuple] = {}
         for i in range(tt.num_rows):
-            term = tt["term"][i].as_py()
+            key = (tt["field"][i].as_py(), tt["term"][i].as_py())
             ids, tfs = codec.decode_postings(
                 tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
                 int(tt["df"][i].as_py()),
             )
-            postings[term] = (ids, tfs, float(tt["max_impact"][i].as_py()))
-        return base, len(doc_ids), dl, postings
+            postings[key] = (ids, tfs, float(tt["max_impact"][i].as_py()))
+        return base, docs.num_rows, dl, postings
 
-    def _score_query(self, terms: list[str], k: int, base: int, n: int,
-                     dl: np.ndarray, postings: dict) -> tuple[np.ndarray, np.ndarray]:
-        terms = [t for t in terms if t in postings and t in self.idf]
-        if not terms:
+    def _score_query(self, field: str, terms: list[str], k: int, base: int,
+                     n: int, dl: np.ndarray,
+                     postings: dict) -> tuple[np.ndarray, np.ndarray]:
+        keys = [(field, t) for t in terms]
+        keys = [kk for kk in keys if kk in postings and kk in self.idf]
+        if not keys:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        avgdl = self.avgdl[field]
         scores = np.zeros(n, dtype=np.float64)
         touched = np.zeros(n, dtype=bool)
         if not self.use_maxscore:
-            for t in terms:  # lexicographic order fixed by query_terms()
-                ids, tfs, _ = postings[t]
+            for kk in keys:  # lexicographic order fixed by query_terms()
+                ids, tfs, _ = postings[kk]
                 loc = ids - base
-                scores[loc] += self.idf[t] * codec.bm25_tf_impact(
-                    tfs, dl[loc], self.avgdl)
+                scores[loc] += self.idf[kk] * codec.bm25_tf_impact(
+                    tfs, dl[loc], avgdl)
                 touched[loc] = True
         else:
-            ubs = [(self.idf[t] * postings[t][2], t) for t in terms]
+            ubs = [(self.idf[kk] * postings[kk][2], kk) for kk in keys]
             ubs.sort(reverse=True)
             remaining = sum(u for u, _ in ubs)
             theta = -np.inf
-            for u, t in ubs:
-                ids, tfs, _ = postings[t]
+            for u, kk in ubs:
+                ids, tfs, _ = postings[kk]
                 loc = ids - base
                 if remaining < theta:
                     keep = touched[loc]
@@ -142,8 +195,8 @@ class SegmentSearcher:
                     if len(loc) == 0:
                         remaining -= u
                         continue
-                scores[loc] += self.idf[t] * codec.bm25_tf_impact(
-                    tfs, dl[loc], self.avgdl)
+                scores[loc] += self.idf[kk] * codec.bm25_tf_impact(
+                    tfs, dl[loc], avgdl)
                 touched[loc] = True
                 remaining -= u
                 cand = scores[touched]
@@ -165,8 +218,9 @@ class SegmentSearcher:
             if loaded is None:
                 continue
             base, n, dl, postings = loaded
-            for qid, terms, k in self.queries:
-                ids, sc = self._score_query(terms, int(k), base, n, dl, postings)
+            for qid, field, terms, k in self.queries:
+                ids, sc = self._score_query(field, terms, int(k), base, n,
+                                            dl[field], postings)
                 out_q.extend([qid] * len(ids))
                 out_d.extend(ids.tolist())
                 out_s.extend(sc.tolist())
@@ -180,52 +234,58 @@ class SegmentSearcher:
 
 
 class LocalSearcher:
-    """Warm single-process serving path: global doc-length array loaded once,
-    per-query postings fetched with ONE threaded multi-file parquet read
-    (term-predicate pushdown over all segments' term tables). Accumulation is
-    per term in lexicographic order into a global dense score array —
-    bitwise-identical to the distributed path (each doc's additions happen in
-    the same order).
+    """Warm single-process serving path: global doc-length arrays loaded
+    once, per-query postings fetched with ONE threaded multi-file parquet
+    read ((field, term)-predicate pushdown over all segments' term tables).
+    Accumulation is per term in lexicographic order into a global dense
+    score array — bitwise-identical to the distributed path (each doc's
+    additions happen in the same order).
     """
 
     def __init__(self, index_dir: str):
         import pyarrow.dataset as pads
 
         self.index_dir = index_dir
-        stats = mf.read_json(os.path.join(index_dir, "stats.json"))
-        self.n_docs = int(stats["n_docs"])
-        self.avgdl = float(stats["avgdl"])
+        self.stats = _load_stats(index_dir)
+        self.n_docs = int(self.stats["n_docs"])
         self.seg_ids = sorted(mf.committed_segments(index_dir))
         self.term_files = [seg_terms_path(index_dir, s) for s in self.seg_ids]
-        # datasets opened once: file metadata cached across queries
         self.term_ds = (pads.dataset(self.term_files) if self.term_files else None)
-        doc_files = [seg_docs_path(index_dir, s) for s in self.seg_ids]
-        self.dl = np.zeros(self.n_docs, dtype=np.float64)
-        if doc_files:
-            dt = pq.read_table(doc_files, columns=["doc_id", "doc_len"])
-            self.dl[dt["doc_id"].to_numpy()] = dt["doc_len"].to_numpy()
-        self._idf_cache: dict[str, float | None] = {}
+        self.doc_files = [seg_docs_path(index_dir, s) for s in self.seg_ids]
+        self._dl: dict[str, np.ndarray] = {}
+        self._idf_cache: dict[tuple[str, str], float | None] = {}
 
-    def _idf(self, terms: list[str]) -> dict[str, float]:
-        missing = [t for t in terms if t not in self._idf_cache]
+    def _dl_for(self, field: str) -> np.ndarray:
+        if field not in self._dl:
+            arr = np.zeros(self.n_docs, dtype=np.float64)
+            if self.doc_files:
+                dt = pq.read_table(self.doc_files,
+                                   columns=["doc_id", _dl_column(field)])
+                arr[dt["doc_id"].to_numpy()] = dt[_dl_column(field)].to_numpy()
+            self._dl[field] = arr
+        return self._dl[field]
+
+    def _idf(self, field: str, terms: list[str]) -> dict[str, float]:
+        missing = [t for t in terms if (field, t) not in self._idf_cache]
         if missing:
-            got, _ = load_global_idf(self.index_dir, missing)
+            got, _ = load_global_idf(self.index_dir, {field: missing})
             for t in missing:
-                self._idf_cache[t] = got.get(t)
+                self._idf_cache[(field, t)] = got.get((field, t))
         return {t: v for t in terms
-                if (v := self._idf_cache.get(t)) is not None}
+                if (v := self._idf_cache.get((field, t))) is not None}
 
-    def search(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    def search(self, query: str, k: int = 10,
+               field: str = DEFAULT_FIELD) -> tuple[np.ndarray, np.ndarray]:
         import pyarrow.dataset as pads
 
-        terms = query_terms(query)
-        idf = self._idf(terms)
+        terms = query_terms(query, _field_analyzer(self.stats, field))
+        idf = self._idf(field, terms)
         terms = [t for t in terms if t in idf]
         if not terms or self.term_ds is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         tt = self.term_ds.to_table(
             columns=["term", "df", "doc_ids_enc", "tfs_enc"],
-            filter=pads.field("term").isin(terms),
+            filter=(pads.field("field") == field) & pads.field("term").isin(terms),
         )
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for i in range(tt.num_rows):
@@ -234,12 +294,13 @@ class LocalSearcher:
                 tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
                 int(tt["df"][i].as_py()))
             by_term.setdefault(t, []).append((ids, tfs))
+        dl = self._dl_for(field)
+        avgdl = _avgdl(self.stats, field)
         scores = np.zeros(self.n_docs, dtype=np.float64)
         touched = np.zeros(self.n_docs, dtype=bool)
         for t in terms:  # lexicographic accumulation order
             for ids, tfs in by_term.get(t, []):
-                scores[ids] += idf[t] * codec.bm25_tf_impact(
-                    tfs, self.dl[ids], self.avgdl)
+                scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
                 touched[ids] = True
         loc = np.flatnonzero(touched)
         sc = scores[loc]
@@ -258,7 +319,8 @@ def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
     searcher = searcher or LocalSearcher(index_dir)
     out_q, out_r, out_d, out_s = [], [], [], []
     for q in qrows:
-        ids, sc = searcher.search(q["query"], int(q.get("k", 10)))
+        ids, sc = searcher.search(q["query"], int(q.get("k", 10)),
+                                  q.get("field") or DEFAULT_FIELD)
         for r, (i, s) in enumerate(zip(ids, sc), start=1):
             out_q.append(int(q["query_id"])); out_r.append(r)
             out_d.append(int(i)); out_s.append(float(s))
@@ -274,19 +336,18 @@ def search(index_dir: str, queries: pa.Table | list[dict],
            cfg: SearchConfig | None = None) -> pa.Table:
     """Run BM25 top-k for a query table -> (query_id, rank, doc_id, score).
 
-    ``queries`` columns: query_id, query, k (schema.QUERIES).
+    ``queries`` columns: query_id, query, k (schema.QUERIES); an optional
+    ``field`` key targets a non-default indexed field.
     """
     cfg = cfg or SearchConfig()
-    if isinstance(queries, pa.Table):
-        qrows = queries.to_pylist()
-    else:
-        qrows = list(queries)
-    prepared = [(int(q["query_id"]), query_terms(q["query"]), int(q.get("k", 10)))
-                for q in qrows]
-    all_terms = sorted({t for _, ts, _ in prepared for t in ts})
-    idf, _n = load_global_idf(index_dir, all_terms)
-    stats = mf.read_json(os.path.join(index_dir, "stats.json"))
-    avgdl = float(stats["avgdl"])
+    stats = _load_stats(index_dir)
+    prepared = _prepare(queries, stats)
+    by_field: dict[str, list[str]] = {}
+    for _qid, field, terms, _k in prepared:
+        by_field.setdefault(field, []).extend(terms)
+    by_field = {f: sorted(set(ts)) for f, ts in by_field.items()}
+    idf, _n = load_global_idf(index_dir, by_field)
+    avgdl_by_field = {f: _avgdl(stats, f) for f in by_field}
     seg_ids = sorted(mf.committed_segments(index_dir))
     empty = pa.table(
         {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
@@ -305,7 +366,7 @@ def search(index_dir: str, queries: pa.Table | list[dict],
                 "index_dir": index_dir,
                 "prepared_ref": prepared_ref,
                 "idf_ref": idf_ref,
-                "avgdl": avgdl,
+                "avgdl_by_field": avgdl_by_field,
                 "use_maxscore": cfg.use_maxscore,
             },
             batch_format="pyarrow",
@@ -315,7 +376,7 @@ def search(index_dir: str, queries: pa.Table | list[dict],
     )
     import pandas as pd
 
-    k_of = {qid: k for qid, _, k in prepared}
+    k_of = {qid: k for qid, _f, _t, k in prepared}
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
         qid = int(df["query_id"].iloc[0])
