@@ -1,0 +1,95 @@
+"""CLI — the run-elastic-search.sh orchestration analogue (S7).
+
+Commands:
+
+  python -m elasticsearch_data_loader_ray build  INPUT INDEX_DIR [--wipe] [--docs-per-segment N]
+  python -m elasticsearch_data_loader_ray search INDEX_DIR QUERY [-k K] [--field F] [--mode or|and]
+  python -m elasticsearch_data_loader_ray stats  INDEX_DIR
+
+The reference wraps its loader in a shell script that optionally deletes and
+re-creates the index before exec-ing the Go binary
+(``/root/reference/run-elastic-search.sh:84-133``); ``build --wipe`` is the
+delete+create, plain ``build`` resumes from committed segment manifests.
+This CLI owns the Ray session (library code never calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="elasticsearch_data_loader_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("input")
+    b.add_argument("index_dir")
+    b.add_argument("--wipe", action="store_true",
+                   help="delete the index dir first (full reload, S7 STEP 1)")
+    b.add_argument("--docs-per-segment", type=int, default=None)
+    b.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "jsonl", "csv"])
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--field", default="text")
+    s.add_argument("--mode", default="or", choices=["or", "and"])
+
+    st = sub.add_parser("stats")
+    st.add_argument("index_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "stats":
+        from .index import manifest as mf
+
+        print(json.dumps(mf.read_json(f"{args.index_dir}/stats.json"), indent=1))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        if args.cmd == "build":
+            from .index.build import BuildConfig, build_index, build_index_from_corpus
+            from .sources.webtext import read_webtext
+            from .stages.extract import extract_batch
+
+            if args.wipe:
+                shutil.rmtree(args.index_dir, ignore_errors=True)
+            cfg = BuildConfig(docs_per_segment=args.docs_per_segment)
+            if args.format == "parquet":
+                stats = build_index(args.input, args.index_dir, cfg)
+            else:
+                corpus = read_webtext(args.input, format=args.format).map_batches(
+                    extract_batch, batch_format="pyarrow")
+                stats = build_index_from_corpus(corpus, args.index_dir, cfg)
+            print(json.dumps({k: stats[k] for k in
+                              ("n_docs", "n_segments", "n_postings",
+                               "n_duplicates", "rejects", "phase_secs")}))
+        elif args.cmd == "search":
+            from .index.search import LocalSearcher
+
+            searcher = LocalSearcher(args.index_dir)
+            ids, scores = searcher.search(args.query, args.k, args.field,
+                                          args.mode)
+            for r, (d, sc) in enumerate(zip(ids, scores), start=1):
+                print(json.dumps({"rank": r, "doc_id": int(d),
+                                  "score": round(float(sc), 6)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

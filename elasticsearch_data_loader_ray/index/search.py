@@ -107,13 +107,14 @@ def load_global_idf(index_dir: str,
     return idf, n_docs
 
 
-def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int]]:
+def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]:
     qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
     out = []
     for q in qrows:
         field = q.get("field") or DEFAULT_FIELD
         terms = query_terms(q["query"], _field_analyzer(stats, field))
-        out.append((int(q["query_id"]), field, terms, int(q.get("k", 10))))
+        out.append((int(q["query_id"]), field, terms, int(q.get("k", 10)),
+                    q.get("mode", "or")))
     return out
 
 
@@ -126,12 +127,12 @@ class SegmentSearcher:
             return ray.get(x) if isinstance(x, ray.ObjectRef) else x
 
         self.index_dir = index_dir
-        self.queries = deref(prepared_ref)  # [(qid, field, [terms], k)]
+        self.queries = deref(prepared_ref)  # [(qid, field, [terms], k, mode)]
         self.idf = deref(idf_ref)           # {(field, term): idf}
         self.avgdl = avgdl_by_field
         self.use_maxscore = use_maxscore
         self.by_field: dict[str, list[str]] = {}
-        for _qid, field, terms, _k in self.queries:
+        for _qid, field, terms, _k, _m in self.queries:
             got = self.by_field.setdefault(field, [])
             got.extend(t for t in terms if (field, t) in self.idf)
         self.by_field = {f: sorted(set(ts)) for f, ts in self.by_field.items()}
@@ -163,6 +164,38 @@ class SegmentSearcher:
             )
             postings[key] = (ids, tfs, float(tt["max_impact"][i].as_py()))
         return base, docs.num_rows, dl, postings
+
+    def _score_conjunctive(self, field: str, terms: list[str], k: int,
+                           base: int, dl: np.ndarray,
+                           postings: dict) -> tuple[np.ndarray, np.ndarray]:
+        """AND semantics (ES bool-must analogue): docs containing ALL query
+        terms, BM25-scored; a term absent from the index matches nothing.
+        Segments hold disjoint doc ranges, so per-segment intersection is
+        exact."""
+        keys = [(field, t) for t in terms]
+        if not keys or any(kk not in self.idf for kk in keys):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if any(kk not in postings for kk in keys):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        avgdl = self.avgdl[field]
+        cand = postings[keys[0]][0]
+        for kk in keys[1:]:
+            cand = np.intersect1d(cand, postings[kk][0], assume_unique=True)
+            if len(cand) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        loc = cand - base
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for kk in keys:  # lexicographic order (query_terms sorts)
+            ids, tfs, _ = postings[kk]
+            pos = np.searchsorted(ids, cand)
+            scores += self.idf[kk] * codec.bm25_tf_impact(
+                tfs[pos], dl[loc], avgdl)
+        if len(cand) > k:
+            kth = np.partition(scores, -k)[-k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        return cand[order].astype(np.int64), scores[order]
 
     def _score_query(self, field: str, terms: list[str], k: int, base: int,
                      n: int, dl: np.ndarray,
@@ -218,9 +251,13 @@ class SegmentSearcher:
             if loaded is None:
                 continue
             base, n, dl, postings = loaded
-            for qid, field, terms, k in self.queries:
-                ids, sc = self._score_query(field, terms, int(k), base, n,
-                                            dl[field], postings)
+            for qid, field, terms, k, mode in self.queries:
+                if mode == "and":
+                    ids, sc = self._score_conjunctive(field, terms, int(k),
+                                                      base, dl[field], postings)
+                else:
+                    ids, sc = self._score_query(field, terms, int(k), base, n,
+                                                dl[field], postings)
                 out_q.extend([qid] * len(ids))
                 out_d.extend(ids.tolist())
                 out_s.extend(sc.tolist())
@@ -275,12 +312,15 @@ class LocalSearcher:
                 if (v := self._idf_cache.get((field, t))) is not None}
 
     def search(self, query: str, k: int = 10,
-               field: str = DEFAULT_FIELD) -> tuple[np.ndarray, np.ndarray]:
+               field: str = DEFAULT_FIELD,
+               mode: str = "or") -> tuple[np.ndarray, np.ndarray]:
         import pyarrow.dataset as pads
 
-        terms = query_terms(query, _field_analyzer(self.stats, field))
-        idf = self._idf(field, terms)
-        terms = [t for t in terms if t in idf]
+        all_terms = query_terms(query, _field_analyzer(self.stats, field))
+        idf = self._idf(field, all_terms)
+        terms = [t for t in all_terms if t in idf]
+        if mode == "and" and len(terms) != len(all_terms):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         if not terms or self.term_ds is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         tt = self.term_ds.to_table(
@@ -296,14 +336,36 @@ class LocalSearcher:
             by_term.setdefault(t, []).append((ids, tfs))
         dl = self._dl_for(field)
         avgdl = _avgdl(self.stats, field)
-        scores = np.zeros(self.n_docs, dtype=np.float64)
-        touched = np.zeros(self.n_docs, dtype=bool)
-        for t in terms:  # lexicographic accumulation order
-            for ids, tfs in by_term.get(t, []):
-                scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
-                touched[ids] = True
-        loc = np.flatnonzero(touched)
-        sc = scores[loc]
+        if mode == "and":
+            # segment runs are disjoint ordered doc ranges: concatenation in
+            # first-id order yields globally ascending posting lists
+            merged: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for t in terms:
+                runs = sorted(by_term.get(t, []), key=lambda r: r[0][0])
+                if not runs:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                merged[t] = (np.concatenate([r[0] for r in runs]),
+                             np.concatenate([r[1] for r in runs]))
+            cand = merged[terms[0]][0]
+            for t in terms[1:]:
+                cand = np.intersect1d(cand, merged[t][0], assume_unique=True)
+                if len(cand) == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+            sc = np.zeros(len(cand), dtype=np.float64)
+            for t in terms:  # lexicographic order
+                ids, tfs = merged[t]
+                pos = np.searchsorted(ids, cand)
+                sc += idf[t] * codec.bm25_tf_impact(tfs[pos], dl[cand], avgdl)
+            loc = cand
+        else:
+            scores = np.zeros(self.n_docs, dtype=np.float64)
+            touched = np.zeros(self.n_docs, dtype=bool)
+            for t in terms:  # lexicographic accumulation order
+                for ids, tfs in by_term.get(t, []):
+                    scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
+                    touched[ids] = True
+            loc = np.flatnonzero(touched)
+            sc = scores[loc]
         if len(loc) > k:
             kth = np.partition(sc, -k)[-k]
             keep = sc >= kth
@@ -320,7 +382,8 @@ def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
     out_q, out_r, out_d, out_s = [], [], [], []
     for q in qrows:
         ids, sc = searcher.search(q["query"], int(q.get("k", 10)),
-                                  q.get("field") or DEFAULT_FIELD)
+                                  q.get("field") or DEFAULT_FIELD,
+                                  q.get("mode", "or"))
         for r, (i, s) in enumerate(zip(ids, sc), start=1):
             out_q.append(int(q["query_id"])); out_r.append(r)
             out_d.append(int(i)); out_s.append(float(s))
@@ -343,7 +406,7 @@ def search(index_dir: str, queries: pa.Table | list[dict],
     stats = _load_stats(index_dir)
     prepared = _prepare(queries, stats)
     by_field: dict[str, list[str]] = {}
-    for _qid, field, terms, _k in prepared:
+    for _qid, field, terms, _k, _m in prepared:
         by_field.setdefault(field, []).extend(terms)
     by_field = {f: sorted(set(ts)) for f, ts in by_field.items()}
     idf, _n = load_global_idf(index_dir, by_field)
@@ -376,7 +439,7 @@ def search(index_dir: str, queries: pa.Table | list[dict],
     )
     import pandas as pd
 
-    k_of = {qid: k for qid, _f, _t, k in prepared}
+    k_of = {qid: k for qid, _f, _t, k, _m in prepared}
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
         qid = int(df["query_id"].iloc[0])

@@ -610,13 +610,20 @@ def _doc_index_dir(sf_dir: str) -> str:
     return f"/tmp/edlr_cache/bm25_docs_{key}"
 
 
-def q_bm25_topk(sf_dir: str):
-    """Full engine path: documents -> corpus -> segment index -> BM25 top-k.
+def _ensure_doc_index(sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the BM25 index over documents.
 
     doc ids are preserved by using the zero-padded doc_id as the url (doc_id
     rank == url rank for the dense ids of the fixture tables).
     """
+    from .. import __version__
+
     idx = _doc_index_dir(sf_dir)
+    marker = os.path.join(idx, "_CATALOG_OK")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == __version__:  # stale-format guard across rounds
+                return idx
     shutil.rmtree(idx, ignore_errors=True)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
@@ -637,6 +644,14 @@ def q_bm25_topk(sf_dir: str):
 
     corpus = ds.map_batches(to_corpus, batch_format="pyarrow")
     build_index_from_corpus(corpus, idx, BuildConfig(docs_per_segment=2000))
+    with open(marker, "w") as f:
+        f.write(__version__)
+    return idx
+
+
+def q_bm25_topk(sf_dir: str):
+    """Full engine path: documents -> corpus -> segment index -> BM25 top-k."""
+    idx = _ensure_doc_index(sf_dir)
 
     queries = pa.table({
         "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
@@ -689,6 +704,67 @@ def _sql_bm25_topk() -> str:
         "SELECT query_id, doc_id, round(score, 6) AS score, "
         "row_number() OVER (PARTITION BY query_id "
         "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
+DOC_AND_QUERIES = ["query scan", "the data", "table part value",
+                   "fast slow", "w0042 the", "zzqmissing data"]
+
+
+def q_bm25_and_topk(sf_dir: str):
+    """Conjunctive (AND / bool-must) BM25 top-k via posting intersections."""
+    idx = _ensure_doc_index(sf_dir)
+    qs = [{"query_id": i, "query": q, "k": DOC_K + 20, "mode": "and"}
+          for i, q in enumerate(DOC_AND_QUERIES)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["score"] = np.round(res["score"].to_numpy(), 6)
+    res = res.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res = res[res["rank"] <= DOC_K]
+    return pa.Table.from_pandas(
+        res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True))
+
+
+def _sql_bm25_and_topk() -> str:
+    from ..index.search import query_terms
+
+    values = []
+    for qid, q in enumerate(DOC_AND_QUERIES):
+        for t in query_terms(q):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, '{TOKEN_RE_SQL}')) "
+        "AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d LEFT JOIN "
+        "(SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1), "
+        "scored AS (SELECT q.query_id, tf.doc_id, count(*) AS n_matched, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))"
+        ") AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT sc.query_id, sc.doc_id, round(sc.score, 6) AS score, "
+        "row_number() OVER (PARTITION BY sc.query_id "
+        "ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC) AS rank "
+        "FROM scored sc JOIN qn USING (query_id) "
+        "WHERE sc.n_matched = qn.n_terms) "
         f"WHERE rank <= {DOC_K}"
     )
 
@@ -1056,6 +1132,7 @@ def queries() -> dict:
         "langid_quality": q_langid_quality,
         "fingerprint": q_fingerprint,
         "bm25_topk": q_bm25_topk,
+        "bm25_and_topk": q_bm25_and_topk,
         "embedding_topk": q_embedding_topk,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_tumbling": q_events_tumbling,
@@ -1085,6 +1162,7 @@ def oracle_sql() -> dict:
         "langid_quality": SQL_LANGID_QUALITY,
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
+        "bm25_and_topk": _sql_bm25_and_topk(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "events_tumbling": SQL_EVENTS_TUMBLING,

