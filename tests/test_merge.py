@@ -1,0 +1,62 @@
+"""Segment merge: search results must be bit-identical before and after."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_data_loader_ray import fixtures
+from elasticsearch_data_loader_ray.index import manifest as mf
+from elasticsearch_data_loader_ray.index.build import BuildConfig, build_index
+from elasticsearch_data_loader_ray.index.merge import merge_segments
+from elasticsearch_data_loader_ray.index.search import search, search_inprocess
+
+
+@pytest.fixture(scope="module")
+def merged_index(tmp_path_factory):
+    src = tmp_path_factory.mktemp("mg_src")
+    pq.write_table(fixtures.generate_webtext(600), str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("mg_idx"))
+    build_index(str(src), out, BuildConfig(docs_per_segment=100))
+    queries = fixtures.generate_queries()
+    before = search(out, queries).to_pandas()
+    n_before = len(mf.committed_segments(out))
+    survivors = merge_segments(out, group_size=3)
+    return out, queries, before, n_before, survivors
+
+
+def test_merge_reduces_segments(merged_index):
+    out, _q, _b, n_before, survivors = merged_index
+    assert n_before >= 4
+    after = mf.committed_segments(out)
+    assert len(after) == len(survivors) < n_before
+    m = next(m for m in after.values() if "merged_from" in m)
+    assert len(m["merged_from"]) >= 2
+
+
+def test_merge_preserves_search_bitwise(merged_index):
+    out, queries, before, _n, _s = merged_index
+    after = search(out, queries).to_pandas()
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    assert before["score"].tolist() == after["score"].tolist()
+    local = search_inprocess(out, queries).to_pandas()
+    assert local["score"].tolist() == after["score"].tolist()
+
+
+def test_merge_idempotent_convergence(merged_index):
+    out, queries, before, _n, _s = merged_index
+    merge_segments(out, group_size=10)
+    assert len(mf.committed_segments(out)) <= 2
+    final = search(out, queries).to_pandas()
+    assert final["score"].tolist() == before["score"].tolist()
+
+
+def test_conjunctive_after_merge(merged_index):
+    out, _q, _b, _n, _s = merged_index
+    q = [{"query_id": 0, "query": "the data", "k": 10, "mode": "and"}]
+    dist = search(out, q).to_pandas()
+    local = search_inprocess(out, q).to_pandas()
+    assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+    assert len(dist) > 0
