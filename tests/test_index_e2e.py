@@ -166,6 +166,30 @@ def test_resume_skips_committed_segments(webtext, tmp_path_factory):
         assert os.path.getmtime(seg_terms_path(out, s)) == m
 
 
+def test_head_term_skew_spread(index_dir):
+    """Skew design evidence: the Zipf head term's postings are spread across
+    every doc-range segment (no hot partition) with df proportional to
+    segment size — the url-range shuffle key is term-frequency-oblivious."""
+    import numpy as np
+
+    from elasticsearch_data_loader_ray.index.build import seg_terms_path
+
+    idx, stats = index_dir
+    segs = sorted(mf.committed_segments(idx))
+    assert len(segs) >= 3
+    dfs, sizes = [], []
+    for s in segs:
+        t = pq.read_table(seg_terms_path(idx, s),
+                          filters=[("term", "==", "the")])
+        assert t.num_rows == 1, f"head term missing from segment {s}"
+        dfs.append(t["df"][0].as_py())
+        sizes.append(mf.read_manifest(idx, s)["n_docs"])
+    ratio = np.array(dfs) / np.array(sizes)
+    # df/segment_size is near-constant across segments (head term ~everywhere)
+    assert ratio.min() > 0.8
+    assert ratio.max() - ratio.min() < 0.2
+
+
 def test_manifest_lineage_fields(index_dir):
     idx, _ = index_dir
     m = next(iter(mf.committed_segments(idx).values()))
