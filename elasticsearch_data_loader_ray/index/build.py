@@ -80,6 +80,11 @@ class BuildConfig:
     # analogue (search_scheme.json:140-198); analyzer_name from
     # functions.analyzers.ANALYZERS
     fields: tuple = ()
+    # index token positions for the main text field (enables phrase
+    # queries; ES index_options=positions default on text fields —
+    # 'docs'-only variants per search_scheme.json:167-170 are the default
+    # here for compactness)
+    index_positions: bool = False
 
 
 def _ncpus() -> int:
@@ -249,6 +254,19 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
 
 # --- phase C --------------------------------------------------------------
 
+def doc_idx_positions(doc_idx: np.ndarray) -> np.ndarray:
+    """Within-doc token positions from an ascending doc-index stream."""
+    n = len(doc_idx)
+    if n == 0:
+        return np.empty(0, np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = doc_idx[1:] != doc_idx[:-1]
+    starts = np.flatnonzero(change)
+    lengths = np.diff(np.r_[starts, n])
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+
+
 def _write_segment_files(index_dir: str, seg_id: int, terms: pa.Table,
                          docs: pa.Table, row_group_size: int) -> None:
     """Atomic segment publish: write each table into a tmp dir and rename.
@@ -295,7 +313,8 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
     import pyarrow.compute as pc
 
     def encode_field(field: str, doc_idx: np.ndarray, tokens: pa.Array,
-                     dls_per_doc: np.ndarray, avgdl: float | None) -> pa.Table:
+                     dls_per_doc: np.ndarray, avgdl: float | None,
+                     with_positions: bool = False) -> pa.Table:
         """Posting table for one field. Integer term ids end to end:
         dictionary-encode the flat token column (one C++ hash pass), rank
         the (small) vocab lexicographically, then a single np.unique over
@@ -323,24 +342,52 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
             pa.array(table["term"].astype(np.int64)))
         offs = pa.array(table["block_offsets"].astype(np.int32), pa.int32())
         nt = len(table["term"])
-        return pa.table(
-            {
-                "field": pa.array([field] * nt, pa.string()),
-                "term": pc.cast(term_strings, pa.string()),
-                "df": pa.array(table["df"], pa.int64()),
-                "doc_ids_enc": pa.array(table["doc_ids_enc"], pa.binary()),
-                "tfs_enc": pa.array(table["tfs_enc"], pa.binary()),
-                "block_last_doc": pa.ListArray.from_arrays(
-                    offs, pa.array(table["block_last_flat"], pa.int64())),
-                "block_max_impact": pa.ListArray.from_arrays(
-                    offs, pa.array(table["block_max_flat"], pa.float64())),
-                "max_impact": pa.array(table["max_impact"], pa.float64()),
-            }
-        )
+        cols = {
+            "field": pa.array([field] * nt, pa.string()),
+            "term": pc.cast(term_strings, pa.string()),
+            "df": pa.array(table["df"], pa.int64()),
+            "doc_ids_enc": pa.array(table["doc_ids_enc"], pa.binary()),
+            "tfs_enc": pa.array(table["tfs_enc"], pa.binary()),
+            "block_last_doc": pa.ListArray.from_arrays(
+                offs, pa.array(table["block_last_flat"], pa.int64())),
+            "block_max_impact": pa.ListArray.from_arrays(
+                offs, pa.array(table["block_max_flat"], pa.float64())),
+            "max_impact": pa.array(table["max_impact"], pa.float64()),
+        }
+        if with_positions:
+            # token stream is (doc asc, position asc); a stable sort by term
+            # rank groups it into (term, doc) runs with positions ascending —
+            # the same (term, doc) order np.unique produced above.
+            positions = doc_idx_positions(doc_idx)
+            stable = np.argsort(rank[tids], kind="stable")
+            pos_sorted = positions[stable]
+            posting_starts = np.r_[0, np.cumsum(tfs_s)[:-1]]
+            gaps = codec.delta_encode_runs(
+                pos_sorted.astype(np.uint64), posting_starts)
+            pos_bytes, pos_lens = codec.varint_encode(gaps)
+            # per-term byte slices: term boundary = last posting's last byte
+            run_change = np.empty(len(rank_s), dtype=bool)
+            run_change[0] = True
+            run_change[1:] = rank_s[1:] != rank_s[:-1]
+            term_starts = np.flatnonzero(run_change)
+            term_ends = np.r_[term_starts[1:], len(rank_s)]
+            byte_ends = np.cumsum(pos_lens)
+            post_ends = np.cumsum(tfs_s)
+            term_byte_end = byte_ends[post_ends[term_ends - 1] - 1]
+            term_byte_start = np.r_[0, term_byte_end[:-1]]
+            buf = pos_bytes.tobytes()
+            cols["positions_enc"] = pa.array(
+                [buf[int(s):int(e)]
+                 for s, e in zip(term_byte_start, term_byte_end)],
+                pa.binary())
+        elif cfg.index_positions:
+            cols["positions_enc"] = pa.array([None] * nt, pa.binary())
+        return pa.table(cols)
 
     doc_idx, tokens, _dl = standard_tokenize_batch(deduped["text"])
     field_tables = [encode_field("text", doc_idx, tokens, doc_len,
-                                 float(plan["avgdl"]))]
+                                 float(plan["avgdl"]),
+                                 with_positions=cfg.index_positions)]
     docs_cols = {
         "doc_id": pa.array(doc_ids, pa.int64()),
         "url": deduped["url"],

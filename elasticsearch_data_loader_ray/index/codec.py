@@ -96,6 +96,18 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps.astype(np.int64, copy=False))
 
 
+def delta_decode_runs(gaps: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode_runs`: per-run cumulative sums,
+    vectorized via one global cumsum minus each run's prefix."""
+    n = len(gaps)
+    if n == 0:
+        return np.empty(0, np.int64)
+    c = np.cumsum(gaps.astype(np.int64, copy=False))
+    prev = np.r_[0, c[run_starts[1:] - 1]] if len(run_starts) > 1 else np.array([0])
+    counts = np.diff(np.r_[run_starts, n])
+    return c - np.repeat(prev, counts)
+
+
 # --- BM25 impact ----------------------------------------------------------
 
 def bm25_tf_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float | None,

@@ -51,8 +51,11 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
     allt = pd.concat(frames, ignore_index=True)
     allt = allt.sort_values(["field", "term", "_seg"], kind="stable")
 
+    has_positions = "positions_enc" in allt.columns
     out = {c: [] for c in ("field", "term", "df", "doc_ids_enc", "tfs_enc",
                            "block_last_doc", "block_max_impact", "max_impact")}
+    if has_positions:
+        out["positions_enc"] = []
     for (field, term), g in allt.groupby(["field", "term"], sort=False):
         rows = g.to_dict("records")
         doc_enc = bytes(rows[0]["doc_ids_enc"])
@@ -61,6 +64,8 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
         bmax = list(rows[0]["block_max_impact"])
         df_total = int(rows[0]["df"])
         mx = float(rows[0]["max_impact"])
+        pos_enc = rows[0].get("positions_enc")
+        pos_enc = bytes(pos_enc) if pos_enc is not None else None
         for r in rows[1:]:
             prev_last = int(blast[-1])
             doc_enc += _reencode_first(bytes(r["doc_ids_enc"]), prev_last)
@@ -69,6 +74,12 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
             bmax.extend(r["block_max_impact"])
             df_total += int(r["df"])
             mx = max(mx, float(r["max_impact"]))
+            if has_positions:
+                rp = r.get("positions_enc")
+                if pos_enc is not None and rp is not None:
+                    pos_enc += bytes(rp)  # within-doc: no boundary fix needed
+                elif rp is not None:
+                    pos_enc = bytes(rp)
         out["field"].append(field)
         out["term"].append(term)
         out["df"].append(df_total)
@@ -77,7 +88,14 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
         out["block_last_doc"].append([int(x) for x in blast])
         out["block_max_impact"].append([float(x) for x in bmax])
         out["max_impact"].append(mx)
+        if has_positions:
+            out["positions_enc"].append(pos_enc)
+    if has_positions:
+        pos_col = {"positions_enc": pa.array(out["positions_enc"], pa.binary())}
+    else:
+        pos_col = {}
     return pa.table({
+        **pos_col,
         "field": pa.array(out["field"], pa.string()),
         "term": pa.array(out["term"], pa.string()),
         "df": pa.array(out["df"], pa.int64()),

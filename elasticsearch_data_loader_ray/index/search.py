@@ -393,6 +393,107 @@ class LocalSearcher:
         return loc[order].astype(np.int64), sc[order]
 
 
+def _phrase_freq(seq_positions: list[np.ndarray]) -> int:
+    """Number of phrase occurrences given per-sequence-term position arrays
+    (ascending) for ONE document."""
+    ok = seq_positions[0]
+    for i in range(1, len(seq_positions)):
+        if len(ok) == 0:
+            return 0
+        ok = ok[np.isin(ok + i, seq_positions[i], assume_unique=False)]
+    return int(len(ok))
+
+
+def _positions_by_doc(ids: np.ndarray, tfs: np.ndarray,
+                      positions_enc: bytes) -> dict[int, np.ndarray]:
+    """Decode one term-run's positions stream -> {doc_id: positions asc}."""
+    total = int(tfs.sum())
+    vals = codec.varint_decode(np.frombuffer(positions_enc, dtype=np.uint8),
+                               total)
+    starts = np.r_[0, np.cumsum(tfs)[:-1]].astype(np.int64)
+    flat = codec.delta_decode_runs(vals, starts)
+    out: dict[int, np.ndarray] = {}
+    for j, d in enumerate(ids):
+        s = int(starts[j])
+        e = s + int(tfs[j])
+        out[int(d)] = flat[s:e]
+    return out
+
+
+class PhraseSearcher:
+    """Phrase (match_phrase analogue) search over a positions-enabled index.
+
+    Requires ``BuildConfig(index_positions=True)``. Scoring (documented
+    convention, mirrored by the pytest oracle): docs where the exact token
+    sequence occurs, scored ``sum(idf of unique terms, lex order) *
+    bm25_tf_impact(phrase_freq, dl, avgdl)``; tie-break (score desc,
+    doc_id asc).
+    """
+
+    def __init__(self, local: "LocalSearcher"):
+        self.local = local
+
+    def search(self, query: str, k: int = 10,
+               field: str = DEFAULT_FIELD) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        import pyarrow.dataset as pads
+
+        lo = self.local
+        seq = list(analyze(_field_analyzer(lo.stats, field), query))
+        if not seq:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.int64))
+        uniq = sorted(set(seq))
+        idf = lo._idf(field, uniq)
+        if len(idf) != len(uniq):  # a term absent anywhere -> no phrase
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.int64))
+        tt = lo.term_ds.to_table(
+            columns=["term", "df", "doc_ids_enc", "tfs_enc", "positions_enc"],
+            filter=_term_filters({field: uniq}),
+        )
+        per_term_docs: dict[str, list[np.ndarray]] = {t: [] for t in uniq}
+        per_term_pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            enc_pos = tt["positions_enc"][i].as_py()
+            if enc_pos is None:
+                raise ValueError(
+                    "index was built without positions "
+                    "(BuildConfig.index_positions=True required)")
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()))
+            per_term_docs[t].append(ids)
+            per_term_pos[t].update(_positions_by_doc(ids, tfs, enc_pos))
+        cand = None
+        for t in uniq:
+            docs_t = (np.concatenate(per_term_docs[t])
+                      if per_term_docs[t] else np.empty(0, np.int64))
+            docs_t = np.sort(docs_t)
+            cand = docs_t if cand is None else np.intersect1d(
+                cand, docs_t, assume_unique=True)
+            if len(cand) == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.float64),
+                        np.empty(0, np.int64))
+        dl = lo._dl_for(field)
+        avgdl = _avgdl(lo.stats, field)
+        idf_sum = float(sum(idf[t] for t in uniq))
+        hits, freqs = [], []
+        for d in cand:
+            fq = _phrase_freq([per_term_pos[t][int(d)] for t in seq])
+            if fq > 0:
+                hits.append(int(d))
+                freqs.append(fq)
+        if not hits:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.int64))
+        hits_a = np.array(hits, dtype=np.int64)
+        freqs_a = np.array(freqs, dtype=np.float64)
+        scores = idf_sum * codec.bm25_tf_impact(freqs_a, dl[hits_a], avgdl)
+        order = np.lexsort((hits_a, -scores))[:k]
+        return hits_a[order], scores[order], freqs_a[order].astype(np.int64)
+
+
 def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
                      searcher: LocalSearcher | None = None) -> pa.Table:
     """Single-process query path over a (reusable) LocalSearcher."""

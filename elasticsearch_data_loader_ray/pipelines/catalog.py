@@ -769,6 +769,78 @@ def _sql_bm25_and_topk() -> str:
     )
 
 
+DOC_PHRASES = ["the data", "data search", "query scan", "the the",
+               "zzq missing"]
+
+
+def q_phrase_match(sf_dir: str):
+    """Phrase (match_phrase) queries via the positional index: matching doc
+    set per phrase. Requires index_positions=True (separate cached index)."""
+    from ..index.build import BuildConfig, build_index_from_corpus
+    from ..index.search import LocalSearcher, PhraseSearcher
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/edlr_cache/phrase_docs_{key}"
+    from .. import __version__
+
+    marker = os.path.join(idx, "_CATALOG_OK")
+    ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            ok = f.read() == __version__
+    if not ok:
+        shutil.rmtree(idx, ignore_errors=True)
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+
+        def to_corpus(t: pa.Table) -> pa.Table:
+            keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
+            t = t.filter(keep)
+            urls = pa.array([f"{i:015d}" for i in t["doc_id"].to_pylist()],
+                            pa.string())
+            n = t.num_rows
+            return pa.table({
+                "url": urls,
+                "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+                "text": pc.cast(t["text"], pa.large_string()),
+                "lang": t["lang"],
+                "doc_len": pa.array(an.token_count_batch(
+                    pc.cast(t["text"], pa.large_string())), pa.int32()),
+            })
+
+        build_index_from_corpus(ds.map_batches(to_corpus, batch_format="pyarrow"),
+                                idx, BuildConfig(docs_per_segment=2000,
+                                                 index_positions=True))
+        with open(marker, "w") as f:
+            f.write(__version__)
+    ps = PhraseSearcher(LocalSearcher(idx))
+    out_q, out_d = [], []
+    for qid, phrase in enumerate(DOC_PHRASES):
+        ids, _sc, _fq = ps.search(phrase, k=10**9)
+        out_q.extend([qid] * len(ids))
+        out_d.extend(sorted(int(i) for i in ids))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _sql_phrase_match() -> str:
+    parts = []
+    for qid, phrase in enumerate(DOC_PHRASES):
+        from ..functions.analyzers import analyze
+
+        toks = " ".join(analyze("standard", phrase))
+        parts.append(
+            f"SELECT {qid} AS query_id, doc_id FROM toks "
+            f"WHERE s LIKE '% {toks} %'"
+        )
+    return (
+        "WITH toks AS (SELECT doc_id, ' ' || array_to_string("
+        f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ') || ' ' AS s "
+        "FROM documents WHERE text IS NOT NULL AND text <> '') "
+        + " UNION ALL ".join(parts)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k over embeddings
 # ---------------------------------------------------------------------------
@@ -1133,6 +1205,7 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "bm25_topk": q_bm25_topk,
         "bm25_and_topk": q_bm25_and_topk,
+        "phrase_match": q_phrase_match,
         "embedding_topk": q_embedding_topk,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_tumbling": q_events_tumbling,
@@ -1163,6 +1236,7 @@ def oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
+        "phrase_match": _sql_phrase_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "events_tumbling": SQL_EVENTS_TUMBLING,

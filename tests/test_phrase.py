@@ -1,0 +1,93 @@
+"""Positional index + phrase queries vs a brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_data_loader_ray import fixtures
+from elasticsearch_data_loader_ray.functions.analyzers import analyze
+from elasticsearch_data_loader_ray.index import codec
+from elasticsearch_data_loader_ray.index.build import BuildConfig, build_index
+from elasticsearch_data_loader_ray.index.oracle import corpus_from_webtext
+from elasticsearch_data_loader_ray.index.search import LocalSearcher, PhraseSearcher
+
+N = 700
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory):
+    src = tmp_path_factory.mktemp("ph_src")
+    t = fixtures.generate_webtext(N)
+    pq.write_table(t, str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("ph_idx"))
+    build_index(str(src), out,
+                BuildConfig(docs_per_segment=150, index_positions=True))
+    return out, t
+
+
+def brute_phrase(t, phrase: str):
+    """(doc_id, phrase_freq) via direct token-sequence scan, + scores."""
+    urls, toks = corpus_from_webtext(t)
+    seq = analyze("standard", phrase)
+    dl = np.array([len(x) for x in toks], dtype=np.float64)
+    avgdl = float(dl.mean())
+    n = len(toks)
+    uniq = sorted(set(seq))
+    dfs = {u: sum(u in set(tk) for tk in toks) for u in uniq}
+    idf_sum = float(sum(codec.bm25_idf(dfs[u], n) for u in uniq))
+    out = {}
+    for d, tk in enumerate(toks):
+        c = sum(1 for i in range(len(tk) - len(seq) + 1)
+                if tk[i:i + len(seq)] == seq)
+        if c:
+            out[d] = (c, idf_sum * float(codec.bm25_tf_impact(
+                np.array([c], dtype=np.float64),
+                np.array([dl[d]]), avgdl)[0]))
+    return out
+
+
+@pytest.mark.parametrize("phrase", ["the data", "data search", "the the",
+                                    "acme limited", "zzq missing"])
+def test_phrase_matches_brute(pos_index, phrase):
+    idx, t = pos_index
+    ps = PhraseSearcher(LocalSearcher(idx))
+    ids, scores, freqs = ps.search(phrase, k=1000)
+    want = brute_phrase(t, phrase)
+    got = {int(d): (int(f), float(s)) for d, s, f in zip(ids, scores, freqs)}
+    assert set(got) == set(want), (phrase, len(got), len(want))
+    for d in got:
+        assert got[d][0] == want[d][0], (phrase, d)
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12)
+
+
+def test_phrase_rank_order(pos_index):
+    idx, _ = pos_index
+    ps = PhraseSearcher(LocalSearcher(idx))
+    ids, scores, _ = ps.search("the data", k=10)
+    assert len(ids) <= 10
+    assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+
+
+def test_phrase_requires_positions(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(fixtures.generate_webtext(120), str(src / "p.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, BuildConfig(docs_per_segment=100))
+    ps = PhraseSearcher(LocalSearcher(out))
+    with pytest.raises((ValueError, KeyError, Exception)):
+        ps.search("the data", k=5)
+
+
+def test_phrase_survives_merge(pos_index, tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.merge import merge_segments
+
+    idx, t = pos_index
+    ps = PhraseSearcher(LocalSearcher(idx))
+    before = ps.search("the data", k=50)
+    merge_segments(idx, group_size=3)
+    after = PhraseSearcher(LocalSearcher(idx)).search("the data", k=50)
+    assert before[0].tolist() == after[0].tolist()
+    assert before[1].tolist() == after[1].tolist()
