@@ -30,81 +30,109 @@ from .build import BuildConfig, _write_segment_files, seg_docs_path, seg_terms_p
 
 def _reencode_first(enc: bytes, prev_last: int) -> bytes:
     """Rewrite the leading absolute-doc varint as a gap from prev_last."""
-    first = codec.varint_decode(np.frombuffer(enc, dtype=np.uint8))
-    # decode only needs the first value; find its byte length
-    b = np.frombuffer(enc, dtype=np.uint8)
-    L = int(np.flatnonzero((b & 0x80) == 0)[0]) + 1
-    v = int(first[0])
+    v, L = 0, 0
+    while True:  # decode only the first varint (<=10 bytes)
+        byte = enc[L]
+        v |= (byte & 0x7F) << (7 * L)
+        L += 1
+        if not byte & 0x80:
+            break
     gap_bytes, _ = codec.varint_encode(np.array([v - prev_last], dtype=np.uint64))
     return gap_bytes.tobytes() + enc[L:]
 
 
 def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
-    """Merge per-segment term tables (each sorted by field, term)."""
-    import pandas as pd
+    """Merge per-segment term tables (each sorted by field, term).
 
-    frames = []
-    for si, t in enumerate(parts):
-        df = t.to_pandas()
-        df["_seg"] = si
-        frames.append(df)
-    allt = pd.concat(frames, ignore_index=True)
-    allt = allt.sort_values(["field", "term", "_seg"], kind="stable")
+    Vectorized: numpy run detection over the stably-sorted concatenation,
+    zero-copy binary slices from the Arrow buffers; the only per-row work is
+    the boundary re-encode of non-first runs' first varints.
+    """
+    allt = pa.concat_tables(parts).combine_chunks()
+    has_positions = "positions_enc" in allt.column_names
+    n = allt.num_rows
+    fields = np.asarray(allt["field"].to_numpy(zero_copy_only=False), dtype=object)
+    terms = np.asarray(allt["term"].to_numpy(zero_copy_only=False), dtype=object)
+    seg_of = np.concatenate([np.full(p.num_rows, i, dtype=np.int64)
+                             for i, p in enumerate(parts)])
+    order = np.lexsort((seg_of, terms.astype(str), fields.astype(str)))
+    f_s, t_s = fields[order], terms[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = (f_s[1:] != f_s[:-1]) | (t_s[1:] != t_s[:-1])
+    run_starts = np.flatnonzero(first)
+    run_ends = np.r_[run_starts[1:], n]
 
-    has_positions = "positions_enc" in allt.columns
-    out = {c: [] for c in ("field", "term", "df", "doc_ids_enc", "tfs_enc",
-                           "block_last_doc", "block_max_impact", "max_impact")}
-    if has_positions:
-        out["positions_enc"] = []
-    for (field, term), g in allt.groupby(["field", "term"], sort=False):
-        rows = g.to_dict("records")
-        doc_enc = bytes(rows[0]["doc_ids_enc"])
-        tf_enc = bytes(rows[0]["tfs_enc"])
-        blast = list(rows[0]["block_last_doc"])
-        bmax = list(rows[0]["block_max_impact"])
-        df_total = int(rows[0]["df"])
-        mx = float(rows[0]["max_impact"])
-        pos_enc = rows[0].get("positions_enc")
-        pos_enc = bytes(pos_enc) if pos_enc is not None else None
-        for r in rows[1:]:
-            prev_last = int(blast[-1])
-            doc_enc += _reencode_first(bytes(r["doc_ids_enc"]), prev_last)
-            tf_enc += bytes(r["tfs_enc"])
-            blast.extend(r["block_last_doc"])
-            bmax.extend(r["block_max_impact"])
-            df_total += int(r["df"])
-            mx = max(mx, float(r["max_impact"]))
+    def bin_col(name: str) -> list:
+        col = allt[name].combine_chunks()
+        return col.to_pylist()  # zero-copy bytes objects
+
+    doc_encs = bin_col("doc_ids_enc")
+    tf_encs = bin_col("tfs_enc")
+    pos_encs = bin_col("positions_enc") if has_positions else None
+    dfs = allt["df"].to_numpy()
+    mxs = allt["max_impact"].to_numpy()
+    blast_col = allt["block_last_doc"].combine_chunks()
+    bmax_col = allt["block_max_impact"].combine_chunks()
+    blast_flat = np.asarray(blast_col.values)
+    bmax_flat = np.asarray(bmax_col.values)
+    bl_off = np.asarray(blast_col.offsets)
+    # last doc id of each input row's posting list (for boundary re-encode)
+    row_last = blast_flat[bl_off[1:] - 1]
+
+    out_rows = len(run_starts)
+    o_field, o_term = f_s[run_starts], t_s[run_starts]
+    o_df = np.zeros(out_rows, dtype=np.int64)
+    o_mx = np.zeros(out_rows, dtype=np.float64)
+    o_doc, o_tf, o_pos = [], [], []
+    o_blast, o_bmax = [], []
+    for r, (s, e) in enumerate(zip(run_starts, run_ends)):
+        idxs = order[s:e]
+        o_df[r] = dfs[idxs].sum()
+        o_mx[r] = mxs[idxs].max()
+        if e - s == 1:
+            i = int(idxs[0])
+            o_doc.append(doc_encs[i])
+            o_tf.append(tf_encs[i])
             if has_positions:
-                rp = r.get("positions_enc")
-                if pos_enc is not None and rp is not None:
-                    pos_enc += bytes(rp)  # within-doc: no boundary fix needed
-                elif rp is not None:
-                    pos_enc = bytes(rp)
-        out["field"].append(field)
-        out["term"].append(term)
-        out["df"].append(df_total)
-        out["doc_ids_enc"].append(doc_enc)
-        out["tfs_enc"].append(tf_enc)
-        out["block_last_doc"].append([int(x) for x in blast])
-        out["block_max_impact"].append([float(x) for x in bmax])
-        out["max_impact"].append(mx)
+                o_pos.append(pos_encs[i])
+            o_blast.append(blast_flat[bl_off[i]:bl_off[i + 1]].tolist())
+            o_bmax.append(bmax_flat[bl_off[i]:bl_off[i + 1]].tolist())
+            continue
+        i0 = int(idxs[0])
+        doc_parts = [doc_encs[i0]]
+        tf_parts = [tf_encs[i0]]
+        pos_parts = [pos_encs[i0]] if has_positions else None
+        bl = [blast_flat[bl_off[i0]:bl_off[i0 + 1]]]
+        bm = [bmax_flat[bl_off[i0]:bl_off[i0 + 1]]]
+        prev_last = int(row_last[i0])
+        for i in (int(x) for x in idxs[1:]):
+            doc_parts.append(_reencode_first(doc_encs[i], prev_last))
+            tf_parts.append(tf_encs[i])
+            if has_positions and pos_encs[i] is not None:
+                pos_parts.append(pos_encs[i])
+            bl.append(blast_flat[bl_off[i]:bl_off[i + 1]])
+            bm.append(bmax_flat[bl_off[i]:bl_off[i + 1]])
+            prev_last = int(row_last[i])
+        o_doc.append(b"".join(doc_parts))
+        o_tf.append(b"".join(tf_parts))
         if has_positions:
-            out["positions_enc"].append(pos_enc)
+            o_pos.append(b"".join(p for p in pos_parts if p is not None))
+        o_blast.append(np.concatenate(bl).tolist())
+        o_bmax.append(np.concatenate(bm).tolist())
+
+    cols = {
+        "field": pa.array(o_field, pa.string()),
+        "term": pa.array(o_term, pa.string()),
+        "df": pa.array(o_df, pa.int64()),
+        "doc_ids_enc": pa.array(o_doc, pa.binary()),
+        "tfs_enc": pa.array(o_tf, pa.binary()),
+        "block_last_doc": pa.array(o_blast, pa.list_(pa.int64())),
+        "block_max_impact": pa.array(o_bmax, pa.list_(pa.float64())),
+        "max_impact": pa.array(o_mx, pa.float64()),
+    }
     if has_positions:
-        pos_col = {"positions_enc": pa.array(out["positions_enc"], pa.binary())}
-    else:
-        pos_col = {}
-    return pa.table({
-        **pos_col,
-        "field": pa.array(out["field"], pa.string()),
-        "term": pa.array(out["term"], pa.string()),
-        "df": pa.array(out["df"], pa.int64()),
-        "doc_ids_enc": pa.array(out["doc_ids_enc"], pa.binary()),
-        "tfs_enc": pa.array(out["tfs_enc"], pa.binary()),
-        "block_last_doc": pa.array(out["block_last_doc"], pa.list_(pa.int64())),
-        "block_max_impact": pa.array(out["block_max_impact"], pa.list_(pa.float64())),
-        "max_impact": pa.array(out["max_impact"], pa.float64()),
-    })
+        cols["positions_enc"] = pa.array(o_pos, pa.binary())
+    return pa.table(cols)
 
 
 def merge_segments(index_dir: str, group_size: int = 2,
