@@ -53,9 +53,9 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
     n = allt.num_rows
     fields = np.asarray(allt["field"].to_numpy(zero_copy_only=False), dtype=object)
     terms = np.asarray(allt["term"].to_numpy(zero_copy_only=False), dtype=object)
-    seg_of = np.concatenate([np.full(p.num_rows, i, dtype=np.int64)
-                             for i, p in enumerate(parts)])
-    order = np.lexsort((seg_of, terms.astype(str), fields.astype(str)))
+    # lexsort is stable and handles object arrays directly (no fixed-width
+    # str copies); ties keep concat order == segment order
+    order = np.lexsort((terms, fields))
     f_s, t_s = fields[order], terms[order]
     first = np.ones(n, dtype=bool)
     first[1:] = (f_s[1:] != f_s[:-1]) | (t_s[1:] != t_s[:-1])
@@ -101,7 +101,8 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
         i0 = int(idxs[0])
         doc_parts = [doc_encs[i0]]
         tf_parts = [tf_encs[i0]]
-        pos_parts = [pos_encs[i0]] if has_positions else None
+        pos_parts = ([pos_encs[i0]] if has_positions and
+                     pos_encs[i0] is not None else [])
         bl = [blast_flat[bl_off[i0]:bl_off[i0 + 1]]]
         bm = [bmax_flat[bl_off[i0]:bl_off[i0 + 1]]]
         prev_last = int(row_last[i0])
@@ -116,7 +117,10 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
         o_doc.append(b"".join(doc_parts))
         o_tf.append(b"".join(tf_parts))
         if has_positions:
-            o_pos.append(b"".join(p for p in pos_parts if p is not None))
+            # all-null runs stay null (fields indexed without positions keep
+            # raising the PhraseSearcher guard instead of silently matching
+            # nothing on an empty stream)
+            o_pos.append(b"".join(pos_parts) if pos_parts else None)
         o_blast.append(np.concatenate(bl).tolist())
         o_bmax.append(np.concatenate(bm).tolist())
 
