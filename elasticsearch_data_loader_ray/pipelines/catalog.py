@@ -605,6 +605,26 @@ DOC_QUERIES = [
 DOC_K = 10
 
 
+def _code_fingerprint() -> str:
+    """Version tag for cached catalog indexes: package version + git HEAD
+    (best effort), so caches from an older code state are rebuilt."""
+    from .. import __version__
+
+    tag = __version__
+    try:
+        import subprocess
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        head = subprocess.run(["git", "-C", root, "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True, timeout=5)
+        if head.returncode == 0:
+            tag += "+" + head.stdout.strip()
+    except Exception:
+        pass
+    return tag
+
+
 def _doc_index_dir(sf_dir: str) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     return f"/tmp/edlr_cache/bm25_docs_{key}"
@@ -616,13 +636,12 @@ def _ensure_doc_index(sf_dir: str) -> str:
     doc ids are preserved by using the zero-padded doc_id as the url (doc_id
     rank == url rank for the dense ids of the fixture tables).
     """
-    from .. import __version__
-
+    tag = _code_fingerprint()
     idx = _doc_index_dir(sf_dir)
     marker = os.path.join(idx, "_CATALOG_OK")
     if os.path.exists(marker):
         with open(marker) as f:
-            if f.read() == __version__:  # stale-format guard across rounds
+            if f.read() == tag:  # stale-format guard across rounds
                 return idx
     shutil.rmtree(idx, ignore_errors=True)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -645,7 +664,7 @@ def _ensure_doc_index(sf_dir: str) -> str:
     corpus = ds.map_batches(to_corpus, batch_format="pyarrow")
     build_index_from_corpus(corpus, idx, BuildConfig(docs_per_segment=2000))
     with open(marker, "w") as f:
-        f.write(__version__)
+        f.write(tag)
     return idx
 
 
@@ -781,13 +800,12 @@ def q_phrase_match(sf_dir: str):
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     idx = f"/tmp/edlr_cache/phrase_docs_{key}"
-    from .. import __version__
-
+    tag = _code_fingerprint()
     marker = os.path.join(idx, "_CATALOG_OK")
     ok = False
     if os.path.exists(marker):
         with open(marker) as f:
-            ok = f.read() == __version__
+            ok = f.read() == tag
     if not ok:
         shutil.rmtree(idx, ignore_errors=True)
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -812,7 +830,7 @@ def q_phrase_match(sf_dir: str):
                                 idx, BuildConfig(docs_per_segment=2000,
                                                  index_positions=True))
         with open(marker, "w") as f:
-            f.write(__version__)
+            f.write(tag)
     ps = PhraseSearcher(LocalSearcher(idx))
     out_q, out_d = [], []
     for qid, phrase in enumerate(DOC_PHRASES):
