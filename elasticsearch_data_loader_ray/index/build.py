@@ -172,7 +172,7 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
     if os.path.exists(plan_path):
         return mf.read_json(plan_path)
     corpus_dir = os.path.join(index_dir, "corpus")
-    urls_ds = rd.read_parquet(corpus_dir, columns=["url", "doc_len"])
+    urls_ds = rd.read_parquet(corpus_dir, columns=["url", "doc_len", "warc_ts"])
     n_est = urls_ds.count()
     if n_est == 0:
         plan = {"boundaries": [], "offsets": [0], "n_docs": 0, "avgdl": 0.0,
@@ -187,7 +187,10 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
             ray.get(urls_ds.to_arrow_refs())).combine_chunks()
         urls = np.asarray(tbl["url"].to_numpy(zero_copy_only=False), dtype=object)
         dls = tbl["doc_len"].to_numpy().astype(np.int64)
-        order = np.argsort(urls, kind="stable")
+        ts = tbl["warc_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        # same keep-first rule as phase C: (url asc, warc_ts asc), so plan
+        # avgdl is computed over exactly the docs that get indexed
+        order = np.lexsort((ts, urls))
         urls_s, dls_s = urls[order], dls[order]
         first = np.ones(len(urls_s), dtype=bool)
         first[1:] = urls_s[1:] != urls_s[:-1]
@@ -214,7 +217,8 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
         import pandas as pd
 
         def distinct_stats(df: pd.DataFrame) -> pd.DataFrame:
-            d = df.drop_duplicates("url")
+            # keep-first by (url, warc_ts) — the exact phase-C dedup rule
+            d = df.sort_values(["url", "warc_ts"], kind="stable").drop_duplicates("url")
             return pd.DataFrame(
                 {
                     "bucket": [int(df["bucket"].iloc[0])],
@@ -354,7 +358,9 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
                 offs, pa.array(table["block_max_flat"], pa.float64())),
             "max_impact": pa.array(table["max_impact"], pa.float64()),
         }
-        if with_positions:
+        if with_positions and len(rank_s) == 0:
+            cols["positions_enc"] = pa.array([], pa.binary())
+        elif with_positions:
             # token stream is (doc asc, position asc); a stable sort by term
             # rank groups it into (term, doc) runs with positions ascending —
             # the same (term, doc) order np.unique produced above.
@@ -488,10 +494,9 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
 def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
               timings: dict[str, float]) -> dict:
     stats_path = os.path.join(index_dir, "stats.json")
-    term_files = [seg_terms_path(index_dir, s)
-                  for s in sorted(mf.committed_segments(index_dir))]
-    term_stats_dir = os.path.join(index_dir, "term_stats")
     manifests = mf.committed_segments(index_dir)
+    term_files = [seg_terms_path(index_dir, s) for s in sorted(manifests)]
+    term_stats_dir = os.path.join(index_dir, "term_stats")
     if not os.path.exists(os.path.join(term_stats_dir, "_SUCCESS")):
         if os.path.isdir(term_stats_dir):
             shutil.rmtree(term_stats_dir)

@@ -154,7 +154,10 @@ class SegmentSearcher:
         for _qid, field, terms, _k, _m in self.queries:
             got = self.by_field.setdefault(field, [])
             got.extend(t for t in terms if (field, t) in self.idf)
-        self.by_field = {f: sorted(set(ts)) for f, ts in self.by_field.items()}
+        # drop fields with no surviving terms: their doc_len_<field> column
+        # may not exist and they contribute nothing
+        self.by_field = {f: sorted(set(ts))
+                         for f, ts in self.by_field.items() if ts}
 
     def _load_segment(self, seg_id: int):
         filters = _term_filters(self.by_field)
@@ -271,6 +274,8 @@ class SegmentSearcher:
                 continue
             base, n, dl, postings = loaded
             for qid, field, terms, k, mode in self.queries:
+                if field not in self.by_field:  # no indexed terms: no hits
+                    continue
                 if mode == "and":
                     ids, sc = self._score_conjunctive(field, terms, int(k),
                                                       base, dl[field], postings)
@@ -333,8 +338,6 @@ class LocalSearcher:
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD,
                mode: str = "or") -> tuple[np.ndarray, np.ndarray]:
-        import pyarrow.dataset as pads
-
         all_terms = query_terms(query, _field_analyzer(self.stats, field))
         idf = self._idf(field, all_terms)
         terms = [t for t in all_terms if t in idf]
@@ -435,9 +438,12 @@ class PhraseSearcher:
 
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        import pyarrow.dataset as pads
-
         lo = self.local
+        if (lo.term_ds is not None
+                and "positions_enc" not in lo.term_ds.schema.names):
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig.index_positions=True required)")
         seq = list(analyze(_field_analyzer(lo.stats, field), query))
         if not seq:
             return (np.empty(0, np.int64), np.empty(0, np.float64),
