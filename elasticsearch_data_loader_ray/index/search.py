@@ -131,9 +131,14 @@ def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]
     out = []
     for q in qrows:
         field = q.get("field") or DEFAULT_FIELD
-        terms = query_terms(q["query"], _field_analyzer(stats, field))
+        mode = q.get("mode", "or")
+        if mode == "phrase":
+            # ordered token sequence, duplicates kept (position matching)
+            terms = list(analyze(_field_analyzer(stats, field), q["query"]))
+        else:
+            terms = query_terms(q["query"], _field_analyzer(stats, field))
         out.append((int(q["query_id"]), field, terms, int(q.get("k", 10)),
-                    q.get("mode", "or")))
+                    mode))
     return out
 
 
@@ -163,10 +168,13 @@ class SegmentSearcher:
         filters = _term_filters(self.by_field)
         if filters is None:
             return None
+        cols = ["field", "term", "df", "doc_ids_enc", "tfs_enc", "max_impact"]
+        need_positions = any(m == "phrase" for *_rest, m in self.queries)
+        if need_positions:
+            cols.append("positions_enc")
         tt = pq.read_table(
             seg_terms_path(self.index_dir, seg_id),
-            columns=["field", "term", "df", "doc_ids_enc", "tfs_enc",
-                     "max_impact"],
+            columns=cols,
             filters=filters,
         )
         dl_cols = sorted({_dl_column(f) for f in self.by_field})
@@ -178,6 +186,7 @@ class SegmentSearcher:
         dl = {f: docs[_dl_column(f)].to_numpy().astype(np.float64)
               for f in self.by_field}
         postings: dict[tuple[str, str], tuple] = {}
+        positions: dict[tuple[str, str], dict[int, np.ndarray]] = {}
         for i in range(tt.num_rows):
             key = (tt["field"][i].as_py(), tt["term"][i].as_py())
             ids, tfs = codec.decode_postings(
@@ -185,7 +194,11 @@ class SegmentSearcher:
                 int(tt["df"][i].as_py()),
             )
             postings[key] = (ids, tfs, float(tt["max_impact"][i].as_py()))
-        return base, docs.num_rows, dl, postings
+            if need_positions:
+                enc_pos = tt["positions_enc"][i].as_py()
+                if enc_pos is not None:
+                    positions[key] = _positions_by_doc(ids, tfs, enc_pos)
+        return base, docs.num_rows, dl, postings, positions
 
     def _score_conjunctive(self, field: str, terms: list[str], k: int,
                            base: int, dl: np.ndarray,
@@ -218,6 +231,39 @@ class SegmentSearcher:
             cand, scores = cand[keep], scores[keep]
         order = np.lexsort((cand, -scores))[:k]
         return cand[order].astype(np.int64), scores[order]
+
+    def _score_phrase(self, field: str, seq: list[str], k: int, base: int,
+                      dl: np.ndarray, postings: dict,
+                      positions: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Phrase semantics per segment (doc ranges disjoint -> exact).
+        Same scoring convention as PhraseSearcher: docs where the token
+        sequence occurs, sum(idf of unique terms) * impact(phrase_freq)."""
+        uniq = sorted(set(seq))
+        keys = [(field, t) for t in uniq]
+        if (not keys or any(kk not in self.idf for kk in keys)
+                or any(kk not in postings for kk in keys)
+                or any(kk not in positions for kk in keys)):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = postings[keys[0]][0]
+        for kk in keys[1:]:
+            cand = np.intersect1d(cand, postings[kk][0], assume_unique=True)
+            if len(cand) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        idf_sum = float(sum(self.idf[(field, t)] for t in uniq))
+        avgdl = self.avgdl[field]
+        hits, freqs = [], []
+        for d in cand:
+            fq = _phrase_freq([positions[(field, t)][int(d)] for t in seq])
+            if fq > 0:
+                hits.append(int(d))
+                freqs.append(fq)
+        if not hits:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        hits_a = np.array(hits, dtype=np.int64)
+        scores = idf_sum * codec.bm25_tf_impact(
+            np.array(freqs, dtype=np.float64), dl[hits_a - base], avgdl)
+        order = np.lexsort((hits_a, -scores))[:k]
+        return hits_a[order], scores[order]
 
     def _score_query(self, field: str, terms: list[str], k: int, base: int,
                      n: int, dl: np.ndarray,
@@ -272,13 +318,16 @@ class SegmentSearcher:
             loaded = self._load_segment(int(seg_id))
             if loaded is None:
                 continue
-            base, n, dl, postings = loaded
+            base, n, dl, postings, positions = loaded
             for qid, field, terms, k, mode in self.queries:
                 if field not in self.by_field:  # no indexed terms: no hits
                     continue
                 if mode == "and":
                     ids, sc = self._score_conjunctive(field, terms, int(k),
                                                       base, dl[field], postings)
+                elif mode == "phrase":
+                    ids, sc = self._score_phrase(field, terms, int(k), base,
+                                                 dl[field], postings, positions)
                 else:
                     ids, sc = self._score_query(field, terms, int(k), base, n,
                                                 dl[field], postings)

@@ -81,6 +81,19 @@ def test_phrase_requires_positions(tmp_path):
         ps.search("the data", k=5)
 
 
+def test_distributed_phrase_matches_local(pos_index):
+    from elasticsearch_data_loader_ray.index.search import search
+
+    idx, _t = pos_index
+    local = PhraseSearcher(LocalSearcher(idx))
+    for phrase in ["the data", "data search", "the the"]:
+        ids, scores, _ = local.search(phrase, k=25)
+        dist = search(idx, [{"query_id": 0, "query": phrase, "k": 25,
+                             "mode": "phrase"}]).to_pandas()
+        assert dist["doc_id"].tolist() == ids.tolist()
+        assert dist["score"].tolist() == scores.tolist()  # bitwise
+
+
 def test_phrase_survives_merge(pos_index, tmp_path_factory):
     from elasticsearch_data_loader_ray.index.merge import merge_segments
 
