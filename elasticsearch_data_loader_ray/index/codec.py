@@ -53,21 +53,32 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode a uint8 LEB128 stream -> uint64 values (vectorized)."""
+    """Decode a uint8 LEB128 stream -> uint64 values (vectorized).
+
+    Fast path: a stream with no continuation bits (every value < 128 — the
+    common case for dense head-term gap lists) IS the value array. General
+    path uses buffered np.add.reduceat over per-value byte groups.
+    """
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
-    b = b.astype(np.uint64, copy=False)
-    is_end = (b & np.uint64(0x80)) == 0
+    cont = b & np.uint8(0x80)
+    if not cont.any():
+        vals = b.astype(np.uint64)
+        if count is not None:
+            assert len(vals) == count, (len(vals), count)
+        return vals
+    b64 = b.astype(np.uint64)
+    is_end = cont == 0
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    idx = np.arange(len(b), dtype=np.int64)
-    group = np.searchsorted(ends, idx)
+    idx = np.arange(len(b64), dtype=np.int64)
+    group = np.searchsorted(ends, idx, side="left")
     shift = ((idx - starts[group]) * 7).astype(np.uint64)
-    vals = np.zeros(len(ends), dtype=np.uint64)
-    np.add.at(vals, group, (b & np.uint64(0x7F)) << shift)
+    shifted = (b64 & np.uint64(0x7F)) << shift
+    vals = np.add.reduceat(shifted, starts)
     if count is not None:
         assert len(vals) == count, (len(vals), count)
     return vals

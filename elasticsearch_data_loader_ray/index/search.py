@@ -364,6 +364,10 @@ class LocalSearcher:
         self.doc_files = [seg_docs_path(index_dir, s) for s in self.seg_ids]
         self._dl: dict[str, np.ndarray] = {}
         self._idf_cache: dict[tuple[str, str], float | None] = {}
+        # hot postings cache (serving path): decoded runs per (field, term),
+        # FIFO-evicted; repeated/overlapping queries skip the parquet read
+        self._postings_cache: dict[tuple[str, str], list] = {}
+        self._postings_cache_cap = 8192
 
     def _dl_for(self, field: str) -> np.ndarray:
         if field not in self._dl:
@@ -394,17 +398,29 @@ class LocalSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         if not terms or self.term_ds is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        tt = self.term_ds.to_table(
-            columns=["term", "df", "doc_ids_enc", "tfs_enc"],
-            filter=_term_filters({field: terms}),
-        )
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
-        for i in range(tt.num_rows):
-            t = tt["term"][i].as_py()
-            ids, tfs = codec.decode_postings(
-                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
-                int(tt["df"][i].as_py()))
-            by_term.setdefault(t, []).append((ids, tfs))
+        missing = []
+        for t in terms:
+            cached = self._postings_cache.get((field, t))
+            if cached is not None:
+                by_term[t] = cached
+            else:
+                missing.append(t)
+        if missing:
+            tt = self.term_ds.to_table(
+                columns=["term", "df", "doc_ids_enc", "tfs_enc"],
+                filter=_term_filters({field: missing}),
+            )
+            for i in range(tt.num_rows):
+                t = tt["term"][i].as_py()
+                ids, tfs = codec.decode_postings(
+                    tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                    int(tt["df"][i].as_py()))
+                by_term.setdefault(t, []).append((ids, tfs))
+            for t in missing:
+                if len(self._postings_cache) >= self._postings_cache_cap:
+                    self._postings_cache.pop(next(iter(self._postings_cache)))
+                self._postings_cache[(field, t)] = by_term.get(t, [])
         dl = self._dl_for(field)
         avgdl = _avgdl(self.stats, field)
         if mode == "and":
