@@ -1201,6 +1201,88 @@ SQL_EVENTS_SESSIONS = (
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth: per-key top-k, distinct, broadcast hash join
+# ---------------------------------------------------------------------------
+
+def q_top_docs_per_source(sf_dir: str):
+    """Grouped top-k (window-function analogue): 3 longest docs per source."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["source", "rank", "doc_id", "n_chars"]]
+
+    return ds.groupby("source").map_groups(topk, batch_format="pandas")
+
+
+SQL_TOP_DOCS_PER_SOURCE = (
+    "SELECT source, rank, doc_id, n_chars FROM ("
+    "SELECT source, doc_id, n_chars, row_number() OVER ("
+    "PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank "
+    "FROM documents) WHERE rank <= 3"
+)
+
+
+def q_distinct_sources(sf_dir: str):
+    """Distinct values (ds.unique analogue) with counts."""
+    from ray.data.aggregate import Count
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang"])
+            .groupby(["source", "lang"]).aggregate(Count(alias_name="n_docs")))
+
+
+SQL_DISTINCT_SOURCES = (
+    "SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2"
+)
+
+
+def q_lineitem_orders_join(sf_dir: str):
+    """Broadcast hash join (small side via ray.put, no shuffle): revenue per
+    order priority — the guide's broadcast-join pattern over the TPC-H pair.
+    """
+    import pyarrow.parquet as pq_
+
+    orders = pq_.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderpriority"])
+    lookup = dict(zip(orders["o_orderkey"].to_pylist(),
+                      orders["o_orderpriority"].to_pylist()))
+    lookup_ref = ray.put(lookup)
+
+    def join(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        prio = [lk.get(k) for k in t["l_orderkey"].to_pylist()]
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        out = pa.table({"o_orderpriority": pa.array(prio, pa.string()),
+                        "rev": rev})
+        return out.filter(out["o_orderpriority"].is_valid())
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice", "l_discount"])
+           .map_batches(join, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("rev", alias_name="revenue"))
+           .to_pandas())
+    out["revenue"] = np.round(out["revenue"].to_numpy(dtype=np.float64), 2)
+    return pa.Table.from_pandas(out.reset_index(drop=True))
+
+
+SQL_LINEITEM_ORDERS_JOIN = (
+    "SELECT o.o_orderpriority, count(*) AS n_items, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY 1"
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1233,6 +1315,9 @@ def queries() -> dict:
         "multimodal_features": q_multimodal_features,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "top_docs_per_source": q_top_docs_per_source,
+        "distinct_sources": q_distinct_sources,
+        "lineitem_orders_join": q_lineitem_orders_join,
     }
 
 
@@ -1263,4 +1348,7 @@ def oracle_sql() -> dict:
         # ann_lsh_topk, multimodal_features: rows-only (approximate / stubbed)
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "top_docs_per_source": SQL_TOP_DOCS_PER_SOURCE,
+        "distinct_sources": SQL_DISTINCT_SOURCES,
+        "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
     }
