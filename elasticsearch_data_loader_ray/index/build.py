@@ -356,6 +356,10 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
                 offs, pa.array(table["block_last_flat"], pa.int64())),
             "block_max_impact": pa.ListArray.from_arrays(
                 offs, pa.array(table["block_max_flat"], pa.float64())),
+            "block_doc_byte_off": pa.ListArray.from_arrays(
+                offs, pa.array(table["block_doc_off_flat"], pa.int64())),
+            "block_tf_byte_off": pa.ListArray.from_arrays(
+                offs, pa.array(table["block_tf_off_flat"], pa.int64())),
             "max_impact": pa.array(table["max_impact"], pa.float64()),
         }
         if with_positions and len(rank_s) == 0:

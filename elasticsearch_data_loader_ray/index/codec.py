@@ -172,6 +172,8 @@ def build_posting_table(
             "doc_ids_enc": [], "tfs_enc": [],
             "block_last_flat": np.empty(0, np.int64),
             "block_max_flat": np.empty(0, np.float64),
+            "block_doc_off_flat": np.empty(0, np.int64),
+            "block_tf_off_flat": np.empty(0, np.int64),
             "block_offsets": np.zeros(1, np.int64),
             "max_impact": np.empty(0, np.float64),
         }
@@ -212,6 +214,18 @@ def build_posting_table(
     blk_last = doc_ids_sorted[np.r_[blk_starts[1:] - 1, n - 1]].astype(np.int64)
     term_max = np.maximum.reduceat(blk_max, block_base)
 
+    # per-block byte offsets RELATIVE to each term's slice start, for both
+    # streams — enables lazy per-block decode (block-max WAND skipping)
+    id_byte_starts = np.r_[0, id_byte_ends[:-1]]
+    tf_byte_starts = np.r_[0, tf_byte_ends[:-1]]
+    term_of_block = np.repeat(np.arange(len(dfs)), n_blocks)
+    term_id_base = np.r_[0, id_byte_ends[run_ends - 1][:-1]]
+    term_tf_base = np.r_[0, tf_byte_ends[run_ends - 1][:-1]]
+    blk_doc_off = (id_byte_starts[blk_starts]
+                   - term_id_base[term_of_block]).astype(np.int64)
+    blk_tf_off = (tf_byte_starts[blk_starts]
+                  - term_tf_base[term_of_block]).astype(np.int64)
+
     # flat block arrays + per-term offsets (zero-copy Arrow ListArray later)
     block_offsets = np.r_[0, np.cumsum(n_blocks)]
 
@@ -222,9 +236,94 @@ def build_posting_table(
         "tfs_enc": slices(tf_bytes, tf_byte_ends),
         "block_last_flat": blk_last,
         "block_max_flat": blk_max,
+        "block_doc_off_flat": blk_doc_off,
+        "block_tf_off_flat": blk_tf_off,
         "block_offsets": block_offsets,
         "max_impact": term_max,
     }
+
+
+class BlockedPostings:
+    """Lazy per-block reader over one term's encoded postings.
+
+    ``block_last`` gives each block's max doc id (ascending across blocks);
+    ``doc_offs``/``tf_offs`` are byte offsets of each block's start within
+    the term's encoded streams. Blocks decode on demand and are cached —
+    the block-max WAND building block: skip whole blocks via ``block_last``
+    without touching their bytes.
+    """
+
+    def __init__(self, doc_enc: bytes, tf_enc: bytes, df: int,
+                 block_last: np.ndarray, doc_offs: np.ndarray,
+                 tf_offs: np.ndarray):
+        self.doc_enc = doc_enc
+        self.tf_enc = tf_enc
+        self.df = int(df)
+        self.block_last = block_last
+        self.doc_offs = doc_offs
+        self.tf_offs = tf_offs
+        self.n_blocks = len(block_last)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.blocks_decoded = 0
+
+    def block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode block ``b`` -> (doc_ids asc, tfs). First gap of a block
+        b>0 is relative to the previous block's last doc id. Blocks are
+        self-delimiting (byte-offset bounded) — no fixed 128 count is
+        assumed, so merged lists with short interior tail blocks decode
+        correctly."""
+        got = self._cache.get(b)
+        if got is not None:
+            return got
+        d_end = (int(self.doc_offs[b + 1]) if b + 1 < self.n_blocks
+                 else len(self.doc_enc))
+        t_end = (int(self.tf_offs[b + 1]) if b + 1 < self.n_blocks
+                 else len(self.tf_enc))
+        gaps = varint_decode(np.frombuffer(
+            self.doc_enc[int(self.doc_offs[b]):d_end], dtype=np.uint8))
+        tfs = varint_decode(np.frombuffer(
+            self.tf_enc[int(self.tf_offs[b]):t_end], dtype=np.uint8))
+        assert len(gaps) == len(tfs), (len(gaps), len(tfs))
+        ids = np.cumsum(gaps.astype(np.int64))
+        if b > 0:
+            ids += int(self.block_last[b - 1])
+        out = (ids, tfs.astype(np.int64))
+        self._cache[b] = out
+        self.blocks_decoded += 1
+        return out
+
+    def lookup(self, doc_id: int) -> int:
+        """tf of ``doc_id`` in this posting list, or 0 — decodes only the
+        one block that could contain it."""
+        b = int(np.searchsorted(self.block_last, doc_id))
+        if b >= self.n_blocks:
+            return 0
+        ids, tfs = self.block(b)
+        j = int(np.searchsorted(ids, doc_id))
+        if j < len(ids) and int(ids[j]) == doc_id:
+            return int(tfs[j])
+        return 0
+
+    def lookup_many(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Vectorized membership+tf for ascending candidate doc ids; decodes
+        only blocks that contain at least one candidate."""
+        out = np.zeros(len(doc_ids), dtype=np.int64)
+        if len(doc_ids) == 0:
+            return out
+        blocks = np.searchsorted(self.block_last, doc_ids)
+        for b in np.unique(blocks):
+            if b >= self.n_blocks:
+                continue
+            mask = blocks == b
+            ids, tfs = self.block(int(b))
+            pos = np.searchsorted(ids, doc_ids[mask])
+            ok = (pos < len(ids))
+            pos_c = np.clip(pos, 0, len(ids) - 1)
+            ok &= ids[pos_c] == doc_ids[mask]
+            vals = np.zeros(mask.sum(), dtype=np.int64)
+            vals[ok] = tfs[pos_c][ok]
+            out[mask] = vals
+        return out
 
 
 def block_lists(table: dict) -> tuple[list[list[int]], list[list[float]]]:

@@ -28,8 +28,12 @@ from . import manifest as mf
 from .build import BuildConfig, _write_segment_files, seg_docs_path, seg_terms_path
 
 
-def _reencode_first(enc: bytes, prev_last: int) -> bytes:
-    """Rewrite the leading absolute-doc varint as a gap from prev_last."""
+def _reencode_first(enc: bytes, prev_last: int) -> tuple[bytes, int]:
+    """Rewrite the leading absolute-doc varint as a gap from prev_last.
+
+    Returns (new_bytes, length_delta) — the delta shifts this part's
+    stored block byte offsets when rebasing them into the merged stream.
+    """
     v, L = 0, 0
     while True:  # decode only the first varint (<=10 bytes)
         byte = enc[L]
@@ -38,7 +42,8 @@ def _reencode_first(enc: bytes, prev_last: int) -> bytes:
         if not byte & 0x80:
             break
     gap_bytes, _ = codec.varint_encode(np.array([v - prev_last], dtype=np.uint64))
-    return gap_bytes.tobytes() + enc[L:]
+    gb = gap_bytes.tobytes()
+    return gb + enc[L:], len(gb) - L
 
 
 def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
@@ -73,8 +78,12 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
     mxs = allt["max_impact"].to_numpy()
     blast_col = allt["block_last_doc"].combine_chunks()
     bmax_col = allt["block_max_impact"].combine_chunks()
+    bdoc_col = allt["block_doc_byte_off"].combine_chunks()
+    btf_col = allt["block_tf_byte_off"].combine_chunks()
     blast_flat = np.asarray(blast_col.values)
     bmax_flat = np.asarray(bmax_col.values)
+    bdoc_flat = np.asarray(bdoc_col.values)
+    btf_flat = np.asarray(btf_col.values)
     bl_off = np.asarray(blast_col.offsets)
     # last doc id of each input row's posting list (for boundary re-encode)
     row_last = blast_flat[bl_off[1:] - 1]
@@ -84,7 +93,7 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
     o_df = np.zeros(out_rows, dtype=np.int64)
     o_mx = np.zeros(out_rows, dtype=np.float64)
     o_doc, o_tf, o_pos = [], [], []
-    o_blast, o_bmax = [], []
+    o_blast, o_bmax, o_bdoc, o_btf = [], [], [], []
     for r, (s, e) in enumerate(zip(run_starts, run_ends)):
         idxs = order[s:e]
         o_df[r] = dfs[idxs].sum()
@@ -97,6 +106,8 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
                 o_pos.append(pos_encs[i])
             o_blast.append(blast_flat[bl_off[i]:bl_off[i + 1]].tolist())
             o_bmax.append(bmax_flat[bl_off[i]:bl_off[i + 1]].tolist())
+            o_bdoc.append(bdoc_flat[bl_off[i]:bl_off[i + 1]].tolist())
+            o_btf.append(btf_flat[bl_off[i]:bl_off[i + 1]].tolist())
             continue
         i0 = int(idxs[0])
         doc_parts = [doc_encs[i0]]
@@ -105,15 +116,29 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
                      pos_encs[i0] is not None else [])
         bl = [blast_flat[bl_off[i0]:bl_off[i0 + 1]]]
         bm = [bmax_flat[bl_off[i0]:bl_off[i0 + 1]]]
+        bd = [bdoc_flat[bl_off[i0]:bl_off[i0 + 1]]]
+        bt = [btf_flat[bl_off[i0]:bl_off[i0 + 1]]]
         prev_last = int(row_last[i0])
+        doc_prefix = len(doc_encs[i0])
+        tf_prefix = len(tf_encs[i0])
         for i in (int(x) for x in idxs[1:]):
-            doc_parts.append(_reencode_first(doc_encs[i], prev_last))
+            new_enc, delta = _reencode_first(doc_encs[i], prev_last)
+            doc_parts.append(new_enc)
             tf_parts.append(tf_encs[i])
             if has_positions and pos_encs[i] is not None:
                 pos_parts.append(pos_encs[i])
             bl.append(blast_flat[bl_off[i]:bl_off[i + 1]])
             bm.append(bmax_flat[bl_off[i]:bl_off[i + 1]])
+            # rebase this part's block byte offsets into the merged stream:
+            # +prefix, and +delta for blocks after the rewritten first varint
+            part_bdoc = bdoc_flat[bl_off[i]:bl_off[i + 1]].copy()
+            part_bdoc[0] = 0
+            part_bdoc[1:] += delta
+            bd.append(part_bdoc + doc_prefix)
+            bt.append(btf_flat[bl_off[i]:bl_off[i + 1]] + tf_prefix)
             prev_last = int(row_last[i])
+            doc_prefix += len(new_enc)
+            tf_prefix += len(tf_encs[i])
         o_doc.append(b"".join(doc_parts))
         o_tf.append(b"".join(tf_parts))
         if has_positions:
@@ -123,6 +148,8 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
             o_pos.append(b"".join(pos_parts) if pos_parts else None)
         o_blast.append(np.concatenate(bl).tolist())
         o_bmax.append(np.concatenate(bm).tolist())
+        o_bdoc.append(np.concatenate(bd).tolist())
+        o_btf.append(np.concatenate(bt).tolist())
 
     cols = {
         "field": pa.array(o_field, pa.string()),
@@ -132,6 +159,8 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
         "tfs_enc": pa.array(o_tf, pa.binary()),
         "block_last_doc": pa.array(o_blast, pa.list_(pa.int64())),
         "block_max_impact": pa.array(o_bmax, pa.list_(pa.float64())),
+        "block_doc_byte_off": pa.array(o_bdoc, pa.list_(pa.int64())),
+        "block_tf_byte_off": pa.array(o_btf, pa.list_(pa.int64())),
         "max_impact": pa.array(o_mx, pa.float64()),
     }
     if has_positions:

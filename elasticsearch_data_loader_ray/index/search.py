@@ -368,6 +368,7 @@ class LocalSearcher:
         # FIFO-evicted; repeated/overlapping queries skip the parquet read
         self._postings_cache: dict[tuple[str, str], list] = {}
         self._postings_cache_cap = 8192
+        self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
 
     def _dl_for(self, field: str) -> np.ndarray:
         if field not in self._dl:
@@ -388,14 +389,165 @@ class LocalSearcher:
         return {t: v for t in terms
                 if (v := self._idf_cache.get((field, t))) is not None}
 
+    def _search_and_blockskip(self, field: str, terms: list[str], k: int,
+                              idf: dict[str, float], dl: np.ndarray,
+                              avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """Conjunctive top-k with block-max skipping.
+
+        The rarest term drives; every other term is probed via
+        ``BlockedPostings.lookup_many`` which decodes ONLY the 128-posting
+        blocks that can contain a surviving candidate (``block_last_doc``
+        binary search — the WAND skipping primitive). Scores accumulate per
+        term in lexicographic order, so results are bitwise-identical to the
+        full-decode path. ``self.last_block_stats`` records
+        (blocks_decoded, blocks_total) for observability.
+        """
+        if "block_doc_byte_off" not in self.term_ds.schema.names:
+            # index built before block byte offsets existed: full decode
+            return self._search_and_fulldecode(field, terms, k, idf, dl, avgdl)
+        # cost model: probing costs ~driver_df per other term and loses the
+        # vectorized-decode advantage (~8x); skip-read only pays when the
+        # driver is selective relative to the other lists
+        df_tbl = self.term_ds.to_table(columns=["term", "df"],
+                                       filter=_term_filters({field: terms}))
+        df_of_g: dict[str, int] = {}
+        for t, d in zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()):
+            df_of_g[t] = df_of_g.get(t, 0) + int(d)
+        if any(t not in df_of_g for t in terms):
+            self.last_block_stats = (0, 0)
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        min_df = min(df_of_g.values())
+        other_total = sum(df_of_g.values()) - min_df
+        if min_df * 8 * max(1, len(terms) - 1) >= other_total:
+            return self._search_and_fulldecode(field, terms, k, idf, dl, avgdl)
+        tt = self.term_ds.to_table(
+            columns=["term", "df", "doc_ids_enc", "tfs_enc",
+                     "block_last_doc", "block_doc_byte_off",
+                     "block_tf_byte_off"],
+            filter=_term_filters({field: terms}),
+        )
+        readers: dict[str, list[codec.BlockedPostings]] = {t: [] for t in terms}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            readers[t].append(codec.BlockedPostings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()),
+                np.array(tt["block_last_doc"][i].as_py(), dtype=np.int64),
+                np.array(tt["block_doc_byte_off"][i].as_py(), dtype=np.int64),
+                np.array(tt["block_tf_byte_off"][i].as_py(), dtype=np.int64),
+            ))
+        if any(not rs for rs in readers.values()):
+            self.last_block_stats = (0, 0)
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        for t in terms:
+            readers[t].sort(key=lambda r: int(r.block_last[0]))
+        df_of = {t: sum(r.df for r in readers[t]) for t in terms}
+        driver = min(terms, key=lambda t: df_of[t])
+        # driver decodes fully; every other term probed lazily
+        cand = np.concatenate([r.block(b)[0] for r in readers[driver]
+                               for b in range(r.n_blocks)])
+        others = [t for t in terms if t != driver]
+        others.sort(key=lambda t: df_of[t])  # rarest first: shrink fastest
+        tf_by_term: dict[str, np.ndarray] = {}
+        def probe(t: str, cand: np.ndarray) -> np.ndarray:
+            """tf per candidate: runs are ordered disjoint ranges, so slice
+            the (ascending) candidate array per run instead of scanning the
+            whole set against every run."""
+            runs = readers[t]
+            if len(runs) == 1:
+                return runs[0].lookup_many(cand)
+            out = np.zeros(len(cand), dtype=np.int64)
+            lo = 0
+            for r in runs:
+                hi = int(np.searchsorted(cand, int(r.block_last[-1]), "right"))
+                if hi > lo:
+                    out[lo:hi] = r.lookup_many(cand[lo:hi])
+                lo = hi
+                if lo >= len(cand):
+                    break
+            return out
+
+        for t in others:
+            tfs = probe(t, cand)
+            keep = tfs > 0
+            cand = cand[keep]
+            tf_by_term[t] = tfs[keep]
+            for u in others:
+                if u in tf_by_term and u != t:
+                    tf_by_term[u] = tf_by_term[u][keep]
+            if len(cand) == 0:
+                break
+        blocks_decoded = sum(r.blocks_decoded for rs in readers.values()
+                             for r in rs)
+        blocks_total = sum(r.n_blocks for rs in readers.values() for r in rs)
+        self.last_block_stats = (blocks_decoded, blocks_total)
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # driver tfs for surviving candidates
+        tf_by_term[driver] = probe(driver, cand)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:  # lexicographic order -> bitwise-stable accumulation
+            scores += idf[t] * codec.bm25_tf_impact(
+                tf_by_term[t].astype(np.float64), dl[cand], avgdl)
+        if len(cand) > k:
+            kth = np.partition(scores, -k)[-k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        return cand[order].astype(np.int64), scores[order]
+
+    def _search_and_fulldecode(self, field: str, terms: list[str], k: int,
+                               idf: dict[str, float], dl: np.ndarray,
+                               avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """Conjunctive top-k via full posting decode (pre-block-offset
+        index format fallback; results identical to the block-skip path)."""
+        tt = self.term_ds.to_table(
+            columns=["term", "df", "doc_ids_enc", "tfs_enc"],
+            filter=_term_filters({field: terms}),
+        )
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()))
+            by_term.setdefault(t, []).append((ids, tfs))
+        merged: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in terms:
+            runs = sorted(by_term.get(t, []), key=lambda r: r[0][0])
+            if not runs:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            merged[t] = (np.concatenate([r[0] for r in runs]),
+                         np.concatenate([r[1] for r in runs]))
+        cand = merged[terms[0]][0]
+        for t in terms[1:]:
+            cand = np.intersect1d(cand, merged[t][0], assume_unique=True)
+            if len(cand) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        sc = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:  # lexicographic order
+            ids, tfs = merged[t]
+            pos = np.searchsorted(ids, cand)
+            sc += idf[t] * codec.bm25_tf_impact(tfs[pos], dl[cand], avgdl)
+        if len(cand) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            cand, sc = cand[keep], sc[keep]
+        order = np.lexsort((cand, -sc))[:k]
+        return cand[order].astype(np.int64), sc[order]
+
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD,
                mode: str = "or") -> tuple[np.ndarray, np.ndarray]:
         all_terms = query_terms(query, _field_analyzer(self.stats, field))
         idf = self._idf(field, all_terms)
         terms = [t for t in all_terms if t in idf]
-        if mode == "and" and len(terms) != len(all_terms):
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if mode == "and":
+            if len(terms) != len(all_terms) or not terms or self.term_ds is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            return self._search_and_blockskip(
+                field, terms, k, idf, self._dl_for(field),
+                _avgdl(self.stats, field))
         if not terms or self.term_ds is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
@@ -423,36 +575,14 @@ class LocalSearcher:
                 self._postings_cache[(field, t)] = by_term.get(t, [])
         dl = self._dl_for(field)
         avgdl = _avgdl(self.stats, field)
-        if mode == "and":
-            # segment runs are disjoint ordered doc ranges: concatenation in
-            # first-id order yields globally ascending posting lists
-            merged: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-            for t in terms:
-                runs = sorted(by_term.get(t, []), key=lambda r: r[0][0])
-                if not runs:
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
-                merged[t] = (np.concatenate([r[0] for r in runs]),
-                             np.concatenate([r[1] for r in runs]))
-            cand = merged[terms[0]][0]
-            for t in terms[1:]:
-                cand = np.intersect1d(cand, merged[t][0], assume_unique=True)
-                if len(cand) == 0:
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
-            sc = np.zeros(len(cand), dtype=np.float64)
-            for t in terms:  # lexicographic order
-                ids, tfs = merged[t]
-                pos = np.searchsorted(ids, cand)
-                sc += idf[t] * codec.bm25_tf_impact(tfs[pos], dl[cand], avgdl)
-            loc = cand
-        else:
-            scores = np.zeros(self.n_docs, dtype=np.float64)
-            touched = np.zeros(self.n_docs, dtype=bool)
-            for t in terms:  # lexicographic accumulation order
-                for ids, tfs in by_term.get(t, []):
-                    scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
-                    touched[ids] = True
-            loc = np.flatnonzero(touched)
-            sc = scores[loc]
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for t in terms:  # lexicographic accumulation order
+            for ids, tfs in by_term.get(t, []):
+                scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
+                touched[ids] = True
+        loc = np.flatnonzero(touched)
+        sc = scores[loc]
         if len(loc) > k:
             kth = np.partition(sc, -k)[-k]
             keep = sc >= kth

@@ -112,6 +112,50 @@ def test_block_boundaries_multi_block():
     assert out_ids.tolist() == ids.tolist()
 
 
+def test_blocked_postings_lazy_decode():
+    n = 700
+    terms = np.array(["t"] * n, dtype=object)
+    ids = np.arange(3, 3 + 5 * n, 5, dtype=np.int64)
+    tfs = (np.arange(n) % 7 + 1).astype(np.int64)
+    dls = np.full(n, 10, dtype=np.int64)
+    table = codec.build_posting_table(terms, ids, tfs, dls, 10.0)
+    blast, _ = codec.block_lists(table)
+    offs = table["block_offsets"]
+    bp = codec.BlockedPostings(
+        table["doc_ids_enc"][0], table["tfs_enc"][0], n,
+        np.array(blast[0]),
+        table["block_doc_off_flat"][offs[0]:offs[1]],
+        table["block_tf_off_flat"][offs[0]:offs[1]],
+    )
+    assert bp.n_blocks == (n + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+    # every block decodes to the right slice
+    for b in range(bp.n_blocks):
+        got_ids, got_tfs = bp.block(b)
+        s = b * codec.BLOCK_SIZE
+        e = min(n, s + codec.BLOCK_SIZE)
+        assert got_ids.tolist() == ids[s:e].tolist()
+        assert got_tfs.tolist() == tfs[s:e].tolist()
+    # lazy lookup decodes exactly one block
+    bp2 = codec.BlockedPostings(
+        table["doc_ids_enc"][0], table["tfs_enc"][0], n,
+        np.array(blast[0]),
+        table["block_doc_off_flat"][offs[0]:offs[1]],
+        table["block_tf_off_flat"][offs[0]:offs[1]],
+    )
+    probe = int(ids[400])
+    assert bp2.lookup(probe) == int(tfs[400])
+    assert bp2.lookup(probe + 1) == 0  # absent doc
+    assert bp2.blocks_decoded == 1
+    # vectorized lookup over a sparse candidate set
+    cand = ids[[10, 300, 699]].copy()
+    cand_plus = np.sort(np.r_[cand, [1]])  # 1 is absent
+    out = bp2.lookup_many(cand_plus)
+    want = {int(ids[i]): int(tfs[i]) for i in (10, 300, 699)}
+    for d, tf in zip(cand_plus, out):
+        assert tf == want.get(int(d), 0)
+    assert bp2.blocks_decoded <= 4
+
+
 def test_bm25_idf():
     assert codec.bm25_idf(1, 2) == pytest.approx(np.log(1 + 1.5 / 1.5))
     assert float(codec.bm25_idf(10, 10)) == pytest.approx(np.log(1 + 0.5 / 10.5))
