@@ -91,9 +91,19 @@ def tokenize_edge_ngram(
 
 # --- token filters (F5-F11) ----------------------------------------------
 
+def _lower(s: str) -> str:
+    """Unicode simple-mapping lowercase via the same Arrow kernel the batch
+    tokenizer uses (utf8_lower), so scalar and batch analysis agree even for
+    full-casing characters like 'İ' (str.lower gives a 2-codepoint result,
+    utf8_lower the simple 1-codepoint mapping)."""
+    if s.isascii():
+        return s.lower()
+    return pc.utf8_lower(pa.scalar(s)).as_py()
+
+
 def filter_lowercase(tokens: list[str]) -> list[str]:
-    """F5 — Unicode lowercase."""
-    return [t.lower() for t in tokens]
+    """F5 — Unicode lowercase (simple mapping, matching the batch layer)."""
+    return [_lower(t) for t in tokens]
 
 
 def fold_ascii(text: str) -> str:

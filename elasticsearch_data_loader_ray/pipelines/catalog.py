@@ -49,7 +49,9 @@ NAME_EXPR_SQL = (
 )
 
 
-def _name_expr_py(text: str, doc_id: int) -> str:
+def _name_expr_py(text: str | None, doc_id: int) -> str | None:
+    if text is None:
+        return None  # SQL side: NULL || ... -> NULL
     suf = ["LIMITED", "PLC", "LTD.", "HOLDINGS"][doc_id % 4]
     return text[:20].upper() + " " + suf
 
@@ -137,7 +139,8 @@ def q_suffix_split(sf_dir: str):
 
     def xf(df: pd.DataFrame) -> pd.DataFrame:
         names = [_name_expr_py(x, i) for x, i in zip(df["text"], df["doc_id"])]
-        parts = [split_company_name_endings(n) for n in names]
+        parts = [split_company_name_endings(n) if n is not None else (None, None)
+                 for n in names]
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "name": names,
@@ -168,8 +171,10 @@ def q_alpha_keys(sf_dir: str):
         names = [_name_expr_py(x, i) for x, i in zip(df["text"], df["doc_id"])]
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "same_as_alpha_key": [same_as_alpha_key(n) for n in names],
-            "ordered_alpha_key": [ordered_alpha_key(n) for n in names],
+            "same_as_alpha_key": [same_as_alpha_key(n) if n is not None else None
+                                  for n in names],
+            "ordered_alpha_key": [ordered_alpha_key(n) if n is not None else None
+                                  for n in names],
         })
 
     return ds.map_batches(xf, batch_format="pandas")
@@ -207,8 +212,8 @@ def q_token_counts(sf_dir: str):
 
 
 SQL_TOKEN_COUNTS = (
-    f"SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) "
-    "AS BIGINT) AS n_tokens FROM documents"
+    "SELECT doc_id, CAST(len(regexp_extract_all(lower(coalesce(text, '')), "
+    f"'{TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens FROM documents"
 )
 
 
@@ -563,7 +568,7 @@ def q_langid_quality(sf_dir: str):
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 SQL_LANGID_QUALITY = (
-    f"WITH tc AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"WITH tc AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), "
     f"'{TOKEN_RE_SQL}') AS ts FROM documents) "
     "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, "
     "round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE "
@@ -579,7 +584,10 @@ def q_fingerprint(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def xf(t: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(re.sub(r"\s+", " ", (x or "").lower()).strip().encode())
+        # explicit ASCII whitespace class: Python \s is Unicode-wide while
+        # DuckDB's RE2 \s is ASCII-only — keep both sides identical
+        fps = [hashlib.md5(re.sub(r"[ \t\n\r\f\v]+", " ",
+                                  (x or "").lower()).strip().encode())
                .hexdigest() for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"],
                          "fingerprint": pa.array(fps, pa.string())})
@@ -589,7 +597,7 @@ def q_fingerprint(sf_dir: str):
 
 SQL_FINGERPRINT = (
     "SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), "
-    "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"
+    "'[ \\t\\n\\r\\f\\v]+', ' ', 'g'))) AS fingerprint FROM documents"
 )
 
 
@@ -894,7 +902,11 @@ def q_embedding_topk(sf_dir: str):
         for c, qid in enumerate(ids_q):
             s = sims[:, c]
             k = min(EMB_K + 10, len(s))
-            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            if len(s) > k:
+                kth = np.partition(s, -k)[-k]
+                part = np.flatnonzero(s >= kth)  # keep ALL boundary ties
+            else:
+                part = np.arange(len(s))
             out_q.extend([qid] * len(part))
             out_v.extend(vids[part].tolist())
             out_s.extend(s[part].tolist())
@@ -981,10 +993,10 @@ def q_events_tumbling(sf_dir: str):
                          columns=["ts", "event_type", "value"])
 
     def win(t: pa.Table) -> pa.Table:
-        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
-        w = pc.multiply(pc.divide(epoch, 3_600_000_000), 3_600_000_000)
+        epoch = pc.cast(t["ts"], pa.int64()).to_numpy()  # microseconds
+        w = (epoch // 3_600_000_000) * 3_600_000_000  # floor division (SQL floor parity for pre-epoch ts)
         return pa.table({"event_type": t["event_type"],
-                         "window_us": pc.cast(w, pa.int64()),
+                         "window_us": pa.array(w, pa.int64()),
                          "value": t["value"]})
 
     out = (

@@ -54,17 +54,14 @@ class ImageFeatureStage:
     """
 
     def __init__(self, strict: bool = False):
+        # A real decode path is NOT implemented (stub engine): strict mode
+        # fails fast; otherwise the deterministic fake decoder is used
+        # regardless of whether Pillow happens to be importable.
+        if strict:
+            raise NotImplementedError(
+                "real image decode is not implemented in this container; "
+                "run with strict=False to use the deterministic stub")
         self.decoder = None
-        try:  # pragma: no cover - PIL absent in this container
-            from PIL import Image  # noqa: F401
-
-            self.decoder = "pil"
-        except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires Pillow, which is not available; "
-                    "run with strict=False to use the deterministic stub"
-                ) from None
 
     def _features(self, plane: np.ndarray) -> np.ndarray:
         hist = np.bincount(plane.ravel() >> 4, minlength=FEATURE_DIM)[:FEATURE_DIM]
@@ -81,8 +78,6 @@ class ImageFeatureStage:
                 feats.append([])
                 ok.append(False)
                 continue
-            if self.decoder == "pil":  # pragma: no cover
-                raise NotImplementedError("real decode path untested here")
             plane = fake_decode(payload, w or 1, h or 1)
             feats.append(self._features(plane).tolist())
             ok.append(True)

@@ -108,8 +108,11 @@ def ann_topk(emb_path: str, query_vec_ids: list[int], k: int = 10,
                 continue
             sims = vn[cand] @ qm[c]
             take = min(k + 5, len(sims))
-            part = (np.argpartition(-sims, take - 1)[:take]
-                    if len(sims) > take else np.arange(len(sims)))
+            if len(sims) > take:
+                kth = np.partition(sims, -take)[-take]
+                part = np.flatnonzero(sims >= kth)  # keep boundary ties
+            else:
+                part = np.arange(len(sims))
             out_q.extend([qid] * len(part))
             out_v.extend(vids[cand][part].tolist())
             out_s.extend(sims[part].tolist())
