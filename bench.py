@@ -34,7 +34,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Entries excluded from the per-query timing loop at bench sf (the exact
 # all-pairs shingle join is intentionally quadratic; its scale path —
 # minhash_lsh_pairs — is benched instead).
-SKIP_QUERIES = {"ngram_jaccard_pairs"}
+SKIP_QUERIES = {"ngram_jaccard_pairs", "duplicate_clusters"}
 
 
 def ensure_bench_input() -> None:

@@ -377,7 +377,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     Scale note: this is the *oracle-checkable* exact variant; the scale path
     is q_minhash_lsh_pairs (candidates via banding, then exact verify).
     """
-    sh = _doc_shingles_ds(sf_dir)
+    sh = _doc_shingles_ds(sf_dir).materialize()  # reused by both passes
     sizes_pdf = (sh.groupby("doc_id").count().to_pandas()
                  .rename(columns={"count()": "n"}))
     sizes = dict(zip(sizes_pdf["doc_id"], sizes_pdf["n"]))
@@ -392,7 +392,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     inter = (
-        _doc_shingles_ds(sf_dir).groupby("shingle")
+        sh.groupby("shingle")
         .map_groups(pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"]).count()
     )
@@ -509,6 +509,50 @@ def q_minhash_lsh_pairs(sf_dir: str):
         "doc_b": pa.array([r[1] for r in rows], pa.int64()),
         "jaccard": pa.array([r[2] for r in rows], pa.float64()),
     })
+
+
+def q_duplicate_clusters(sf_dir: str):
+    """Near-dup connected components: docs in any >=0.8-Jaccard pair get a
+    cluster_id = min doc_id of their component.
+
+    The pair graph comes from the distributed exact-Jaccard pipeline; the
+    closure runs as union-find over the collected pairs (at web scale the
+    pair set is tiny relative to the corpus — the distributed alternative is
+    a few rounds of min-label propagation with groupby). Oracle: recursive
+    CTE transitive closure.
+    """
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members = sorted(set(pdf["doc_a"]) | set(pdf["doc_b"]))
+    return pa.table({
+        "doc_id": pa.array([int(m) for m in members], pa.int64()),
+        "cluster_id": pa.array([find(int(m)) for m in members], pa.int64()),
+    })
+
+
+SQL_DUPLICATE_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (" + SQL_NGRAM_JACCARD_PAIRS + "), "
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(node, root) AS ("
+    "SELECT a, a FROM edges UNION SELECT b, b FROM edges "
+    "UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node) "
+    "SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY node"
+)
 
 
 def q_simhash(sf_dir: str):
@@ -1311,6 +1355,7 @@ def queries() -> dict:
         "first_token_edge_ngrams": q_first_token_edge_ngrams,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_clusters": q_duplicate_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "langid_quality": q_langid_quality,
@@ -1346,6 +1391,7 @@ def oracle_sql() -> dict:
         "first_token_edge_ngrams": SQL_FIRST_TOKEN_EDGE_NGRAMS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "duplicate_clusters": SQL_DUPLICATE_CLUSTERS,
         # minhash_lsh_pairs, simhash: rows-only (not SQL-expressible)
         "langid_quality": SQL_LANGID_QUALITY,
         "fingerprint": SQL_FINGERPRINT,
