@@ -1149,6 +1149,24 @@ def q_ann_lsh_topk(sf_dir: str):
                     k=EMB_K, n_probes=8)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN over embeddings (coarse k-means quantizer, probe-limited
+    reads) — rows-only; pytest gates recall on planted near-dups."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.ivf import ivf_build, ivf_topk
+
+    key = hashlib.md5((sf_dir + _code_fingerprint()).encode()).hexdigest()[:12]
+    out = f"/tmp/edlr_cache/ivf_{key}"
+    emb = f"{sf_dir}/embeddings.parquet"
+    ivf_build(emb, out, n_centroids=16)
+    qt = pq_.read_table(emb, filters=[("vec_id", "in", EMB_QUERY_IDS)])
+    q_ids = qt["vec_id"].to_pylist()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in qt["embedding"].to_pylist()])
+    return ivf_topk(out, q_mat, q_ids, k=EMB_K, n_probe=6)
+
+
 def q_multimodal_features(sf_dir: str):
     """Media plumbing over documents-as-binary payloads (decode stubbed —
     see stages/multimodal.py): rows-only check."""
@@ -1369,6 +1387,7 @@ def queries() -> dict:
         "es_doc_transform": q_es_doc_transform,
         "alpha_prefix_search": q_alpha_prefix_search,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,

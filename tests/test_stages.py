@@ -128,6 +128,33 @@ def test_lsh_ann_embeddings_schema():
         assert sub["vec_id"].to_pylist()[0] == qid  # rank 1 = self, cos 1.0
 
 
+def test_ivf_ann_planted_near_dups(tmp_path):
+    """IVF: planted high-cosine neighbors recalled; only probed lists read."""
+    from elasticsearch_data_loader_ray.stages.ivf import ivf_build, ivf_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((400, 32)).astype(np.float32)
+    n_q = 15
+    jitter = base[:n_q] + 0.05 * rng.standard_normal((n_q, 32)).astype(np.float32)
+    vecs = np.vstack([base, jitter])
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    }), path)
+    out = str(tmp_path / "ivf")
+    ivf_build(path, out, n_centroids=8)
+    q = vecs[:n_q].astype(np.float64)
+    got = ivf_topk(out, q, list(range(n_q)), k=5, n_probe=3).to_pandas()
+    hits = 0
+    for qid in range(n_q):
+        found = set(got[got["query_vec_id"] == qid]["vec_id"])
+        assert qid in found  # self-match
+        hits += (400 + qid) in found
+    assert hits / n_q >= 0.8, hits
+    assert len(ivf_topk.last_lists_read) <= 8  # partition-pruned read
+
+
 def test_multimodal_feature_stage_plumbing():
     from elasticsearch_data_loader_ray.stages.multimodal import (
         FEATURE_DIM,
