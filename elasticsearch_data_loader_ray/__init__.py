@@ -14,3 +14,26 @@ golden tests citing the reference (see SURVEY.md / FIXTURES.md).
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "BuildConfig", "SearchConfig", "build_index", "build_index_from_corpus",
+    "search", "search_inprocess", "LocalSearcher", "PhraseSearcher",
+    "merge_segments",
+]
+
+
+def __getattr__(name):  # lazy public API (avoid importing ray at package import)
+    if name in ("BuildConfig", "build_index", "build_index_from_corpus"):
+        from .index import build as _b
+
+        return getattr(_b, name)
+    if name in ("SearchConfig", "search", "search_inprocess", "LocalSearcher",
+                "PhraseSearcher"):
+        from .index import search as _s
+
+        return getattr(_s, name)
+    if name == "merge_segments":
+        from .index.merge import merge_segments
+
+        return merge_segments
+    raise AttributeError(name)
