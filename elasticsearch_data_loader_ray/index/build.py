@@ -460,7 +460,9 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
 
 
 def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
-    done = set(mf.committed_segments(index_dir))
+    # resume skips every bucket whose docs live in SOME segment — including
+    # buckets absorbed into merged segments (mf.covered_buckets)
+    done = mf.covered_buckets(index_dir)
     boundaries = plan["boundaries"]
     corpus_dir = os.path.join(index_dir, "corpus")
     # shuffle reduce-side parallelism follows the upstream block count: read
@@ -540,6 +542,7 @@ def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
         "per_field": per_field,
         "field_analyzers": {"text": "standard",
                             **{f: a for f, _s, a in cfg.fields}},
+        "index_positions": cfg.index_positions,
         "n_segments": plan["n_segments"],
         "n_duplicates": sum(m["n_duplicates"] for m in manifests.values()),
         "n_postings": sum(m["n_postings"] for m in manifests.values()),

@@ -17,6 +17,9 @@ import tempfile
 from typing import Any
 
 STATUS_COMMITTED = "committed"
+# merged segments get ids in a disjoint namespace so "is an original bucket"
+# stays decidable from the id alone
+MERGED_ID_BASE = 1_000_000
 
 
 def manifest_dir(index_dir: str) -> str:
@@ -53,7 +56,13 @@ def read_manifest(index_dir: str, segment_id: int) -> dict[str, Any] | None:
 
 
 def committed_segments(index_dir: str) -> dict[int, dict[str, Any]]:
-    """All committed segment manifests, keyed by segment_id."""
+    """All live committed segment manifests, keyed by segment_id.
+
+    A merged segment's manifest lists the ids it ``absorbed``; those are
+    resolved OUT here even if their manifest files still exist — writing the
+    merged manifest is the atomic commit point of a merge, and the absorbed
+    manifests' deletion is mere cleanup that may lag (crash tolerance).
+    """
     d = manifest_dir(index_dir)
     out: dict[int, dict[str, Any]] = {}
     if not os.path.isdir(d):
@@ -64,6 +73,18 @@ def committed_segments(index_dir: str) -> dict[int, dict[str, Any]]:
                 m = json.load(fh)
             if m.get("status") == STATUS_COMMITTED:
                 out[int(m["segment_id"])] = m
+    absorbed = {int(a) for m in out.values() for a in m.get("absorbed", [])}
+    return {k: m for k, m in out.items() if k not in absorbed}
+
+
+def covered_buckets(index_dir: str) -> set[int]:
+    """Bucket ids whose docs are present in SOME live segment: the live ids
+    plus everything they absorbed (transitively recorded at merge time).
+    Build-resume must skip these, not just the live ids."""
+    live = committed_segments(index_dir)
+    out = set(live)
+    for m in live.values():
+        out.update(int(a) for a in m.get("absorbed_buckets", m.get("absorbed", [])))
     return out
 
 

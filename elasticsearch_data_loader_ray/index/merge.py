@@ -178,7 +178,10 @@ def merge_segments(index_dir: str, group_size: int = 2,
     """
     cfg = cfg or BuildConfig()
     manifests = mf.committed_segments(index_dir)
-    seg_ids = sorted(manifests)
+    # adjacency is by DOC RANGE, not id: merged segments get fresh ids, so
+    # sorted ids need not follow doc order after partial merges
+    seg_ids = sorted(manifests, key=lambda s: manifests[s]["doc_id_base"])
+    next_id = max([mf.MERGED_ID_BASE - 1, *manifests.keys()]) + 1
     survivors: list[int] = []
     t_all = time.perf_counter()
     for i in range(0, len(seg_ids), group_size):
@@ -191,10 +194,19 @@ def merge_segments(index_dir: str, group_size: int = 2,
         doc_parts = [pq.read_table(seg_docs_path(index_dir, s)) for s in run]
         merged_terms = _merge_term_tables(term_parts)
         merged_docs = pa.concat_tables(doc_parts).combine_chunks()
-        keep = run[0]
-        _write_segment_files(index_dir, keep, merged_terms, merged_docs,
+        # publish under a FRESH id: the old segments stay intact and live
+        # until the new manifest (the atomic commit point) lands; absorbed
+        # manifests/files removal below is cleanup that may lag a crash
+        new_id = next_id
+        next_id += 1
+        _write_segment_files(index_dir, new_id, merged_terms, merged_docs,
                              cfg.index_block_rows)
         secs = time.perf_counter() - t0
+        absorbed_buckets = sorted({
+            b for s in run
+            for b in (manifests[s].get("absorbed_buckets", [])
+                      or ([s] if s < mf.MERGED_ID_BASE else []))
+        })
         combined = {
             "n_input_rows": sum(manifests[s]["n_input_rows"] for s in run),
             "n_docs": sum(manifests[s]["n_docs"] for s in run),
@@ -210,18 +222,21 @@ def merge_segments(index_dir: str, group_size: int = 2,
             "url_checksum": "+".join(manifests[s]["url_checksum"] for s in run),
             "build_secs": round(secs, 4),
             "docs_per_sec": None,
-            "merged_from": run,
+            "absorbed": run,
+            "absorbed_buckets": absorbed_buckets,
         }
-        mf.write_manifest(index_dir, keep, combined)
-        for s in run[1:]:
-            os.unlink(mf.manifest_path(index_dir, s))
-            for p in (seg_terms_path(index_dir, s), seg_docs_path(index_dir, s)):
-                d = os.path.dirname(p)
-                if os.path.isdir(d):
-                    import shutil
+        mf.write_manifest(index_dir, new_id, combined)  # <- commit point
+        import shutil
 
+        for s in run:
+            p = mf.manifest_path(index_dir, s)
+            if os.path.exists(p):
+                os.unlink(p)
+            for q in (seg_terms_path(index_dir, s), seg_docs_path(index_dir, s)):
+                d = os.path.dirname(q)
+                if os.path.isdir(d):
                     shutil.rmtree(d)
-        survivors.append(keep)
+        survivors.append(new_id)
     # refresh stats.json segment counts
     stats_path = os.path.join(index_dir, "stats.json")
     if os.path.exists(stats_path):

@@ -542,6 +542,9 @@ class LocalSearcher:
         all_terms = query_terms(query, _field_analyzer(self.stats, field))
         idf = self._idf(field, all_terms)
         terms = [t for t in all_terms if t in idf]
+        if mode == "phrase":
+            ids, sc, _fq = PhraseSearcher(self).search(query, k, field)
+            return ids, sc
         if mode == "and":
             if len(terms) != len(all_terms) or not terms or self.term_ds is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -639,6 +642,10 @@ class PhraseSearcher:
             raise ValueError(
                 "index was built without positions "
                 "(BuildConfig.index_positions=True required)")
+        if field != DEFAULT_FIELD:
+            raise ValueError(
+                "phrase queries require positions, which are only indexed "
+                f"for the '{DEFAULT_FIELD}' field")
         seq = list(analyze(_field_analyzer(lo.stats, field), query))
         if not seq:
             return (np.empty(0, np.int64), np.empty(0, np.float64),
@@ -726,6 +733,16 @@ def search(index_dir: str, queries: pa.Table | list[dict],
     cfg = cfg or SearchConfig()
     stats = _load_stats(index_dir)
     prepared = _prepare(queries, stats)
+    for _qid, field, _terms, _k, mode in prepared:
+        if mode == "phrase":
+            if not stats.get("index_positions"):
+                raise ValueError(
+                    "phrase queries require an index built with "
+                    "BuildConfig(index_positions=True)")
+            if field != DEFAULT_FIELD:
+                raise ValueError(
+                    "phrase queries require positions, which are only "
+                    f"indexed for the '{DEFAULT_FIELD}' field")
     by_field: dict[str, list[str]] = {}
     for _qid, field, terms, _k, _m in prepared:
         by_field.setdefault(field, []).extend(terms)

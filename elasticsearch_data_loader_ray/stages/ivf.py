@@ -22,14 +22,21 @@ IVF_SEED = 4242
 KMEANS_ITERS = 10
 
 
+def _sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise squared distances via the matmul identity — one (n, k)
+    intermediate instead of an O(n*k*dim) broadcast tensor."""
+    return ((a ** 2).sum(axis=1)[:, None]
+            + (b ** 2).sum(axis=1)[None, :]
+            - 2.0 * (a @ b.T))
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int = KMEANS_ITERS,
             seed: int = IVF_SEED) -> np.ndarray:
     """Seeded Lloyd iterations; empty clusters re-seeded deterministically."""
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(sample, centroids).argmin(axis=1)
         for c in range(k):
             members = sample[assign == c]
             if len(members):
@@ -54,8 +61,24 @@ def ivf_build(emb_path: str, out_dir: str, n_centroids: int = 16,
     os.makedirs(out_dir, exist_ok=True)
     import pyarrow.parquet as pq
 
-    sample_tbl = pq.read_table(emb_path, columns=[embedding_col])
-    sample = _to_mat(sample_tbl[embedding_col])[:sample_limit]
+    # bounded streaming sample: every Nth batch up to sample_limit rows —
+    # never materializes the full column on the driver, and strided batches
+    # avoid head-of-file bias in sorted inputs
+    pf = pq.ParquetFile(emb_path)
+    total = pf.metadata.num_rows
+    stride = max(1, total // max(1, sample_limit))
+    chunks: list[np.ndarray] = []
+    got = 0
+    for bi, batch in enumerate(pf.iter_batches(columns=[embedding_col],
+                                               batch_size=1024)):
+        if bi % stride:
+            continue
+        take = min(len(batch), sample_limit - got)
+        chunks.append(_to_mat(batch.column(0).slice(0, take)))
+        got += take
+        if got >= sample_limit:
+            break
+    sample = np.concatenate(chunks) if chunks else np.empty((0, 1))
     k = min(n_centroids, len(sample))
     centroids = _kmeans(sample, k)
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
@@ -65,9 +88,8 @@ def ivf_build(emb_path: str, out_dir: str, n_centroids: int = 16,
     def assign(t: pa.Table) -> pa.Table:
         cents = ray.get(cref)
         vecs = _to_mat(t[embedding_col])
-        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return t.append_column("ivf_list", pa.array(
-            d.argmin(axis=1).astype(np.int32)))
+            _sq_dists(vecs, cents).argmin(axis=1).astype(np.int32)))
 
     (rd.read_parquet(emb_path, columns=[id_col, embedding_col])
      .map_batches(assign, batch_format="pyarrow")
@@ -89,8 +111,7 @@ def ivf_topk(out_dir: str, query_vecs: np.ndarray, query_ids: list[int],
 
     with open(os.path.join(out_dir, "centroids.json")) as f:
         centroids = np.array(json.load(f))
-    d = ((query_vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probes = np.argsort(d, axis=1)[:, :n_probe]
+    probes = np.argsort(_sq_dists(query_vecs, centroids), axis=1)[:, :n_probe]
     wanted = sorted({int(x) for row in probes for x in row})
     ivf_topk.last_lists_read = wanted
     ds = pads.dataset(os.path.join(out_dir, "lists"), partitioning="hive")
@@ -106,7 +127,9 @@ def ivf_topk(out_dir: str, query_vecs: np.ndarray, query_ids: list[int],
     vn = vecs / norms
     vids = t[id_col].to_numpy()
     lists = t["ivf_list"].to_numpy().astype(np.int64)
-    qn = query_vecs / np.linalg.norm(query_vecs, axis=1, keepdims=True)
+    qnorms = np.linalg.norm(query_vecs, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0  # zero query vector -> cos 0, not NaN
+    qn = query_vecs / qnorms
     out_q, out_r, out_v, out_s = [], [], [], []
     for qi, qid in enumerate(query_ids):
         mask = np.isin(lists, probes[qi])

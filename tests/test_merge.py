@@ -32,8 +32,9 @@ def test_merge_reduces_segments(merged_index):
     assert n_before >= 4
     after = mf.committed_segments(out)
     assert len(after) == len(survivors) < n_before
-    m = next(m for m in after.values() if "merged_from" in m)
-    assert len(m["merged_from"]) >= 2
+    m = next(m for m in after.values() if "absorbed" in m)
+    assert len(m["absorbed"]) >= 2
+    assert m["absorbed_buckets"] == sorted(m["absorbed"])  # first-level merge
 
 
 def test_merge_preserves_search_bitwise(merged_index):
@@ -51,6 +52,25 @@ def test_merge_idempotent_convergence(merged_index):
     assert len(mf.committed_segments(out)) <= 2
     final = search(out, queries).to_pandas()
     assert final["score"].tolist() == before["score"].tolist()
+
+
+def test_build_resume_after_merge_rebuilds_nothing(merged_index, tmp_path_factory):
+    """A build resumed on a merged index must not re-index absorbed buckets
+    (duplicate docs) — covered_buckets includes absorbed ids."""
+    import pyarrow.parquet as pq_
+
+    from elasticsearch_data_loader_ray.index.build import BuildConfig, build_index
+
+    out, queries, before, _n, _s = merged_index
+    # simulate a pipeline retry: finalize markers removed, build re-run
+    os.unlink(os.path.join(out, "stats.json"))
+    os.unlink(os.path.join(out, "term_stats", "_SUCCESS"))
+    src = tmp_path_factory.mktemp("mg_resrc")
+    pq_.write_table(fixtures.generate_webtext(600), str(src / "p.parquet"))
+    build_index(str(src), out, BuildConfig(docs_per_segment=100))
+    after = search(out, queries).to_pandas()
+    assert after["doc_id"].tolist() == before["doc_id"].tolist()
+    assert after["score"].tolist() == before["score"].tolist()
 
 
 def test_conjunctive_after_merge(merged_index):
