@@ -677,19 +677,32 @@ def _code_fingerprint() -> str:
     return tag
 
 
-def _doc_index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return f"/tmp/edlr_cache/bm25_docs_{key}"
+def _docs_to_corpus(t: pa.Table) -> pa.Table:
+    """documents batch -> corpus schema; doc ids are preserved by using the
+    zero-padded doc_id as the url (doc_id rank == url rank for the dense ids
+    of the fixture tables)."""
+    keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
+    t = t.filter(keep)
+    urls = pa.array([f"{i:015d}" for i in t["doc_id"].to_pylist()], pa.string())
+    n = t.num_rows
+    return pa.table({
+        "url": urls,
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pc.cast(t["text"], pa.large_string()),
+        "lang": t["lang"],
+        "doc_len": pa.array(an.token_count_batch(
+            pc.cast(t["text"], pa.large_string())), pa.int32()),
+    })
 
 
-def _ensure_doc_index(sf_dir: str) -> str:
-    """Build (once per process per sf_dir) the BM25 index over documents.
-
-    doc ids are preserved by using the zero-padded doc_id as the url (doc_id
-    rank == url rank for the dense ids of the fixture tables).
-    """
+def _ensure_doc_index(sf_dir: str, positions: bool = False) -> str:
+    """Build (once per process per sf_dir x code state) the BM25 index over
+    the documents table; ``positions=True`` builds the phrase-capable
+    variant in a separate cache dir."""
     tag = _code_fingerprint()
-    idx = _doc_index_dir(sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    kind = "phrase_docs" if positions else "bm25_docs"
+    idx = f"/tmp/edlr_cache/{kind}_{key}"
     marker = os.path.join(idx, "_CATALOG_OK")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -698,26 +711,26 @@ def _ensure_doc_index(sf_dir: str) -> str:
     shutil.rmtree(idx, ignore_errors=True)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
-
-    def to_corpus(t: pa.Table) -> pa.Table:
-        keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
-        t = t.filter(keep)
-        urls = pa.array([f"{i:015d}" for i in t["doc_id"].to_pylist()], pa.string())
-        n = t.num_rows
-        return pa.table({
-            "url": urls,
-            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
-            "text": pc.cast(t["text"], pa.large_string()),
-            "lang": t["lang"],
-            "doc_len": pa.array(an.token_count_batch(
-                pc.cast(t["text"], pa.large_string())), pa.int32()),
-        })
-
-    corpus = ds.map_batches(to_corpus, batch_format="pyarrow")
-    build_index_from_corpus(corpus, idx, BuildConfig(docs_per_segment=2000))
+    corpus = ds.map_batches(_docs_to_corpus, batch_format="pyarrow")
+    build_index_from_corpus(corpus, idx,
+                            BuildConfig(docs_per_segment=2000,
+                                        index_positions=positions))
     with open(marker, "w") as f:
         f.write(tag)
     return idx
+
+
+def _round_rerank(res, k: int, group_col: str, score_col: str,
+                  id_col: str) -> pa.Table:
+    """Round scores to 6dp, re-rank within each group by (rounded desc,
+    id asc), keep top k — the shared oracle-parity post-processing."""
+    res[score_col] = np.round(res[score_col].to_numpy(), 6)
+    res = res.sort_values([group_col, score_col, id_col],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby(group_col).cumcount() + 1
+    res = res[res["rank"] <= k]
+    return pa.Table.from_pandas(
+        res[[group_col, "rank", id_col, score_col]].reset_index(drop=True))
 
 
 def q_bm25_topk(sf_dir: str):
@@ -735,14 +748,7 @@ def q_bm25_topk(sf_dir: str):
                          "rank": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    # round, then re-rank on (rounded score desc, doc_id asc), take k
-    res["score"] = np.round(res["score"].to_numpy(), 6)
-    res = res.sort_values(["query_id", "score", "doc_id"],
-                          ascending=[True, False, True])
-    res["rank"] = res.groupby("query_id").cumcount() + 1
-    res = res[res["rank"] <= DOC_K]
-    return pa.Table.from_pandas(
-        res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True))
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
 def _sql_bm25_topk() -> str:
@@ -794,13 +800,7 @@ def q_bm25_and_topk(sf_dir: str):
                          "rank": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    res["score"] = np.round(res["score"].to_numpy(), 6)
-    res = res.sort_values(["query_id", "score", "doc_id"],
-                          ascending=[True, False, True])
-    res["rank"] = res.groupby("query_id").cumcount() + 1
-    res = res[res["rank"] <= DOC_K]
-    return pa.Table.from_pandas(
-        res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True))
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
 def _sql_bm25_and_topk() -> str:
@@ -810,7 +810,7 @@ def _sql_bm25_and_topk() -> str:
     for qid, q in enumerate(DOC_AND_QUERIES):
         for t in query_terms(q):
             values.append(f"({qid}, '{t}')")
-    vals = ", ".join(values)
+    vals = ", ".join(values) if values else "(NULL, NULL)"
     k1, b = codec.BM25_K1, codec.BM25_B
     return (
         "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
@@ -847,42 +847,9 @@ DOC_PHRASES = ["the data", "data search", "query scan", "the the",
 def q_phrase_match(sf_dir: str):
     """Phrase (match_phrase) queries via the positional index: matching doc
     set per phrase. Requires index_positions=True (separate cached index)."""
-    from ..index.build import BuildConfig, build_index_from_corpus
     from ..index.search import LocalSearcher, PhraseSearcher
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    idx = f"/tmp/edlr_cache/phrase_docs_{key}"
-    tag = _code_fingerprint()
-    marker = os.path.join(idx, "_CATALOG_OK")
-    ok = False
-    if os.path.exists(marker):
-        with open(marker) as f:
-            ok = f.read() == tag
-    if not ok:
-        shutil.rmtree(idx, ignore_errors=True)
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text", "lang"])
-
-        def to_corpus(t: pa.Table) -> pa.Table:
-            keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
-            t = t.filter(keep)
-            urls = pa.array([f"{i:015d}" for i in t["doc_id"].to_pylist()],
-                            pa.string())
-            n = t.num_rows
-            return pa.table({
-                "url": urls,
-                "warc_ts": pa.array([0] * n, pa.timestamp("us")),
-                "text": pc.cast(t["text"], pa.large_string()),
-                "lang": t["lang"],
-                "doc_len": pa.array(an.token_count_batch(
-                    pc.cast(t["text"], pa.large_string())), pa.int32()),
-            })
-
-        build_index_from_corpus(ds.map_batches(to_corpus, batch_format="pyarrow"),
-                                idx, BuildConfig(docs_per_segment=2000,
-                                                 index_positions=True))
-        with open(marker, "w") as f:
-            f.write(tag)
+    idx = _ensure_doc_index(sf_dir, positions=True)
     ps = PhraseSearcher(LocalSearcher(idx))
     out_q, out_d = [], []
     for qid, phrase in enumerate(DOC_PHRASES):
@@ -960,13 +927,7 @@ def q_embedding_topk(sf_dir: str):
 
     parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
              .map_batches(score, batch_format="pyarrow").to_pandas())
-    parts["cos_sim"] = np.round(parts["cos_sim"].to_numpy(), 6)
-    parts = parts.sort_values(["query_vec_id", "cos_sim", "vec_id"],
-                              ascending=[True, False, True])
-    parts["rank"] = parts.groupby("query_vec_id").cumcount() + 1
-    parts = parts[parts["rank"] <= EMB_K]
-    return pa.Table.from_pandas(
-        parts[["query_vec_id", "rank", "vec_id", "cos_sim"]].reset_index(drop=True))
+    return _round_rerank(parts, EMB_K, "query_vec_id", "cos_sim", "vec_id")
 
 
 _EMB_IDS_SQL = ", ".join(str(i) for i in EMB_QUERY_IDS)
