@@ -73,6 +73,41 @@ def test_build_resume_after_merge_rebuilds_nothing(merged_index, tmp_path_factor
     assert after["score"].tolist() == before["score"].tolist()
 
 
+def test_merged_equals_directly_built(tmp_path_factory):
+    """Strong invariant: an index built with many segments then merged to
+    one holds the SAME decoded postings as an index built as one segment
+    directly (block layouts differ, content must not)."""
+    import numpy as np
+
+    from elasticsearch_data_loader_ray.index import codec
+    from elasticsearch_data_loader_ray.index.build import seg_terms_path
+
+    src = tmp_path_factory.mktemp("inv_src")
+    pq.write_table(fixtures.generate_webtext(400), str(src / "p.parquet"))
+    many = str(tmp_path_factory.mktemp("inv_many"))
+    build_index(str(src), many, BuildConfig(docs_per_segment=60))
+    merge_segments(many, group_size=100)  # collapse to one
+    one = str(tmp_path_factory.mktemp("inv_one"))
+    build_index(str(src), one, BuildConfig(docs_per_segment=10**6))
+
+    def postings_map(idx):
+        seg = sorted(mf.committed_segments(idx))[0]
+        t = pq.read_table(seg_terms_path(idx, seg))
+        out = {}
+        for i in range(t.num_rows):
+            key = (t["field"][i].as_py(), t["term"][i].as_py())
+            ids, tfs = codec.decode_postings(
+                t["doc_ids_enc"][i].as_py(), t["tfs_enc"][i].as_py(),
+                int(t["df"][i].as_py()))
+            out[key] = (ids.tolist(), tfs.tolist())
+        return out
+
+    a, b = postings_map(many), postings_map(one)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], k
+
+
 def test_conjunctive_after_merge(merged_index):
     out, _q, _b, _n, _s = merged_index
     q = [{"query_id": 0, "query": "the data", "k": 10, "mode": "and"}]
