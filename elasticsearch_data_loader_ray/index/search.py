@@ -536,6 +536,21 @@ class LocalSearcher:
         order = np.lexsort((cand, -sc))[:k]
         return cand[order].astype(np.int64), sc[order]
 
+    def search_after(self, query: str, after: tuple[float, int] | None,
+                     k: int = 10, field: str = DEFAULT_FIELD,
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Keyset pagination over the BM25 ranking (ES search_after
+        analogue): return the next ``k`` hits strictly after the
+        ``(score, doc_id)`` cursor in (score desc, doc_id asc) order.
+        ``after=None`` is the first page. Deterministic: the cursor is the
+        last row of the previous page."""
+        ids, sc = self.search(query, k=self.n_docs or 1, field=field)
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (sc < a_s) | ((sc == a_s) & (ids > a_d))
+            ids, sc = ids[keep], sc[keep]
+        return ids[:k], sc[:k]
+
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD,
                mode: str = "or") -> tuple[np.ndarray, np.ndarray]:

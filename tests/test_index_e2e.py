@@ -166,6 +166,29 @@ def test_resume_skips_committed_segments(webtext, tmp_path_factory):
         assert os.path.getmtime(seg_terms_path(out, s)) == m
 
 
+def test_search_after_pagination_tiles_ranking(index_dir):
+    """Keyset pages concatenate to exactly the full top-k ranking."""
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, _ = index_dir
+    s = LocalSearcher(idx)
+    full_ids, full_sc = s.search("the data search", k=30)
+    pages_ids, pages_sc = [], []
+    cursor = None
+    for _ in range(3):
+        ids, sc = s.search_after("the data search", cursor, k=10)
+        if len(ids) == 0:
+            break
+        pages_ids.extend(ids.tolist())
+        pages_sc.extend(sc.tolist())
+        cursor = (float(sc[-1]), int(ids[-1]))
+    assert pages_ids == full_ids.tolist()
+    assert pages_sc == full_sc.tolist()
+    # cursor beyond the last hit -> empty page
+    ids, _sc = s.search_after("zzqmissingzz", None, k=5)
+    assert len(ids) == 0
+
+
 def test_head_term_skew_spread(index_dir):
     """Skew design evidence: the Zipf head term's postings are spread across
     every doc-range segment (no hot partition) with df proportional to
