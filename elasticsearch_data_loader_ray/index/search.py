@@ -536,6 +536,48 @@ class LocalSearcher:
         order = np.lexsort((cand, -sc))[:k]
         return cand[order].astype(np.int64), sc[order]
 
+    def explain(self, query: str, doc_id: int,
+                field: str = DEFAULT_FIELD) -> dict:
+        """ES ``_explain`` analogue: per-term BM25 contribution breakdown
+        for one document. Sum of contributions == the search score bitwise
+        (same accumulation order)."""
+        terms = query_terms(query, _field_analyzer(self.stats, field))
+        idf = self._idf(field, terms)
+        dl = self._dl_for(field)
+        avgdl = _avgdl(self.stats, field)
+        parts = []
+        total = 0.0
+        for t in sorted(tt for tt in terms if tt in idf):
+            tf = 0
+            cached = self._postings_cache.get((field, t))
+            runs = cached
+            if runs is None:
+                import pyarrow.dataset as pads
+
+                tbl = self.term_ds.to_table(
+                    columns=["term", "df", "doc_ids_enc", "tfs_enc"],
+                    filter=_term_filters({field: [t]}))
+                runs = []
+                for i in range(tbl.num_rows):
+                    runs.append(codec.decode_postings(
+                        tbl["doc_ids_enc"][i].as_py(), tbl["tfs_enc"][i].as_py(),
+                        int(tbl["df"][i].as_py())))
+            for ids, tfs in runs:
+                j = int(np.searchsorted(ids, doc_id))
+                if j < len(ids) and int(ids[j]) == doc_id:
+                    tf = int(tfs[j])
+                    break
+            impact = float(codec.bm25_tf_impact(
+                np.array([tf], dtype=np.float64),
+                np.array([dl[doc_id]]), avgdl)[0]) if tf else 0.0
+            contrib = idf[t] * impact
+            total += contrib
+            parts.append({"term": t, "tf": tf, "idf": idf[t],
+                          "dl": float(dl[doc_id]), "avgdl": avgdl,
+                          "contribution": contrib})
+        return {"doc_id": int(doc_id), "score": total, "terms": parts,
+                "bm25": {"k1": codec.BM25_K1, "b": codec.BM25_B}}
+
     def search_after(self, query: str, after: tuple[float, int] | None,
                      k: int = 10, field: str = DEFAULT_FIELD,
                      ) -> tuple[np.ndarray, np.ndarray]:

@@ -189,6 +189,23 @@ def test_search_after_pagination_tiles_ranking(index_dir):
     assert len(ids) == 0
 
 
+def test_explain_matches_search_score(index_dir):
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, _ = index_dir
+    s = LocalSearcher(idx)
+    q = "the data search"
+    ids, sc = s.search(q, k=5)
+    for d, expected in zip(ids[:3], sc[:3]):
+        ex = s.explain(q, int(d))
+        assert ex["score"] == float(expected)  # bitwise (same order)
+        assert sum(p["contribution"] for p in ex["terms"]) == ex["score"]
+        assert any(p["tf"] > 0 for p in ex["terms"])
+    # doc matching nothing explains to zero
+    ex0 = s.explain("zzqmissingzz", int(ids[0]))
+    assert ex0["score"] == 0.0
+
+
 def test_head_term_skew_spread(index_dir):
     """Skew design evidence: the Zipf head term's postings are spread across
     every doc-range segment (no hot partition) with df proportional to
