@@ -23,7 +23,6 @@ import shutil
 
 import pyarrow as pa
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..stages.transform import transform_records

@@ -31,7 +31,7 @@ from ..functions.alphakey import ordered_alpha_key, same_as_alpha_key
 from ..functions.suffix import COMPANY_NAME_ENDINGS, split_company_name_endings
 from ..index import codec
 from ..index.build import BuildConfig, build_index_from_corpus
-from ..index.search import SearchConfig, search
+from ..index.search import search
 
 TOKEN_RE_SQL = r"[\p{L}\p{N}]+"
 STOPWORDS = ["the", "and", "of", "a", "in", "to", "is"]

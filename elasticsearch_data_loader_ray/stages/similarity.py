@@ -122,8 +122,6 @@ def ann_topk(emb_path: str, query_vec_ids: list[int], k: int = 10,
 
     parts = (rd.read_parquet(emb_path, columns=[id_col, embedding_col])
              .map_batches(score, batch_format="pyarrow").to_pandas())
-    import pandas as pd
-
     parts["cos_sim"] = np.round(parts["cos_sim"].to_numpy(dtype=np.float64), 6)
     parts = parts.sort_values(["query_vec_id", "cos_sim", "vec_id"],
                               ascending=[True, False, True])

@@ -24,7 +24,6 @@ the source value is preserved.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions.alphakey import ordered_alpha_key, same_as_alpha_key
