@@ -71,8 +71,14 @@ def warm_page_cache() -> None:
 
 
 def run_bench() -> dict:
+    import pyarrow as pa
     import ray
 
+    # fairness: cap DRIVER-side arrow threads to the leg's CPU budget too —
+    # otherwise the low-CPU leg borrows the whole idle box for driver work
+    # and over-reports its throughput
+    pa.set_cpu_count(max(1, NUM_CPUS))
+    pa.set_io_thread_count(max(2, NUM_CPUS))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
