@@ -1239,6 +1239,37 @@ SQL_EVENTS_SESSIONS = (
 # Relational breadth: per-key top-k, distinct, broadcast hash join
 # ---------------------------------------------------------------------------
 
+PCTS = [0.5, 0.9, 0.99]
+
+
+def q_quality_percentiles(sf_dir: str):
+    """Per-lang doc-length percentiles (quality-threshold selection — e.g.
+    'drop the bottom decile'). numpy linear interpolation == SQL
+    quantile_cont."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def pcts(df: pd.DataFrame) -> pd.DataFrame:
+        vals = np.percentile(df["n_chars"].to_numpy(dtype=np.float64),
+                             [p * 100 for p in PCTS])
+        out = {"lang": [df["lang"].iloc[0]],
+               "n_docs": [len(df)]}
+        for p, v in zip(PCTS, vals):
+            out[f"p{int(p * 100)}"] = [round(float(v), 4)]
+        return pd.DataFrame(out)
+
+    return ds.groupby("lang").map_groups(pcts, batch_format="pandas")
+
+
+SQL_QUALITY_PERCENTILES = (
+    "SELECT lang, count(*) AS n_docs, "
+    + ", ".join(
+        f"round(quantile_cont(n_chars, {p}), 4) AS p{int(p * 100)}"
+        for p in PCTS)
+    + " FROM documents GROUP BY lang"
+)
+
+
 def q_top_docs_per_source(sf_dir: str):
     """Grouped top-k (window-function analogue): 3 longest docs per source."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1352,6 +1383,7 @@ def queries() -> dict:
         "multimodal_features": q_multimodal_features,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "quality_percentiles": q_quality_percentiles,
         "top_docs_per_source": q_top_docs_per_source,
         "distinct_sources": q_distinct_sources,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -1386,6 +1418,7 @@ def oracle_sql() -> dict:
         # ann_lsh_topk, multimodal_features: rows-only (approximate / stubbed)
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "quality_percentiles": SQL_QUALITY_PERCENTILES,
         "top_docs_per_source": SQL_TOP_DOCS_PER_SOURCE,
         "distinct_sources": SQL_DISTINCT_SOURCES,
         "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
