@@ -237,7 +237,7 @@ def q_doc_len_stats(sf_dir: str):
 
 SQL_DOC_LEN_STATS = (
     "WITH tc AS (" + SQL_TOKEN_COUNTS + ") "
-    "SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens, "
+    "SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
     "round(sum(n_tokens)::DOUBLE / count(*), 6) AS avgdl FROM tc"
 )
 
@@ -261,12 +261,24 @@ def _term_doc_tf(sf_dir: str) -> rd.Dataset:
 
 
 def q_term_df(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    # A doc never spans batches, so per-batch (term, df, cf) partials are
+    # exact: df = #docs in this batch containing term, cf = total tf.
+    # Shuffling the tiny partials instead of ~(term, doc, tf) posting rows
+    # cuts the all-to-all exchange by ~avg_df per term.
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by("term")
+             .aggregate([("doc_id", "count"), ("tf", "sum")]))
+        return pa.table({"term": g["term"],
+                         "df": pc.cast(g["doc_id_count"], pa.int64()),
+                         "cf": pc.cast(g["tf_sum"], pa.int64())})
 
     return (
         _term_doc_tf(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
     )
 
 
@@ -274,7 +286,8 @@ SQL_TERM_DF = (
     f"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
     f"'{TOKEN_RE_SQL}')) AS term FROM documents), "
     "tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2) "
-    "SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term"
+    "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+    "CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term"
 )
 
 

@@ -31,6 +31,17 @@ def to_pandas(res) -> pd.DataFrame:
     return res
 
 
+def kinds(df: pd.DataFrame) -> dict:
+    """Dtype kind per column ('i' int, 'f' float, 'O' object, ...).
+
+    The driver's value hash distinguishes int64 7 from float64 7.0 (DuckDB
+    HUGEINT -> fetchdf float64 broke term_df/top_terms/doc_len_stats in r1),
+    so a float-vs-int kind mismatch must FAIL here even when values compare
+    equal numerically. Width differences within a kind are tolerated.
+    """
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -83,6 +94,11 @@ def main() -> int:
             n_fail += 1
             continue
         ok = list(got.columns) == list(want.columns) and len(got) == len(want)
+        msg = ""
+        if ok and kinds(got) != kinds(want):
+            ok = False
+            msg = (f"dtype-kind mismatch (driver hash would differ): "
+                   f"got {kinds(got)} want {kinds(want)}")
         if ok:
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False,
