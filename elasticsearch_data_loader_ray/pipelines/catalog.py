@@ -444,6 +444,13 @@ SQL_NGRAM_JACCARD_PAIRS = (
 N_PERM = 128
 N_BANDS = 32  # 4 rows per band
 _MERSENNE = (1 << 61) - 1
+_FNV_OFF = np.uint64(1469598103934665603)
+_FNV_P = np.uint64(1099511628211)
+# Driver fast-path cutoffs (same pattern as build._make_plan/_finalize):
+# below these sizes a Ray shuffle's fixed overhead dwarfs the work, so the
+# driver handles it; above, the distributed plan runs.
+_MINHASH_DRIVER_ROWS = 2_000_000   # band rows (3 int64 cols ~ 48 MB)
+_MINHASH_DRIVER_DOCS = 50_000      # candidate docs verified driver-side
 
 
 def _minhash_params():
@@ -453,39 +460,99 @@ def _minhash_params():
     return a, b
 
 
+def _hash_tokens_u64(toks: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per token (vectorized, C-speed)."""
+    obj = np.asarray(toks.to_numpy(zero_copy_only=False), dtype=object)
+    return pd.util.hash_array(obj)  # uint64, fixed default hash key
+
+
+def _shingle_hash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """``(doc_index, shingle_hash_u64)`` for SHINGLE_K-token shingles.
+
+    Shingle identity is an FNV-style mix of per-token 64-bit hashes —
+    no shingle *strings* are ever materialized, so the whole batch is
+    numpy array arithmetic. Docs with 0 < n_tokens < K contribute one
+    shingle over all their tokens (mirrors :func:`_shingles`); duplicate
+    shingles within a doc are NOT removed here (min over duplicates ==
+    min over the set, and the verify path np.unique's per doc).
+    Output is sorted by doc_index.
+    """
+    tok_idx, toks, dl = an.standard_tokenize_batch(texts)
+    th = _hash_tokens_u64(toks)
+    k = SHINGLE_K
+    n = len(th)
+    if n >= k:
+        h = np.full(n - k + 1, _FNV_OFF, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ th[j:n - k + 1 + j]) * _FNV_P
+        valid = tok_idx[:n - k + 1] == tok_idx[k - 1:]
+        sh_idx = tok_idx[:n - k + 1][valid]
+        sh = h[valid]
+    else:
+        sh_idx = np.empty(0, dtype=np.int64)
+        sh = np.empty(0, dtype=np.uint64)
+    short = np.flatnonzero((dl > 0) & (dl < k))
+    if len(short):
+        starts = np.concatenate(([0], np.cumsum(dl)))
+        extra_idx, extra_h = [], []
+        for d in short:
+            hh = _FNV_OFF
+            for v in th[starts[d]:starts[d] + dl[d]]:
+                hh = (hh ^ v) * _FNV_P
+            extra_idx.append(d)
+            extra_h.append(hh)
+        sh_idx = np.concatenate([sh_idx, np.asarray(extra_idx, dtype=np.int64)])
+        sh = np.concatenate([sh, np.asarray(extra_h, dtype=np.uint64)])
+        order = np.argsort(sh_idx, kind="stable")
+        sh_idx, sh = sh_idx[order], sh[order]
+    return sh_idx, sh
+
+
+def _minhash_band_table(t: pa.Table, a_p: np.ndarray, b_p: np.ndarray) -> pa.Table:
+    """(doc_id, band, bh) LSH band rows for one Arrow batch — fully
+    vectorized: token-hash shingles, per-doc min via np.minimum.reduceat,
+    FNV band fold. Permutations run in chunks to bound the (n_shingles x
+    n_perm) temporary."""
+    sh_idx, sh = _shingle_hash_batch(t["text"])
+    if len(sh) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int32()),
+                         "bh": pa.array([], pa.int64())})
+    uniq_rows, starts = np.unique(sh_idx, return_index=True)
+    m = np.uint64(_MERSENNE)
+    sig = np.empty((len(uniq_rows), N_PERM), dtype=np.uint64)
+    for c0 in range(0, N_PERM, 32):  # bound temp at n_shingles x 32 x 8B
+        block = (sh[:, None] * a_p[None, c0:c0 + 32]
+                 + b_p[None, c0:c0 + 32]) % m
+        sig[:, c0:c0 + 32] = np.minimum.reduceat(block, starts, axis=0)
+    rows_per_band = N_PERM // N_BANDS
+    bands = sig.reshape(len(uniq_rows), N_BANDS, rows_per_band)
+    bh = np.full(bands.shape[:2], _FNV_OFF, dtype=np.uint64)
+    for j in range(rows_per_band):
+        bh = (bh ^ bands[:, :, j]) * _FNV_P
+    doc_ids = t["doc_id"].to_numpy()[uniq_rows]
+    return pa.table({
+        "doc_id": pa.array(np.repeat(doc_ids, N_BANDS), pa.int64()),
+        "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32),
+                                 len(uniq_rows)), pa.int32()),
+        "bh": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
+    })
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     """MinHash(128) + LSH(32 bands x 4 rows) candidates, exact-Jaccard
-    verified at >= 0.8 — the scale path for near-dup detection. Rows-only
-    driver check (the LSH step is not SQL-expressible); pytest asserts it
-    matches q_ngram_jaccard_pairs on the fixture corpus.
+    verified at >= 0.8 — the scale path for near-dup detection.
+
+    Scale shape: signatures are numpy-vectorized per batch (no per-doc
+    Python, no shingle strings); candidate pairs come from a groupby over
+    tiny (band, bh) buckets; the exact-verify step touches ONLY candidate
+    docs — their ids are range+`np.isin`-filtered at the parquet read, and
+    shingle sets are built distributedly (never `to_pandas()` on the
+    corpus). Oracle: identical output contract to the exact all-pairs SQL
+    (32x4 banding FN probability at J>=0.8 is ~5e-8 per pair).
     """
     a_p, b_p = _minhash_params()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    class MinHasher:
-        def __init__(self):
-            self.a, self.b = a_p, b_p
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out_id, out_band, out_h = [], [], []
-            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-                sh = _shingles(an.analyze("standard", x or ""))
-                if not sh:
-                    continue
-                hv = np.array(
-                    [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                     for s in sh], dtype=np.uint64)
-                # (a*h + b) mod p, min over shingles, per permutation
-                sig = np.min(
-                    (hv[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE),
-                    axis=0)
-                bands = sig.reshape(N_BANDS, N_PERM // N_BANDS)
-                for bi in range(N_BANDS):
-                    bh = hashlib.md5(bands[bi].tobytes()).hexdigest()[:16]
-                    out_id.append(i); out_band.append(bi); out_h.append(bh)
-            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                             "band": pa.array(out_band, pa.int32()),
-                             "bh": pa.array(out_h, pa.string())})
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(df["doc_id"].tolist()))
@@ -495,33 +562,123 @@ def q_minhash_lsh_pairs(sf_dir: str):
                 a.append(ids[i]); b.append(ids[j])
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    cand = (
-        ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"]).count()
-    ).to_pandas()
+    # Band rows are ~all singleton buckets, so bucket-level work must not
+    # pay per-group Python. Two plans behind an explicit size cutoff (the
+    # same driver-fast-path pattern as build._make_plan/_finalize):
+    #  - small band table (<= _MINHASH_DRIVER_ROWS rows of 3 int64 cols):
+    #    pull the integer columns and pair-generate with numpy run-length
+    #    logic — one Ray pipeline total, no shuffle.
+    #  - large: Count-aggregate to find buckets with >= 2 docs, broadcast
+    #    those keys, filter band rows to them, pair-generate distributedly.
+    band_ds = ds.map_batches(lambda t: _minhash_band_table(t, a_p, b_p),
+                             batch_format="pyarrow", batch_size=1024
+                             ).materialize()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    n_band_rows = band_ds.count()
+    if n_band_rows <= _MINHASH_DRIVER_ROWS:
+        pdf = band_ds.to_pandas()
+        key = (pdf["bh"].to_numpy().view(np.uint64) * _FNV_P) ^ \
+            pdf["band"].to_numpy().astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, docs = key[order], pdf["doc_id"].to_numpy()[order]
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(key)])))
+        pa_l, pb_l = [], []
+        for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+            ids = np.unique(docs[s:s + ln])
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            pa_l.append(ids[ia]); pb_l.append(ids[ib])
+        if not pa_l:
+            return empty
+        cand = pd.DataFrame({"doc_a": np.concatenate(pa_l),
+                             "doc_b": np.concatenate(pb_l)}).drop_duplicates()
+    else:
+        from ray.data.aggregate import Count
+
+        hot = (band_ds.groupby(["band", "bh"])
+               .aggregate(Count(alias_name="n"))
+               .map_batches(lambda t: t.filter(pc.greater_equal(t["n"], 2)),
+                            batch_format="pyarrow")
+               .to_pandas())  # buckets holding any near-dup candidate
+        if len(hot) == 0:
+            return empty
+        # combined bucket key; xor-mix collisions only admit extra singleton
+        # buckets (harmless — they generate no pairs)
+        hot_keys = (hot["bh"].to_numpy().view(np.uint64) * _FNV_P) ^ \
+            hot["band"].to_numpy().astype(np.uint64)
+        hot_ref = ray.put(np.unique(hot_keys))
+
+        def only_hot(t: pa.Table) -> pa.Table:
+            k = (t["bh"].to_numpy().view(np.uint64) * _FNV_P) ^ \
+                t["band"].to_numpy().astype(np.uint64)
+            return t.filter(pa.array(np.isin(k, ray.get(hot_ref))))
+
+        cand = (
+            band_ds.map_batches(only_hot, batch_format="pyarrow")
+            .groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"]).count()
+        ).to_pandas()  # candidate PAIRS only — small by construction
     if len(cand) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    # exact verification of the (small) candidate set
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    tbl = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"]).to_pandas()
-    tbl = tbl[tbl["doc_id"].isin(need)]
-    shs = {i: _shingles(an.analyze("standard", x or ""))
-           for i, x in zip(tbl["doc_id"], tbl["text"])}
+        return empty
+    # Exact verification over candidate docs only (never the corpus).
+    need = np.unique(np.concatenate([cand["doc_a"].to_numpy(),
+                                     cand["doc_b"].to_numpy()]))
+    lo, hi = int(need.min()), int(need.max())
+    if len(need) <= _MINHASH_DRIVER_DOCS:
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           filters=[("doc_id", ">=", lo), ("doc_id", "<=", hi)])
+        t = t.filter(pa.array(np.isin(t["doc_id"].to_numpy(), need)))
+        sh_idx, sh = _shingle_hash_batch(t["text"].combine_chunks())
+        shp = pd.DataFrame({"doc_id": t["doc_id"].to_numpy()[sh_idx],
+                            "sh": sh.view(np.int64)})
+    else:
+        need_ref = ray.put(need)
+        flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi)
+
+        def shingle_rows(t: pa.Table) -> pa.Table:
+            mask = np.isin(t["doc_id"].to_numpy(), ray.get(need_ref))
+            t = t.filter(pa.array(mask))
+            sh_idx, sh = _shingle_hash_batch(t["text"])
+            return pa.table({
+                "doc_id": pa.array(t["doc_id"].to_numpy()[sh_idx], pa.int64()),
+                "sh": pa.array(sh.view(np.int64), pa.int64()),
+            })
+
+        shp = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"], filter=flt)
+               .map_batches(shingle_rows, batch_format="pyarrow")
+               .to_pandas())  # candidate docs' shingles only
+    shs = {int(d): np.unique(g["sh"].to_numpy())
+           for d, g in shp.groupby("doc_id")}
     rows = []
     for da, db in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = shs[da], shs[db]
-        j = len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+        sa, sb = shs.get(int(da)), shs.get(int(db))
+        if sa is None or sb is None:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        j = inter / (sa.size + sb.size - inter)
         if j >= JACCARD_T:
             rows.append((int(da), int(db), round(j, 6)))
+    if not rows:
+        return empty
+    rows.sort()
     return pa.table({
         "doc_a": pa.array([r[0] for r in rows], pa.int64()),
         "doc_b": pa.array([r[1] for r in rows], pa.int64()),
         "jaccard": pa.array([r[2] for r in rows], pa.float64()),
     })
+
+
+# LSH has no SQL analogue, but the verified OUTPUT contract is exactly the
+# all-pairs result, so the exact SQL doubles as this entry's oracle.
+SQL_MINHASH_LSH_PAIRS = SQL_NGRAM_JACCARD_PAIRS
 
 
 def q_duplicate_clusters(sf_dir: str):
@@ -569,29 +726,33 @@ SQL_DUPLICATE_CLUSTERS = (
 
 
 def q_simhash(sf_dir: str):
-    """64-bit SimHash per document (tf-weighted token hashes) — rows-only."""
+    """64-bit SimHash per document (tf-weighted token hashes) — rows-only.
+
+    Vectorized: one token-hash pass, bit expansion via uint64 shifts, and
+    per-doc bit sums with np.add.reduceat — no per-row Python. Summing
+    +/-1 over token OCCURRENCES equals the classic tf-weighted sum over
+    unique tokens. Empty/None docs hash to 0.
+    """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def xf(t: pa.Table) -> pa.Table:
-        out_id, out_h = [], []
-        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = an.analyze("standard", x or "")
-            if not toks:
-                out_id.append(i); out_h.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            from collections import Counter
-
-            for tok, tf in Counter(toks).items():
-                hv = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-                bits = np.unpackbits(
-                    np.frombuffer(hv.to_bytes(8, "little"), dtype=np.uint8))
-                acc += tf * (bits.astype(np.int64) * 2 - 1)
-            h = np.packbits((acc > 0).astype(np.uint8)).tobytes()
-            out_id.append(i)
-            out_h.append(int.from_bytes(h, "little", signed=True))
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "simhash": pa.array(out_h, pa.int64())})
+        n = t.num_rows
+        tok_idx, toks, dl = an.standard_tokenize_batch(t["text"])
+        out = np.zeros(n, dtype=np.uint64)
+        if len(tok_idx):
+            th = _hash_tokens_u64(toks)
+            # bits (n_toks, 64): bit j of each hash, as +/-1
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)
+                    ).astype(np.int64) * 2 - 1
+            nz = np.flatnonzero(dl > 0)
+            starts = np.concatenate(([0], np.cumsum(dl)))[nz]
+            acc = np.add.reduceat(bits, starts, axis=0)  # (n_nz_docs, 64)
+            hv = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            out[nz] = hv
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(out.view(np.int64), pa.int64())})
 
     return ds.map_batches(xf, batch_format="pyarrow")
 
@@ -1257,21 +1418,49 @@ PCTS = [0.5, 0.9, 0.99]
 
 def q_quality_percentiles(sf_dir: str):
     """Per-lang doc-length percentiles (quality-threshold selection — e.g.
-    'drop the bottom decile'). numpy linear interpolation == SQL
-    quantile_cont."""
+    'drop the bottom decile').
+
+    Bounded-memory EXACT quantiles: n_chars is integer-valued, so the full
+    distribution compresses losslessly to per-(lang, n_chars) counts —
+    per-batch partial counts shuffle, then the driver interpolates
+    percentiles from the tiny merged histogram. No worker ever holds a
+    language's rows (the r1 `map_groups(np.percentile)` shape put the
+    whole `en` group in one task). Interpolation matches SQL quantile_cont
+    (linear between order statistics)."""
+    from ray.data.aggregate import Sum
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["lang", "n_chars"])
 
-    def pcts(df: pd.DataFrame) -> pd.DataFrame:
-        vals = np.percentile(df["n_chars"].to_numpy(dtype=np.float64),
-                             [p * 100 for p in PCTS])
-        out = {"lang": [df["lang"].iloc[0]],
-               "n_docs": [len(df)]}
-        for p, v in zip(PCTS, vals):
-            out[f"p{int(p * 100)}"] = [round(float(v), 4)]
-        return pd.DataFrame(out)
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({"lang": g["lang"], "n_chars": g["n_chars"],
+                         "cnt": pc.cast(g["n_chars_count"], pa.int64())})
 
-    return ds.groupby("lang").map_groups(pcts, batch_format="pandas")
+    hist = (ds.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # <= n_langs x distinct lengths rows — tiny
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(dtype=np.float64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for p in PCTS:
+            h = (n - 1) * p  # quantile_cont rank
+            lo_i = int(np.searchsorted(cum, np.floor(h) + 1, side="left"))
+            hi_i = int(np.searchsorted(cum, np.floor(h) + 2, side="left"))
+            lo_v = vals[lo_i]
+            hi_v = vals[min(hi_i, len(vals) - 1)]
+            v = lo_v + (h - np.floor(h)) * (hi_v - lo_v)
+            row[f"p{int(p * 100)}"] = round(float(v), 4)
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 SQL_QUALITY_PERCENTILES = (
@@ -1284,17 +1473,27 @@ SQL_QUALITY_PERCENTILES = (
 
 
 def q_top_docs_per_source(sf_dir: str):
-    """Grouped top-k (window-function analogue): 3 longest docs per source."""
+    """Grouped top-k (window-function analogue): 3 longest docs per source.
+
+    Per-batch LOCAL top-3 per source first, so the shuffle moves <= 3 rows
+    per (source, batch) and the final per-source merge group is bounded by
+    3 x n_blocks rows — a hot source never materializes in one worker
+    (the r1 shape shipped every row of a source to one map_groups task)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source", "n_chars"])
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return df.groupby("source", sort=False).head(3)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
         df = df.reset_index(drop=True)
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["source", "rank", "doc_id", "n_chars"]]
 
-    return ds.groupby("source").map_groups(topk, batch_format="pandas")
+    return (ds.map_batches(local_topk, batch_format="pandas")
+            .groupby("source").map_groups(merge_topk, batch_format="pandas"))
 
 
 SQL_TOP_DOCS_PER_SOURCE = (
@@ -1326,18 +1525,20 @@ def q_lineitem_orders_join(sf_dir: str):
     import pyarrow.parquet as pq_
 
     orders = pq_.read_table(f"{sf_dir}/orders.parquet",
-                            columns=["o_orderkey", "o_orderpriority"])
-    lookup = dict(zip(orders["o_orderkey"].to_pylist(),
-                      orders["o_orderpriority"].to_pylist()))
-    lookup_ref = ray.put(lookup)
+                            columns=["o_orderkey", "o_orderpriority"]
+                            ).combine_chunks()
+    # broadcast the small side ONCE as Arrow arrays; probe is vectorized
+    # (pc.index_in + take), not a per-row dict.get loop
+    lookup_ref = ray.put((orders["o_orderkey"].chunk(0),
+                          orders["o_orderpriority"].chunk(0)))
 
     def join(t: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        prio = [lk.get(k) for k in t["l_orderkey"].to_pylist()]
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(t["l_orderkey"], value_set=keys)
+        prio = pc.take(vals, idx)  # null where no match
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        out = pa.table({"o_orderpriority": pa.array(prio, pa.string()),
-                        "rev": rev})
+        out = pa.table({"o_orderpriority": prio, "rev": rev})
         return out.filter(out["o_orderpriority"].is_valid())
 
     from ray.data.aggregate import Count, Sum
@@ -1417,7 +1618,8 @@ def oracle_sql() -> dict:
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "duplicate_clusters": SQL_DUPLICATE_CLUSTERS,
-        # minhash_lsh_pairs, simhash: rows-only (not SQL-expressible)
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        # simhash: rows-only (hash values are not SQL-expressible)
         "langid_quality": SQL_LANGID_QUALITY,
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
