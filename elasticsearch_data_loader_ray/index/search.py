@@ -496,6 +496,228 @@ class LocalSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return cand[order].astype(np.int64), scores[order]
 
+    def _load_blocked_runs(self, field: str, terms: list[str]
+                           ) -> dict[str, list[tuple]] | None:
+        """(BlockedPostings, block_max_impact) runs per term, runs sorted by
+        doc range. None if the index predates block byte offsets."""
+        if "block_doc_byte_off" not in self.term_ds.schema.names:
+            return None
+        tt = self.term_ds.to_table(
+            columns=["term", "df", "doc_ids_enc", "tfs_enc", "max_impact",
+                     "block_last_doc", "block_max_impact",
+                     "block_doc_byte_off", "block_tf_byte_off"],
+            filter=_term_filters({field: terms}),
+        )
+        runs: dict[str, list[tuple]] = {t: [] for t in terms}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            reader = codec.BlockedPostings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()),
+                np.array(tt["block_last_doc"][i].as_py(), dtype=np.int64),
+                np.array(tt["block_doc_byte_off"][i].as_py(), dtype=np.int64),
+                np.array(tt["block_tf_byte_off"][i].as_py(), dtype=np.int64),
+            )
+            bmax = np.array(tt["block_max_impact"][i].as_py(), dtype=np.float64)
+            tmax = float(tt["max_impact"][i].as_py())
+            runs[t].append((reader, bmax, tmax))
+        for t in terms:
+            runs[t].sort(key=lambda r: int(r[0].block_last[0]))
+        return runs
+
+    @staticmethod
+    def _per_run(cand: np.ndarray, runs: list[tuple], fn,
+                 dtype) -> np.ndarray:
+        """Apply ``fn(run_tuple, ascending_cand_slice)`` per run: runs hold
+        ordered disjoint doc ranges, so each run sees only its slice of the
+        (ascending) candidate array."""
+        out = np.zeros(len(cand), dtype=dtype)
+        lo = 0
+        for r in runs:
+            hi = int(np.searchsorted(cand, int(r[0].block_last[-1]), "right"))
+            if hi > lo:
+                out[lo:hi] = fn(r, cand[lo:hi])
+            lo = hi
+            if lo >= len(cand):
+                break
+        return out
+
+    def _search_or_blockmax(self, field: str, terms: list[str], k: int,
+                            idf: dict[str, float], dl: np.ndarray,
+                            avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """Disjunctive (OR) top-k with block-max pruning — the ES/Lucene
+        block-max WAND capability (Ding & Suel 2011), organized MaxScore-
+        style for vectorized execution:
+
+        * terms sorted by upper bound ``idf * max_impact``; an ESSENTIAL
+          prefix is fully decoded (vectorized dense accumulation) to seed
+          candidates and a k-th-score lower bound theta;
+        * each NON-essential term is probed candidate-at-a-block: a
+          candidate whose ``partial + idf*block_max(block) + suffix_ub``
+          cannot reach theta is dropped permanently (strict <, so a
+          dropped doc can never tie into the top-k), and surviving
+          candidates decode ONLY the blocks they land in
+          (``BlockedPostings`` skip primitive);
+        * the essential prefix grows until the exact k-th score strictly
+          exceeds the non-essential upper-bound sum R — the certificate
+          that no doc outside the essential union can rank (ES executes
+          OR queries with the same bound; Lucene WANDScorer);
+        * survivors are re-scored in LEXICOGRAPHIC term order, so returned
+          scores are bitwise-identical to the exhaustive path and the
+          brute-force oracle.
+
+        ``self.last_block_stats`` reports (blocks_decoded, blocks_total).
+        """
+        runs = self._load_blocked_runs(field, terms)
+        if runs is None:
+            return self._search_or_fulldecode(field, terms, k, idf, dl, avgdl)
+        terms = [t for t in terms if runs[t]]
+        if not terms:
+            self.last_block_stats = (0, 0)
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ub = {t: idf[t] * max(r[2] for r in runs[t]) for t in terms}
+        order = sorted(terms, key=lambda t: (-ub[t], t))
+
+        def stats() -> tuple[int, int]:
+            dec = sum(r[0].blocks_decoded for t in terms for r in runs[t])
+            tot = sum(r[0].n_blocks for t in terms for r in runs[t])
+            return dec, tot
+
+        for n_ess in range(1, len(order) + 1):
+            ess, rest = order[:n_ess], order[n_ess:]
+            r_total = float(sum(ub[t] for t in rest))
+            # essential union: full decode (block reader, so stats count it)
+            dense = np.zeros(self.n_docs, dtype=np.float64)
+            touched = np.zeros(self.n_docs, dtype=bool)
+            ess_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for t in ess:
+                parts = [r[0].block(b) for r in runs[t]
+                         for b in range(r[0].n_blocks)]
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                ess_lists[t] = (ids, tfs)
+                dense[ids] += idf[t] * codec.bm25_tf_impact(
+                    tfs.astype(np.float64), dl[ids], avgdl)
+                touched[ids] = True
+            alive = np.flatnonzero(touched)  # ascending
+            partial = dense[alive]
+            theta = (float(np.partition(partial, -k)[-k])
+                     if len(partial) >= k else -np.inf)
+            tf_rest: dict[str, np.ndarray] = {}
+            suffix = r_total
+            for t in rest:
+                suffix -= ub[t]
+                # block-max prune: max gain from t at each candidate's block
+                bm = self._per_run(
+                    alive, runs[t],
+                    lambda r, c: np.where(
+                        (b := np.searchsorted(r[0].block_last, c))
+                        < r[0].n_blocks,
+                        idf[t] * r[1][np.minimum(b, r[0].n_blocks - 1)], 0.0),
+                    np.float64)
+                keep = partial + bm + suffix >= theta
+                if not keep.all():
+                    alive, partial = alive[keep], partial[keep]
+                    for u in tf_rest:
+                        tf_rest[u] = tf_rest[u][keep]
+                tfs = self._per_run(
+                    alive, runs[t],
+                    lambda r, c: r[0].lookup_many(c), np.int64)
+                tf_rest[t] = tfs
+                nz = tfs > 0
+                partial[nz] += idf[t] * codec.bm25_tf_impact(
+                    tfs[nz].astype(np.float64), dl[alive[nz]], avgdl)
+                if len(partial) >= k:
+                    theta = max(theta, float(np.partition(partial, -k)[-k]))
+            # partial is now EXACT for survivors; certify the essential set:
+            # any doc outside the essential union scores <= r_total, so the
+            # k-th survivor score must STRICTLY beat it (ties lose on doc_id)
+            theta_final = (float(np.partition(partial, -k)[-k])
+                           if len(partial) >= k else -np.inf)
+            if rest and not (theta_final > r_total):
+                continue  # grow the essential prefix and retry
+            if not len(alive):
+                self.last_block_stats = stats()
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            # top-k slice, then bitwise-exact lex-order rescore
+            if len(alive) > k:
+                kth = np.partition(partial, -k)[-k]
+                sel = partial >= kth
+                alive = alive[sel]
+                for u in tf_rest:
+                    tf_rest[u] = tf_rest[u][sel]
+            sc = np.zeros(len(alive), dtype=np.float64)
+            for t in sorted(terms):
+                if t in tf_rest:
+                    tfv = tf_rest[t]
+                else:
+                    ids, tfs = ess_lists[t]
+                    pos = np.searchsorted(ids, alive)
+                    okm = pos < len(ids)
+                    posc = np.minimum(pos, len(ids) - 1)
+                    okm &= ids[posc] == alive
+                    tfv = np.where(okm, tfs[posc], 0)
+                nz = tfv > 0
+                sc[nz] += idf[t] * codec.bm25_tf_impact(
+                    tfv[nz].astype(np.float64), dl[alive[nz]], avgdl)
+            if len(alive) > k:
+                kth = np.partition(sc, -k)[-k]
+                keep2 = sc >= kth
+                alive, sc = alive[keep2], sc[keep2]
+            self.last_block_stats = stats()
+            ordr = np.lexsort((alive, -sc))[:k]
+            return alive[ordr].astype(np.int64), sc[ordr]
+        raise AssertionError("unreachable: essential set covers all terms")
+
+    def _search_or_fulldecode(self, field: str, terms: list[str], k: int,
+                              idf: dict[str, float], dl: np.ndarray,
+                              avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """Exhaustive OR scoring (lexicographic accumulation) — the default
+        serving path and the bitwise reference for the block-max path."""
+        by_term = self._postings_for(field, terms)
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for t in terms:  # lexicographic accumulation order
+            for ids, tfs in by_term.get(t, []):
+                scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
+                touched[ids] = True
+        loc = np.flatnonzero(touched)
+        sc = scores[loc]
+        if len(loc) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            loc, sc = loc[keep], sc[keep]
+        order = np.lexsort((loc, -sc))[:k]
+        return loc[order].astype(np.int64), sc[order]
+
+    def _postings_for(self, field: str, terms: list[str]
+                      ) -> dict[str, list[tuple[np.ndarray, np.ndarray]]]:
+        """Decoded postings per term through the FIFO cache."""
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        missing = []
+        for t in terms:
+            cached = self._postings_cache.get((field, t))
+            if cached is not None:
+                by_term[t] = cached
+            else:
+                missing.append(t)
+        if missing:
+            tt = self.term_ds.to_table(
+                columns=["term", "df", "doc_ids_enc", "tfs_enc"],
+                filter=_term_filters({field: missing}),
+            )
+            for i in range(tt.num_rows):
+                t = tt["term"][i].as_py()
+                ids, tfs = codec.decode_postings(
+                    tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                    int(tt["df"][i].as_py()))
+                by_term.setdefault(t, []).append((ids, tfs))
+            for t in missing:
+                if len(self._postings_cache) >= self._postings_cache_cap:
+                    self._postings_cache.pop(next(iter(self._postings_cache)))
+                self._postings_cache[(field, t)] = by_term.get(t, [])
+        return by_term
+
     def _search_and_fulldecode(self, field: str, terms: list[str], k: int,
                                idf: dict[str, float], dl: np.ndarray,
                                avgdl: float) -> tuple[np.ndarray, np.ndarray]:
@@ -595,7 +817,13 @@ class LocalSearcher:
 
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD,
-               mode: str = "or") -> tuple[np.ndarray, np.ndarray]:
+               mode: str = "or",
+               or_strategy: str = "auto") -> tuple[np.ndarray, np.ndarray]:
+        """``or_strategy``: 'exact' always decodes every query term's
+        postings (lexicographic accumulation); 'blockmax' runs the
+        disjunctive block-max path; 'auto' picks blockmax when the df skew
+        suggests skipping pays (rare term + long common lists). Scores are
+        bitwise-identical across strategies."""
         all_terms = query_terms(query, _field_analyzer(self.stats, field))
         idf = self._idf(field, all_terms)
         terms = [t for t in all_terms if t in idf]
@@ -610,45 +838,24 @@ class LocalSearcher:
                 _avgdl(self.stats, field))
         if not terms or self.term_ds is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
-        missing = []
-        for t in terms:
-            cached = self._postings_cache.get((field, t))
-            if cached is not None:
-                by_term[t] = cached
-            else:
-                missing.append(t)
-        if missing:
-            tt = self.term_ds.to_table(
-                columns=["term", "df", "doc_ids_enc", "tfs_enc"],
-                filter=_term_filters({field: missing}),
-            )
-            for i in range(tt.num_rows):
-                t = tt["term"][i].as_py()
-                ids, tfs = codec.decode_postings(
-                    tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
-                    int(tt["df"][i].as_py()))
-                by_term.setdefault(t, []).append((ids, tfs))
-            for t in missing:
-                if len(self._postings_cache) >= self._postings_cache_cap:
-                    self._postings_cache.pop(next(iter(self._postings_cache)))
-                self._postings_cache[(field, t)] = by_term.get(t, [])
         dl = self._dl_for(field)
         avgdl = _avgdl(self.stats, field)
-        scores = np.zeros(self.n_docs, dtype=np.float64)
-        touched = np.zeros(self.n_docs, dtype=bool)
-        for t in terms:  # lexicographic accumulation order
-            for ids, tfs in by_term.get(t, []):
-                scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
-                touched[ids] = True
-        loc = np.flatnonzero(touched)
-        sc = scores[loc]
-        if len(loc) > k:
-            kth = np.partition(sc, -k)[-k]
-            keep = sc >= kth
-            loc, sc = loc[keep], sc[keep]
-        order = np.lexsort((loc, -sc))[:k]
-        return loc[order].astype(np.int64), sc[order]
+        use_blockmax = or_strategy == "blockmax"
+        if or_strategy == "auto" and len(terms) > 1:
+            df_tbl = self.term_ds.to_table(
+                columns=["term", "df"], filter=_term_filters({field: terms}))
+            df_of: dict[str, int] = {}
+            for t, d in zip(df_tbl["term"].to_pylist(),
+                            df_tbl["df"].to_pylist()):
+                df_of[t] = df_of.get(t, 0) + int(d)
+            dfs = sorted(df_of.values())
+            # skipping pays when the total volume is large and the driver
+            # candidate set (rarest list) is much smaller than the rest
+            use_blockmax = bool(dfs) and (sum(dfs) > 50_000
+                                          and dfs[0] * 8 < sum(dfs) - dfs[0])
+        if use_blockmax:
+            return self._search_or_blockmax(field, terms, k, idf, dl, avgdl)
+        return self._search_or_fulldecode(field, terms, k, idf, dl, avgdl)
 
 
 def _phrase_freq(seq_positions: list[np.ndarray]) -> int:
