@@ -85,6 +85,9 @@ class BuildConfig:
     # 'docs'-only variants per search_scheme.json:167-170 are the default
     # here for compactness)
     index_positions: bool = False
+    # quarantine html payloads larger than this to errors/oversize_payload
+    # instead of extracting them (web-scale poison guard); None = unlimited
+    max_doc_bytes: int | None = None
 
 
 def _ncpus() -> int:
@@ -117,12 +120,18 @@ def _build_corpus(input_path: str, index_dir: str, cfg: BuildConfig) -> None:
     if os.path.isdir(corpus_dir):
         shutil.rmtree(corpus_dir)
     errors_dir = os.path.join(index_dir, "errors")
+    # the corpus phase is restarting from scratch: clear its side-writes so
+    # a resumed-after-crash build doesn't double-count rejects (files from
+    # the aborted attempt would otherwise accumulate alongside the new ones)
+    if os.path.isdir(errors_dir):
+        shutil.rmtree(errors_dir)
     # stateless tasks, not an actor pool: a pool sized to the node starves
     # the read/write operators of CPU slots and serializes the phase
     ds = rd.read_parquet(input_path, override_num_blocks=max(2 * _ncpus(), 16))
     ds = ds.map_batches(
         extract_batch,
-        fn_kwargs={"errors_dir": errors_dir},
+        fn_kwargs={"errors_dir": errors_dir,
+                   "max_doc_bytes": cfg.max_doc_bytes},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )

@@ -6,9 +6,17 @@ Mirrors the reference's validity filtering and error side-sinks:
   ``transform/transform.go:37-40`` skip + ``missingCompanyData`` error file;
 * empty extracted text ≙ empty ``CompanyName`` ->
   ``transform/transform.go:42-45`` skip + ``missingCompanyName`` error file;
-* error side-sinks are append-only per-kind outputs
-  (``/root/reference/write/write.go:8-16,45-131``) — here parquet files under
-  ``<errors_dir>/<kind>/``.
+* per-row STAGE FAILURES are quarantined, not fatal — the reference's
+  transport-error sinks (``postRequestErrors``, ``unexpectedResponse``,
+  ``alphaKeyErrors``; ``/root/reference/write/write.go:8-16,45-131``) have
+  no network analogue here, but their semantic — a failing record lands in
+  a per-kind side-sink with a reason and the partition completes — maps to
+  the ``extract_error`` (exception during extraction) and
+  ``oversize_payload`` (html larger than ``max_doc_bytes``) kinds;
+* error side-sinks are per-kind parquet outputs under
+  ``<errors_dir>/<kind>/``. File names are DETERMINISTIC per input batch
+  (content digest), so Ray task retries overwrite their own previous
+  side-write instead of double-counting rejects.
 
 The extractor is a callable class for ``map_batches(..., concurrency=N)``:
 regex compilation happens once per actor in ``__init__`` (ST3/ST4 analogue),
@@ -21,10 +29,10 @@ BASELINE.json ``input_hint``).
 
 from __future__ import annotations
 
+import hashlib
 import html as _html
 import os
 import re
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -35,6 +43,8 @@ from ..functions.analyzers import token_count_batch
 
 REJECT_MISSING_PAYLOAD = "missing_payload"
 REJECT_EMPTY_TEXT = "empty_text"
+REJECT_OVERSIZE = "oversize_payload"
+REJECT_STAGE_ERROR = "extract_error"
 
 
 def extract_text(html_bytes: bytes, pattern: re.Pattern[str] | None = None) -> str:
@@ -47,20 +57,43 @@ def extract_text(html_bytes: bytes, pattern: re.Pattern[str] | None = None) -> s
 _P_TAG = re.compile(r"<p[^>]*>(.*?)</p>", re.DOTALL)
 
 
-def _side_write(errors_dir: str | None, kind: str, batch: pa.Table) -> None:
+def _batch_digest(batch: pa.Table) -> str:
+    """Deterministic per-batch id: digest of the url column. A retried Ray
+    task reproduces the same batch -> same side-write filename -> the retry
+    OVERWRITES its own earlier file instead of appending a duplicate."""
+    h = hashlib.md5()
+    for u in batch["url"].to_pylist():
+        h.update((u or "\x00").encode())
+        h.update(b"\n")
+    h.update(str(batch.num_rows).encode())
+    return h.hexdigest()
+
+
+def _side_write(errors_dir: str | None, kind: str, batch: pa.Table,
+                digest: str, errors: list[str] | None = None) -> None:
     if errors_dir is None or batch.num_rows == 0:
         return
     d = os.path.join(errors_dir, kind)
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
-    pq.write_table(batch.select(["url", "warc_ts", "lang"]), path)
+    path = os.path.join(d, f"part-{digest}.parquet")
+    out = batch.select(["url", "warc_ts", "lang"])
+    if errors is not None:
+        out = out.append_column("error", pa.array(errors, pa.string()))
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)  # atomic: readers never see partial files
 
 
-def extract_batch(batch: pa.Table, errors_dir: str | None = None) -> pa.Table:
+def extract_batch(batch: pa.Table, errors_dir: str | None = None,
+                  max_doc_bytes: int | None = None) -> pa.Table:
     """map_batches stage: webtext batch -> corpus batch (+ reject side-writes).
 
     Output columns: url, warc_ts, text, lang, doc_len. Rejected rows are
-    dropped from the output and appended under ``errors_dir/<kind>/``.
+    dropped from the output and land under ``errors_dir/<kind>/``:
+    validity kinds (missing_payload, empty_text), the oversize guard
+    (``max_doc_bytes``), and ``extract_error`` — any per-row exception is
+    quarantined with its message so a poison record never fails the
+    partition (reference ``write/write.go:45-131`` side-sink semantics).
     Stateless by design — the only "state" is a module-compiled regex — so it
     runs as elastic Ray tasks rather than a CPU-reserving actor pool (the
     reference likewise builds a fresh Transformer per batch,
@@ -73,20 +106,38 @@ def extract_batch(batch: pa.Table, errors_dir: str | None = None) -> pa.Table:
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
     null_mask = np.asarray(html_col.is_null())
+    oversize_mask = np.zeros(batch.num_rows, dtype=bool)
+    error_mask = np.zeros(batch.num_rows, dtype=bool)
+    error_msgs: list[str] = []
 
     texts: list[str | None] = [None] * batch.num_rows
     raw = html_col.to_pylist()
     for i, payload in enumerate(raw):
-        if payload is not None:
+        if payload is None:
+            continue
+        if max_doc_bytes is not None and len(payload) > max_doc_bytes:
+            oversize_mask[i] = True
+            continue
+        try:
             texts[i] = extract_text(payload, _P_TAG)
+        except Exception as e:  # quarantine, never fail the partition
+            error_mask[i] = True
+            error_msgs.append(f"{type(e).__name__}: {e}")
     text_arr = pa.array(texts, pa.large_string())
-    empty_mask = (~null_mask) & (np.asarray(pc.equal(
-        text_arr.fill_null("\x00"), "")))
+    empty_mask = (~(null_mask | oversize_mask | error_mask)) & (
+        np.asarray(pc.equal(text_arr.fill_null("\x00"), "")))
 
-    _side_write(errors_dir, REJECT_MISSING_PAYLOAD, batch.filter(pa.array(null_mask)))
-    _side_write(errors_dir, REJECT_EMPTY_TEXT, batch.filter(pa.array(empty_mask)))
+    digest = _batch_digest(batch)
+    _side_write(errors_dir, REJECT_MISSING_PAYLOAD,
+                batch.filter(pa.array(null_mask)), digest)
+    _side_write(errors_dir, REJECT_EMPTY_TEXT,
+                batch.filter(pa.array(empty_mask)), digest)
+    _side_write(errors_dir, REJECT_OVERSIZE,
+                batch.filter(pa.array(oversize_mask)), digest)
+    _side_write(errors_dir, REJECT_STAGE_ERROR,
+                batch.filter(pa.array(error_mask)), digest, errors=error_msgs)
 
-    keep = ~(null_mask | empty_mask)
+    keep = ~(null_mask | empty_mask | oversize_mask | error_mask)
     out = batch.select(["url", "warc_ts", "lang"]).filter(pa.array(keep))
     kept_text = text_arr.filter(pa.array(keep))
     out = out.append_column("text", kept_text)
@@ -101,23 +152,29 @@ class HtmlExtractor:
     callers that want constructor-time configuration, e.g. a heavier parser).
     """
 
-    def __init__(self, errors_dir: str | None = None):
+    def __init__(self, errors_dir: str | None = None,
+                 max_doc_bytes: int | None = None):
         self.pattern = _P_TAG
         self.errors_dir = errors_dir
+        self.max_doc_bytes = max_doc_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.errors_dir)
+        return extract_batch(batch, self.errors_dir, self.max_doc_bytes)
 
 
 def count_rejects(errors_dir: str) -> dict[str, int]:
-    """Total rejected rows per kind from the side-written parquet files."""
-    out: dict[str, int] = {}
-    for kind in (REJECT_MISSING_PAYLOAD, REJECT_EMPTY_TEXT):
-        d = os.path.join(errors_dir, kind)
-        n = 0
-        if os.path.isdir(d):
+    """Total rejected rows per kind from the side-written parquet files.
+    Every kind directory present is counted (validity kinds always appear
+    in the output, even at zero, for a stable stats.json shape)."""
+    out: dict[str, int] = {REJECT_MISSING_PAYLOAD: 0, REJECT_EMPTY_TEXT: 0}
+    if os.path.isdir(errors_dir):
+        for kind in sorted(os.listdir(errors_dir)):
+            d = os.path.join(errors_dir, kind)
+            if not os.path.isdir(d):
+                continue
+            n = 0
             for f in os.listdir(d):
                 if f.endswith(".parquet"):
                     n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-        out[kind] = n
+            out[kind] = n
     return out
