@@ -28,6 +28,7 @@ Scoring modes:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -352,10 +353,23 @@ class LocalSearcher:
     additions happen in the same order).
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, refresh_interval: float | None = None):
+        """``refresh_interval`` (seconds) is the ES ``refresh_interval``
+        analogue (reference ``config/search_scheme.json:6`` sets 30s): when
+        set, every search first checks — at most once per interval — whether
+        the committed segment set changed (a merge or an incremental build)
+        and epoch-swaps onto the new segments. ``None`` = explicit
+        :meth:`refresh` only."""
+        self.index_dir = index_dir
+        self.refresh_interval = refresh_interval
+        self._last_refresh_check = time.monotonic()
+        self._bind()
+
+    def _bind(self) -> None:
+        """Bind this searcher to the CURRENT committed segment set."""
         import pyarrow.dataset as pads
 
-        self.index_dir = index_dir
+        index_dir = self.index_dir
         self.stats = _load_stats(index_dir)
         self.n_docs = int(self.stats["n_docs"])
         self.seg_ids = sorted(mf.committed_segments(index_dir))
@@ -369,6 +383,27 @@ class LocalSearcher:
         self._postings_cache: dict[tuple[str, str], list] = {}
         self._postings_cache_cap = 8192
         self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
+
+    def refresh(self) -> bool:
+        """Epoch swap: re-resolve the committed segment set and, if it
+        changed (segment merge, incremental build), rebind files and drop
+        every derived cache. Returns True when a swap happened. Readers
+        in-flight on the old epoch are unaffected (segment files are
+        immutable; merge publishes under NEW ids and the combined manifest
+        is the atomic commit point)."""
+        new_ids = sorted(mf.committed_segments(self.index_dir))
+        if new_ids == self.seg_ids:
+            return False
+        self._bind()
+        return True
+
+    def _maybe_auto_refresh(self) -> None:
+        if self.refresh_interval is None:
+            return
+        now = time.monotonic()
+        if now - self._last_refresh_check >= self.refresh_interval:
+            self._last_refresh_check = now
+            self.refresh()
 
     def _dl_for(self, field: str) -> np.ndarray:
         if field not in self._dl:
@@ -824,6 +859,7 @@ class LocalSearcher:
         disjunctive block-max path; 'auto' picks blockmax when the df skew
         suggests skipping pays (rare term + long common lists). Scores are
         bitwise-identical across strategies."""
+        self._maybe_auto_refresh()
         all_terms = query_terms(query, _field_analyzer(self.stats, field))
         idf = self._idf(field, all_terms)
         terms = [t for t in all_terms if t in idf]

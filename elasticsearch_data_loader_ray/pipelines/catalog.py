@@ -1068,17 +1068,19 @@ def q_embedding_topk(sf_dir: str):
     emb_path = f"{sf_dir}/embeddings.parquet"
     import pyarrow.parquet as pq
 
+    from ..stages.similarity import vec_matrix
+
     qt = pq.read_table(emb_path, filters=[("vec_id", "in", EMB_QUERY_IDS)])
     q_ids = qt["vec_id"].to_pylist()
-    q_mat = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in qt["embedding"].to_pylist()])
+    q_mat = vec_matrix(qt["embedding"])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, q_mat))
 
     def score(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import vec_matrix as _vm
+
         ids_q, qm = ray.get(q_ref)
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in t["embedding"].to_pylist()])
+        vecs = _vm(t["embedding"])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (vecs / norms) @ qm.T  # (batch, n_q)
@@ -1278,10 +1280,21 @@ def _sql_alpha_prefix_search() -> str:
 # ---------------------------------------------------------------------------
 
 def q_ann_lsh_topk(sf_dir: str):
-    from ..stages.similarity import ann_topk
+    """Hive-partitioned multi-probe LSH ANN: the index is written
+    partitioned by signature bucket (cached per sf_dir+code version, like
+    the IVF entry) and each query reads only its probed buckets' files —
+    rows-only; pytest gates recall and partition pruning."""
+    import pyarrow.parquet as pq_
 
-    return ann_topk(f"{sf_dir}/embeddings.parquet", EMB_QUERY_IDS,
-                    k=EMB_K, n_probes=8)
+    from ..stages.similarity import lsh_build, lsh_topk, vec_matrix
+
+    key = hashlib.md5((sf_dir + _code_fingerprint()).encode()).hexdigest()[:12]
+    out = f"/tmp/edlr_cache/lsh_{key}"
+    emb = f"{sf_dir}/embeddings.parquet"
+    lsh_build(emb, out)
+    qt = pq_.read_table(emb, filters=[("vec_id", "in", EMB_QUERY_IDS)])
+    return lsh_topk(out, vec_matrix(qt["embedding"]),
+                    qt["vec_id"].to_pylist(), k=EMB_K, n_probes=8)
 
 
 def q_ann_ivf_topk(sf_dir: str):

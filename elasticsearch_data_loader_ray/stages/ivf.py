@@ -47,7 +47,9 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = KMEANS_ITERS,
 
 
 def _to_mat(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    from .similarity import vec_matrix
+
+    return vec_matrix(col)  # flat-buffer reshape, no per-row Python lists
 
 
 def ivf_build(emb_path: str, out_dir: str, n_centroids: int = 16,

@@ -115,3 +115,50 @@ def test_conjunctive_after_merge(merged_index):
     local = search_inprocess(out, q).to_pandas()
     assert dist["doc_id"].tolist() == local["doc_id"].tolist()
     assert len(dist) > 0
+
+
+def test_searcher_epoch_swap_after_merge(tmp_path_factory):
+    """A LocalSearcher bound before a merge keeps serving after refresh():
+    the committed-segment epoch swap rebinds files and drops caches, and
+    results from the merged segments are bitwise-identical (backlog #4 /
+    ES refresh_interval analogue)."""
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    src = tmp_path_factory.mktemp("ref_src")
+    pq.write_table(fixtures.generate_webtext(500), str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("ref_idx"))
+    build_index(str(src), out, BuildConfig(docs_per_segment=100))
+    lo = LocalSearcher(out)
+    before = [lo.search(q, k=10)
+              for q in ("the data", "w0042", "index query page web")]
+    old_ids = list(lo.seg_ids)
+    merge_segments(out, group_size=3)
+    assert lo.refresh() is True
+    assert lo.seg_ids != old_ids
+    assert any(s >= mf.MERGED_ID_BASE for s in lo.seg_ids)
+    for q, (ids_b, sc_b) in zip(
+            ("the data", "w0042", "index query page web"), before):
+        ids_a, sc_a = lo.search(q, k=10)
+        assert ids_b.tolist() == ids_a.tolist()
+        assert sc_b.tolist() == sc_a.tolist()  # bitwise across the swap
+    # idempotent: no further change -> no swap
+    assert lo.refresh() is False
+
+
+def test_searcher_auto_refresh_interval(tmp_path_factory):
+    """refresh_interval (the reference's search_scheme.json:6 knob): a
+    searcher with interval=0 picks up a merge on the next search without
+    an explicit refresh() call."""
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    src = tmp_path_factory.mktemp("ar_src")
+    pq.write_table(fixtures.generate_webtext(400), str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("ar_idx"))
+    build_index(str(src), out, BuildConfig(docs_per_segment=100))
+    lo = LocalSearcher(out, refresh_interval=0.0)
+    ids_b, sc_b = lo.search("the data", k=10)
+    merge_segments(out, group_size=10)
+    ids_a, sc_a = lo.search("the data", k=10)  # auto-swapped epoch
+    assert any(s >= mf.MERGED_ID_BASE for s in lo.seg_ids)
+    assert ids_b.tolist() == ids_a.tolist()
+    assert sc_b.tolist() == sc_a.tolist()

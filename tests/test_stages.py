@@ -230,3 +230,49 @@ def test_build_with_metrics(tmp_path):
     snap = ray.get(h.snapshot.remote())
     assert snap["totals"]["indexed"] == stats["n_docs"]
     assert len(snap["per_partition"]) == stats["n_segments"]
+
+
+def test_lsh_partitioned_index_prunes_and_recalls(tmp_path):
+    """lsh_build writes hive-partitioned buckets; lsh_topk reads ONLY the
+    probed buckets' files (mirrors the IVF layout) and matches the
+    in-pipeline ann_topk on the same planted-neighbor corpus."""
+    import os
+
+    from elasticsearch_data_loader_ray.stages.similarity import (
+        ann_topk, lsh_build, lsh_topk, vec_matrix)
+
+    rng = np.random.default_rng(99)
+    base = rng.standard_normal((400, 32)).astype(np.float32)
+    n_q = 20
+    jitter = base[:n_q] + 0.05 * rng.standard_normal((n_q, 32)).astype(np.float32)
+    vecs = np.vstack([base, jitter])
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }), path)
+    out = str(tmp_path / "lsh")
+    lsh_build(path, out)
+    qt = pq.read_table(path, filters=[("vec_id", "in", list(range(n_q)))])
+    q_mat = vec_matrix(qt["embedding"])
+    got = lsh_topk(out, q_mat, qt["vec_id"].to_pylist(),
+                   k=5, n_probes=12).to_pandas()
+    # recall on planted pairs — same gate as the in-pipeline variant
+    hits = 0
+    for qid in range(n_q):
+        found = set(got[got["query_vec_id"] == qid]["vec_id"])
+        assert qid in found
+        hits += (400 + qid) in found
+    assert hits / n_q >= 0.7, hits
+    # partition pruning: probed buckets are a strict subset of on-disk ones
+    bucket_dirs = [d for d in os.listdir(os.path.join(out, "buckets"))
+                   if d.startswith("lsh_bucket=")]
+    probed = lsh_topk.last_buckets_read
+    assert len(probed) < len(bucket_dirs), (len(probed), len(bucket_dirs))
+    # identical output to the one-shot in-pipeline path (same buckets probed)
+    ref = ann_topk(path, list(range(n_q)), k=5, n_probes=12).to_pandas()
+    got_s = got.sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    ref_s = ref.sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    assert got_s["vec_id"].tolist() == ref_s["vec_id"].tolist()
+    assert got_s["cos_sim"].tolist() == ref_s["cos_sim"].tolist()
