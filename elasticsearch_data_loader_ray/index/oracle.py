@@ -24,18 +24,25 @@ from .search import query_terms
 
 
 def corpus_from_webtext(webtext: pa.Table) -> tuple[list[str], list[list[str]]]:
-    """Dedup by url (first occurrence), drop rejects, sort by url.
+    """The engine's exact corpus rule: drop rejects FIRST (phase A removes
+    NULL/empty rows before anything else), then keep the min-(url, warc_ts)
+    row per url (phase C sorts by (url, warc_ts) and keeps the first).
+    A url whose earliest row is a reject but that has a later valid payload
+    is therefore INDEXED (from the valid row) — first-occurrence-in-input
+    dedup would wrongly drop it.
 
     Returns (urls_sorted, tokens_per_doc); doc_id = position in urls_sorted.
     """
+    rows = [(u, ts, x) for u, ts, x in zip(webtext["url"].to_pylist(),
+                                           webtext["warc_ts"].to_pylist(),
+                                           webtext["text"].to_pylist())
+            if x]  # rejects (None or "") removed before dedup
+    rows.sort(key=lambda r: (r[0], r[1]))  # keep-first by (url, warc_ts)
     seen: dict[str, str] = {}
-    order: list[str] = []
-    for url, text in zip(webtext["url"].to_pylist(), webtext["text"].to_pylist()):
-        if url in seen:
-            continue
-        seen[url] = text
-        order.append(url)
-    urls = sorted(u for u in order if seen[u])  # rejects: None or "" text
+    for u, _ts, x in rows:
+        if u not in seen:
+            seen[u] = x
+    urls = sorted(seen)
     toks = [analyze("standard", seen[u]) for u in urls]
     return urls, toks
 

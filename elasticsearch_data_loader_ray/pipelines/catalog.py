@@ -894,6 +894,35 @@ def _ensure_doc_index(sf_dir: str, positions: bool = False) -> str:
     return idx
 
 
+_DOCID_MAPS: dict[str, np.ndarray] = {}
+
+
+def _docid_map(idx: str) -> np.ndarray:
+    """engine doc_id (rank of url) -> ORIGINAL documents.doc_id.
+
+    The corpus url is the zero-padded original doc_id, so the docs tables
+    carry the mapping; relying on rank == original id would silently shift
+    every result after one invalid-text row or any gap in doc_id density
+    (ADVICE r1). Cached per index dir (tiny: one int per doc).
+    """
+    got = _DOCID_MAPS.get(idx)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq_
+
+    from ..index import manifest as mfmod
+    from ..index.build import seg_docs_path
+
+    segs = sorted(mfmod.committed_segments(idx))
+    t = pq_.read_table([seg_docs_path(idx, s) for s in segs],
+                       columns=["doc_id", "url"])
+    arr = np.full(t.num_rows, -1, dtype=np.int64)
+    arr[t["doc_id"].to_numpy()] = np.asarray(
+        [int(u) for u in t["url"].to_pylist()], dtype=np.int64)
+    _DOCID_MAPS[idx] = arr
+    return arr
+
+
 def _round_rerank(res, k: int, group_col: str, score_col: str,
                   id_col: str) -> pa.Table:
     """Round scores to 6dp, re-rank within each group by (rounded desc,
@@ -922,6 +951,7 @@ def q_bm25_topk(sf_dir: str):
                          "rank": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
@@ -974,6 +1004,7 @@ def q_bm25_and_topk(sf_dir: str):
                          "rank": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
@@ -1025,11 +1056,12 @@ def q_phrase_match(sf_dir: str):
 
     idx = _ensure_doc_index(sf_dir, positions=True)
     ps = PhraseSearcher(LocalSearcher(idx))
+    dmap = _docid_map(idx)
     out_q, out_d = [], []
     for qid, phrase in enumerate(DOC_PHRASES):
         ids, _sc, _fq = ps.search(phrase, k=10**9)
         out_q.extend([qid] * len(ids))
-        out_d.extend(sorted(int(i) for i in ids))
+        out_d.extend(sorted(int(dmap[i]) for i in ids))
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "doc_id": pa.array(out_d, pa.int64())})
 
