@@ -88,6 +88,13 @@ class BuildConfig:
     # quarantine html payloads larger than this to errors/oversize_payload
     # instead of extracting them (web-scale poison guard); None = unlimited
     max_doc_bytes: int | None = None
+    # pack each (block x bucket) cell into one compressed Arrow-IPC payload
+    # row before the segment shuffle ('zstd' | 'lz4' | None). Cuts exchange
+    # rows ~1000x and bytes 2-3x — worth it when the exchange crosses a
+    # NETWORK (multi-node); on this single box the exchange is a memcpy and
+    # packing measured net-negative (iso @1M docs: raw 18.6/10.6s at 2/8
+    # cpus vs packed-zstd 31.1/13.7s), so default off
+    shuffle_pack_codec: str | None = None
 
 
 def _ncpus() -> int:
@@ -189,33 +196,40 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
         mf.write_json_atomic(plan_path, plan)
         return plan
     if n_est <= 5_000_000:
-        # driver fast path: one url-column pull, exact boundaries/counts in
-        # numpy (urls are ~1% of corpus bytes; above the cutoff, fall back to
-        # the fully distributed path)
+        # driver fast path: one url-column pull, exact boundaries/counts via
+        # Arrow C++ kernels (urls are ~1% of corpus bytes; above the cutoff,
+        # fall back to the fully distributed path). The previous
+        # numpy-object lexsort + searchsorted cost ~2s at 1M rows — a fixed
+        # driver term that caps scaling; sort_by is multi-threaded C++.
+        import pyarrow.compute as pc
+
         tbl = pa.concat_tables(
             ray.get(urls_ds.to_arrow_refs())).combine_chunks()
-        urls = np.asarray(tbl["url"].to_numpy(zero_copy_only=False), dtype=object)
-        dls = tbl["doc_len"].to_numpy().astype(np.int64)
-        ts = tbl["warc_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         # same keep-first rule as phase C: (url asc, warc_ts asc), so plan
         # avgdl is computed over exactly the docs that get indexed
-        order = np.lexsort((ts, urls))
-        urls_s, dls_s = urls[order], dls[order]
-        first = np.ones(len(urls_s), dtype=bool)
-        first[1:] = urls_s[1:] != urls_s[:-1]
-        uniq_urls, uniq_dls = urls_s[first], dls_s[first]
-        n_docs = len(uniq_urls)
-        n_dups = len(urls_s) - n_docs
+        tbl_s = tbl.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+        n_rows = tbl_s.num_rows
+        urls_col = tbl_s["url"].combine_chunks()
+        first_tail = pc.not_equal(urls_col.slice(1),
+                                  urls_col.slice(0, n_rows - 1))
+        first = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            first[1:] = first_tail.to_numpy(zero_copy_only=False)
+        uniq = tbl_s.filter(pa.array(first))
+        n_docs = uniq.num_rows
+        n_dups = n_rows - n_docs
         dps = _docs_per_segment(cfg, n_docs)
         n_segments = max(1, math.ceil(n_docs / dps))
-        cut_idx = [min(n_docs - 1, k * n_docs // n_segments)
-                   for k in range(1, n_segments)]
-        boundaries = sorted({str(uniq_urls[i]) for i in cut_idx})
+        # cut INDICES into the deduped url order: per-bucket counts are the
+        # index differences — urls are unique here, so no re-searching
+        cuts = sorted({min(n_docs - 1, k * n_docs // n_segments)
+                       for k in range(1, n_segments)})
+        uniq_urls = uniq["url"]
+        boundaries = [uniq_urls[i].as_py() for i in cuts]
         n_segments = len(boundaries) + 1
-        bucket = _bucket_of(uniq_urls, boundaries)
-        per_bucket = np.bincount(bucket, minlength=n_segments).astype(np.int64)
+        per_bucket = np.diff(np.r_[0, cuts, n_docs]).astype(np.int64)
         offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
-        dl_total = int(uniq_dls.sum())
+        dl_total = int(pc.sum(uniq["doc_len"]).as_py() or 0)
     else:
         boundaries = _segment_boundaries(urls_ds.select_columns(["url"]), n_est, cfg)
 
@@ -302,12 +316,43 @@ def _write_segment_files(index_dir: str, seg_id: int, terms: pa.Table,
         os.replace(tmp_dir, final_dir)
 
 
+def _corpus_columns(cfg: BuildConfig) -> list[str]:
+    """Columns phase C actually needs: shuffle nothing else."""
+    cols = ["url", "warc_ts", "text", "doc_len"]
+    for _fname, src_col, _an in cfg.fields:
+        if src_col not in cols:
+            cols.append(src_col)
+    return cols
+
+
+def _pack_cell(sub: pa.Table, codec: str | None) -> bytes:
+    """One (input block x bucket) cell -> an Arrow IPC payload (optionally
+    compressed). Packed shuffles move ~(n_blocks x n_buckets) rows through
+    the exchange instead of n_docs and shrink the bytes crossing it — the
+    multi-node/network shuffle shape (see BuildConfig.shuffle_pack_codec)."""
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression=codec)
+    with pa.ipc.new_stream(sink, sub.schema, options=opts) as w:
+        w.write_table(sub)
+    return sink.getvalue().to_pybytes()
+
+
+def _unpack_cells(payloads: list[bytes]) -> pa.Table:
+    tabs = [pa.ipc.open_stream(pa.BufferReader(p)).read_all() for p in payloads]
+    return pa.concat_tables(tabs)
+
+
 def _build_segment(group: pa.Table, index_dir: str, plan: dict,
                    cfg: BuildConfig) -> pa.Table:
-    """Vectorized per-segment build: dedup, doc ids, tokenize, encode, commit."""
+    """Vectorized per-segment build: dedup, doc ids, tokenize, encode, commit.
+
+    ``group`` is either raw doc rows with a ``bucket`` column, or packed
+    cells (bucket, payload) from :func:`_pack_cell`."""
     pin_worker_threads()
     t0 = time.perf_counter()
     seg_id = int(group["bucket"][0].as_py())
+    if "payload" in group.column_names:
+        group = _unpack_cells(group["payload"].to_pylist())
     n_input = group.num_rows
     # groups arrive as many zero-copy slices of shuffle outputs; every kernel
     # below is much faster over contiguous buffers
@@ -475,9 +520,11 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
     boundaries = plan["boundaries"]
     corpus_dir = os.path.join(index_dir, "corpus")
     # shuffle reduce-side parallelism follows the upstream block count: read
-    # with >= one block per segment so every segment builds concurrently
+    # with >= one block per segment so every segment builds concurrently;
+    # prune to the columns phase C consumes
     ds = rd.read_parquet(
-        corpus_dir, override_num_blocks=max(plan["n_segments"], _ncpus()))
+        corpus_dir, columns=_corpus_columns(cfg),
+        override_num_blocks=max(plan["n_segments"], _ncpus()))
 
     done_ref = ray.put(frozenset(done))
     plan_ref = ray.put(plan)
@@ -492,12 +539,39 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
             t = t.filter(pa.array(keep))
         return t
 
+    def pack_by_bucket(t: pa.Table) -> pa.Table:
+        """Assign buckets, drop finished ones, and PACK each bucket's rows
+        into one payload row (see _pack_cell): the groupby then shuffles
+        ~(blocks x buckets) small rows, not every doc."""
+        pin_worker_threads()
+        t = add_bucket_filter(t)
+        b = t["bucket"].to_numpy()
+        t = t.drop_columns(["bucket"])
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "payload": pa.array([], pa.binary())})
+        order = np.argsort(b, kind="stable")
+        t = t.take(pa.array(order)).combine_chunks()
+        bs = b[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], len(bs)]
+        return pa.table({
+            "bucket": pa.array(bs[starts], pa.int32()),
+            "payload": pa.array(
+                [_pack_cell(t.slice(int(s), int(e - s)), cfg.shuffle_pack_codec)
+                 for s, e in zip(starts, ends)], pa.binary()),
+        })
+
     def seg_fn(group: pa.Table) -> pa.Table:
         return _build_segment(group, index_dir, ray.get(plan_ref), cfg)
 
+    packed = cfg.shuffle_pack_codec is not None
+    staged = (ds.map_batches(pack_by_bucket, batch_format="pyarrow",
+                             batch_size=None)
+              if packed else
+              ds.map_batches(add_bucket_filter, batch_format="pyarrow"))
     summaries = (
-        ds.map_batches(add_bucket_filter, batch_format="pyarrow")
-        .groupby("bucket")
+        staged.groupby("bucket")
         .map_groups(seg_fn, batch_format="pyarrow")
         .take_all()
     )

@@ -74,6 +74,26 @@ def test_doc_ids_dense_and_url_sorted(index_dir):
     assert all_urls == sorted(all_urls)
 
 
+def test_packed_shuffle_identical_index(webtext, index_dir, tmp_path_factory):
+    """shuffle_pack_codec packs each (block x bucket) cell into one Arrow-IPC
+    payload row before the segment exchange (the multi-node/network shuffle
+    shape); the resulting index must be file-identical to the raw-row path."""
+    _, src = webtext
+    idx, stats = index_dir
+    out = str(tmp_path_factory.mktemp("index_packed"))
+    cfg = BuildConfig(docs_per_segment=150, extract_concurrency=2,
+                      shuffle_pack_codec="zstd")
+    stats_p = build_index(src, out, cfg)
+    assert stats_p["n_docs"] == stats["n_docs"]
+    assert stats_p["n_postings"] == stats["n_postings"]
+    from elasticsearch_data_loader_ray.index.build import seg_terms_path
+
+    for s in sorted(mf.committed_segments(idx)):
+        a = pq.read_table(seg_terms_path(idx, s))
+        b = pq.read_table(seg_terms_path(out, s))
+        assert a.equals(b)
+
+
 def test_search_matches_oracle_bitwise(webtext, index_dir):
     t, _ = webtext
     idx, _ = index_dir
