@@ -284,9 +284,93 @@ def standard_tokenize_batch(
     return doc_index, tokens, doc_len
 
 
+def _tokclass_luts() -> tuple[np.ndarray, np.ndarray]:
+    """Byte-level token-character classification tables.
+
+    ``lut1[b]``: is single byte ``b`` (ASCII) a token char.
+    ``lut2[(lead-0xC2)*64 + (cont-0x80)]``: is the 2-byte UTF-8 sequence's
+    codepoint (U+0080..U+07FF) a token char — built from the scalar
+    analyzer's own ``[^\\W_]`` class, so byte counting is exact by
+    construction.
+    """
+    lut1 = np.zeros(256, dtype=bool)
+    for lo, hi in [(48, 58), (65, 91), (97, 123)]:
+        lut1[lo:hi] = True
+    lut2 = np.zeros(30 * 64, dtype=bool)
+    for lead in range(0xC2, 0xE0):
+        for cont in range(0x80, 0xC0):
+            cp = ((lead & 0x1F) << 6) | (cont & 0x3F)
+            if _PY_TOKEN.fullmatch(chr(cp)):
+                lut2[(lead - 0xC2) * 64 + (cont - 0x80)] = True
+    return lut1, lut2
+
+
+_LUT1, _LUT2 = _tokclass_luts()
+
+
+def _token_count_bytes(offs: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Count token runs per row directly on the UTF-8 byte buffer (rows must
+    contain no 3/4-byte sequences — caller routes those to RE2)."""
+    tok = _LUT1[data]
+    lead2 = (data >= 0xC2) & (data < 0xE0)
+    if lead2.any():
+        li = np.flatnonzero(lead2)
+        li = li[li + 1 < len(data)]
+        tok[li] = _LUT2[(data[li].astype(np.int64) - 0xC2) * 64
+                        + (data[li + 1].astype(np.int64) - 0x80)]
+        # continuation byte inherits its lead's class (single continuation
+        # only: 2-byte sequences)
+        tok[li + 1] = tok[li]
+    starts = tok.copy()
+    starts[1:] &= ~tok[:-1]
+    # run starts are sparse (~1 per 6 bytes): count per row via positions +
+    # searchsorted instead of a full-buffer cumsum (~10x cheaper)
+    pos = np.flatnonzero(starts)
+    cnt = (np.searchsorted(pos, offs[1:])
+           - np.searchsorted(pos, offs[:-1]))
+    # a row whose first char is a token char after a row ending in one is a
+    # fresh run (rows are adjacent in the buffer)
+    b = offs[:-1]
+    inner = np.flatnonzero((b > 0) & (offs[1:] > b))
+    if len(inner):
+        add = tok[b[inner]] & tok[b[inner] - 1]
+        cnt[inner[add]] += 1
+    return cnt
+
+
 def token_count_batch(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized F14 token counts (== len(analyze('standard', t)) per row)."""
-    return standard_tokenize_batch(texts)[2]
+    """Vectorized F14 token counts (== len(analyze('standard', t)) per row).
+
+    Counting needs no token MATERIALIZATION: a token count is the number of
+    ``[\\p{L}\\p{N}]+`` runs (lowercasing cannot change letter/digit class
+    membership, so it is skipped). Rows made of ASCII + 2-byte UTF-8 are
+    counted with numpy byte tables (memory-bandwidth fast path); rows with
+    any 3/4-byte sequence (CJK etc.) fall back to one RE2 scan. Nulls
+    count 0.
+    """
+    arr = pc.fill_null(texts, "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    all_offs = np.frombuffer(arr.buffers()[1], dtype=width)
+    offs = all_offs[arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(offs[-1]))[offs[0]:]
+    offs = offs - offs[0]
+    hi = np.flatnonzero(data >= 0xE0)
+    if len(hi):
+        hi_rows = np.unique(np.searchsorted(offs, hi, side="right") - 1)
+        hi_mask = np.zeros(n, dtype=bool)
+        hi_mask[hi_rows] = True
+        out = _token_count_bytes(offs, data)
+        sub = arr.filter(pa.array(hi_mask))
+        out[hi_mask] = np.asarray(
+            pc.count_substring_regex(sub, RE2_TOKEN)).astype(np.int64)
+        return out.astype(np.int32)
+    return _token_count_bytes(offs, data).astype(np.int32)
 
 
 def analyze_column(texts: pa.ChunkedArray | pa.Array,

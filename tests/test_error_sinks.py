@@ -41,7 +41,13 @@ def test_poison_row_quarantined_partition_completes(tmp_path, monkeypatch):
             raise ValueError("simulated tokenizer explosion")
         return real(payload, pattern)
 
+    def batch_poisoned(html_col):
+        # the vectorized kernel dies on the whole batch -> extract_batch
+        # must drop to the per-row loop and quarantine only the poison row
+        raise ValueError("simulated batch kernel explosion")
+
     monkeypatch.setattr(ex, "extract_text", poisoned)
+    monkeypatch.setattr(ex, "extract_text_batch", batch_poisoned)
     errors_dir = str(tmp_path / "errors")
     out = ex.extract_batch(_mini_batch(), errors_dir=errors_dir)
     # partition completed: the two good rows survive, poison + null dropped

@@ -67,3 +67,47 @@ def test_queries_fixture():
     q = fixtures.generate_queries()
     assert q.num_rows >= 12
     assert q["k"].to_pylist() == [10] * q.num_rows
+
+
+def test_vectorized_extract_matches_scalar_adversarial():
+    """extract_text_batch must be byte-identical to the scalar regex on
+    inputs that stress every fallback route: unknown entities, nested
+    openings, stray closes, unclosed tags, bare '&', invalid UTF-8."""
+    from elasticsearch_data_loader_ray.stages.extract import (
+        extract_text, extract_text_batch)
+
+    cases = [
+        b"<p>a &nbsp; b</p>",                    # entity outside the five
+        b"<p>x <p>y</p> tail",                   # two openings, one close
+        b"<p>a</p> stray </p><p>b</p>",          # close without opening
+        b"<p>unclosed trailing",
+        b"<p>&amp;lt;</p><p>&quot;q&#x27;</p>",  # chained entities
+        b"no paragraphs at all", b"", None,
+        b"<p>line1\nline2</p>\n<p class='x'>z</p>",
+        b"<p>a&amp;&amp;b</p>", b"<p>&</p>",
+        b"\xff\xfe<p>bad utf8</p>",              # invalid utf-8 batch route
+        b"<p>&amp;#x27;</p>", b"<p>&amp;amp;</p>", b"<p>&&amp;</p>",
+        b"<pre>code</pre><p>real</p>",
+    ]
+    got = extract_text_batch(pa.array(cases, pa.binary())).to_pylist()
+    want = [None if b is None else extract_text(b) for b in cases]
+    assert got == want
+
+
+def test_token_count_batch_matches_tokenizer():
+    from elasticsearch_data_loader_ray.functions.analyzers import (
+        standard_tokenize_batch, token_count_batch)
+    import numpy as np
+
+    t = fixtures.generate_webtext(300)
+    texts = t["text"].combine_chunks()
+    assert np.array_equal(token_count_batch(texts),
+                          standard_tokenize_batch(texts)[2])
+    edge = pa.array(["Hé½llo 世界 a_b", "", None, "  --  ", "ß ß",
+                     "中文 分词 test", "🎉 party 🎉time", "a", "é", "½½ ½",
+                     "_", "µ0"], pa.string())
+    assert np.array_equal(token_count_batch(edge),
+                          standard_tokenize_batch(edge)[2])
+    sl = texts.slice(101, 99)  # nonzero array offset
+    assert np.array_equal(token_count_batch(sl),
+                          standard_tokenize_batch(sl)[2])
