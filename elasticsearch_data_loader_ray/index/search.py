@@ -107,13 +107,14 @@ def _term_filters(by_field: dict[str, list[str]]):
 
 
 def load_global_idf(index_dir: str,
-                    by_field: dict[str, list[str]]) -> tuple[dict, int]:
-    """Global df per (field, term) from term_stats -> idf map keyed
-    (field, term)."""
+                    by_field: dict[str, list[str]]) -> tuple[dict, dict, int]:
+    """Global df per (field, term) from term_stats -> (idf map, df map,
+    n_docs), both maps keyed (field, term)."""
     stats = _load_stats(index_dir)
     n_docs = int(stats["n_docs"])
     ts_dir = os.path.join(index_dir, "term_stats")
     idf: dict[tuple[str, str], float] = {}
+    dfs: dict[tuple[str, str], int] = {}
     filters = _term_filters(by_field)
     if filters is not None and n_docs:
         files = [os.path.join(ts_dir, f) for f in sorted(os.listdir(ts_dir))
@@ -124,7 +125,8 @@ def load_global_idf(index_dir: str,
                                 tbl["term"].to_pylist(),
                                 tbl["df"].to_pylist()):
                 idf[(f, t)] = float(codec.bm25_idf(int(df), n_docs))
-    return idf, n_docs
+                dfs[(f, t)] = int(df)
+    return idf, dfs, n_docs
 
 
 def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]:
@@ -378,10 +380,17 @@ class LocalSearcher:
         self.doc_files = [seg_docs_path(index_dir, s) for s in self.seg_ids]
         self._dl: dict[str, np.ndarray] = {}
         self._idf_cache: dict[tuple[str, str], float | None] = {}
+        self._df_cache: dict[tuple[str, str], int] = {}
         # hot postings cache (serving path): decoded runs per (field, term),
         # FIFO-evicted; repeated/overlapping queries skip the parquet read
         self._postings_cache: dict[tuple[str, str], list] = {}
         self._postings_cache_cap = 8192
+        # blocked-reader cache for the skip paths (AND / disjunctive
+        # block-max): encoded bytes + block metadata per (field, term);
+        # readers memoize decoded blocks, so repeated queries skip both the
+        # parquet read AND re-decoding hot blocks
+        self._blocked_cache: dict[tuple[str, str], list[tuple]] = {}
+        self._blocked_cache_cap = 8192
         self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
 
     def refresh(self) -> bool:
@@ -418,9 +427,10 @@ class LocalSearcher:
     def _idf(self, field: str, terms: list[str]) -> dict[str, float]:
         missing = [t for t in terms if (field, t) not in self._idf_cache]
         if missing:
-            got, _ = load_global_idf(self.index_dir, {field: missing})
+            got, dfs, _ = load_global_idf(self.index_dir, {field: missing})
             for t in missing:
                 self._idf_cache[(field, t)] = got.get((field, t))
+                self._df_cache[(field, t)] = dfs.get((field, t), 0)
         return {t: v for t in terms
                 if (v := self._idf_cache.get((field, t))) is not None}
 
@@ -442,40 +452,32 @@ class LocalSearcher:
             return self._search_and_fulldecode(field, terms, k, idf, dl, avgdl)
         # cost model: probing costs ~driver_df per other term and loses the
         # vectorized-decode advantage (~8x); skip-read only pays when the
-        # driver is selective relative to the other lists
-        df_tbl = self.term_ds.to_table(columns=["term", "df"],
-                                       filter=_term_filters({field: terms}))
-        df_of_g: dict[str, int] = {}
-        for t, d in zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()):
-            df_of_g[t] = df_of_g.get(t, 0) + int(d)
-        if any(t not in df_of_g for t in terms):
+        # driver is selective relative to the other lists. df comes from the
+        # blocked cache when every term is already hot (no read at all).
+        if all((field, t) in self._blocked_cache for t in terms):
+            df_of_g = {t: sum(r[0].df for r in self._blocked_cache[(field, t)])
+                       for t in terms}
+        else:
+            df_tbl = self.term_ds.to_table(
+                columns=["term", "df"], filter=_term_filters({field: terms}))
+            df_of_g = {}
+            for t, d in zip(df_tbl["term"].to_pylist(),
+                            df_tbl["df"].to_pylist()):
+                df_of_g[t] = df_of_g.get(t, 0) + int(d)
+        if any(df_of_g.get(t, 0) == 0 for t in terms):
             self.last_block_stats = (0, 0)
             return np.empty(0, np.int64), np.empty(0, np.float64)
         min_df = min(df_of_g.values())
         other_total = sum(df_of_g.values()) - min_df
         if min_df * 8 * max(1, len(terms) - 1) >= other_total:
             return self._search_and_fulldecode(field, terms, k, idf, dl, avgdl)
-        tt = self.term_ds.to_table(
-            columns=["term", "df", "doc_ids_enc", "tfs_enc",
-                     "block_last_doc", "block_doc_byte_off",
-                     "block_tf_byte_off"],
-            filter=_term_filters({field: terms}),
-        )
-        readers: dict[str, list[codec.BlockedPostings]] = {t: [] for t in terms}
-        for i in range(tt.num_rows):
-            t = tt["term"][i].as_py()
-            readers[t].append(codec.BlockedPostings(
-                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
-                int(tt["df"][i].as_py()),
-                np.array(tt["block_last_doc"][i].as_py(), dtype=np.int64),
-                np.array(tt["block_doc_byte_off"][i].as_py(), dtype=np.int64),
-                np.array(tt["block_tf_byte_off"][i].as_py(), dtype=np.int64),
-            ))
+        runs = self._load_blocked_runs(field, terms)
+        readers: dict[str, list[codec.BlockedPostings]] = {
+            t: [r[0] for r in runs[t]] for t in terms}
         if any(not rs for rs in readers.values()):
             self.last_block_stats = (0, 0)
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        for t in terms:
-            readers[t].sort(key=lambda r: int(r.block_last[0]))
+        dec0 = sum(r.blocks_decoded for rs in readers.values() for r in rs)
         df_of = {t: sum(r.df for r in readers[t]) for t in terms}
         driver = min(terms, key=lambda t: df_of[t])
         # driver decodes fully; every other term probed lazily
@@ -513,7 +515,7 @@ class LocalSearcher:
             if len(cand) == 0:
                 break
         blocks_decoded = sum(r.blocks_decoded for rs in readers.values()
-                             for r in rs)
+                             for r in rs) - dec0
         blocks_total = sum(r.n_blocks for rs in readers.values() for r in rs)
         self.last_block_stats = (blocks_decoded, blocks_total)
         if len(cand) == 0:
@@ -533,32 +535,41 @@ class LocalSearcher:
 
     def _load_blocked_runs(self, field: str, terms: list[str]
                            ) -> dict[str, list[tuple]] | None:
-        """(BlockedPostings, block_max_impact) runs per term, runs sorted by
-        doc range. None if the index predates block byte offsets."""
+        """(BlockedPostings, block_max_impact, max_impact) runs per term,
+        runs sorted by doc range; None if the index predates block byte
+        offsets. Served from ``_blocked_cache`` — only terms not yet cached
+        touch parquet, and cached readers keep their decoded-block memos
+        across queries (warm path does no I/O)."""
         if "block_doc_byte_off" not in self.term_ds.schema.names:
             return None
-        tt = self.term_ds.to_table(
-            columns=["term", "df", "doc_ids_enc", "tfs_enc", "max_impact",
-                     "block_last_doc", "block_max_impact",
-                     "block_doc_byte_off", "block_tf_byte_off"],
-            filter=_term_filters({field: terms}),
-        )
-        runs: dict[str, list[tuple]] = {t: [] for t in terms}
-        for i in range(tt.num_rows):
-            t = tt["term"][i].as_py()
-            reader = codec.BlockedPostings(
-                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
-                int(tt["df"][i].as_py()),
-                np.array(tt["block_last_doc"][i].as_py(), dtype=np.int64),
-                np.array(tt["block_doc_byte_off"][i].as_py(), dtype=np.int64),
-                np.array(tt["block_tf_byte_off"][i].as_py(), dtype=np.int64),
+        missing = [t for t in terms if (field, t) not in self._blocked_cache]
+        if missing:
+            tt = self.term_ds.to_table(
+                columns=["term", "df", "doc_ids_enc", "tfs_enc", "max_impact",
+                         "block_last_doc", "block_max_impact",
+                         "block_doc_byte_off", "block_tf_byte_off"],
+                filter=_term_filters({field: missing}),
             )
-            bmax = np.array(tt["block_max_impact"][i].as_py(), dtype=np.float64)
-            tmax = float(tt["max_impact"][i].as_py())
-            runs[t].append((reader, bmax, tmax))
-        for t in terms:
-            runs[t].sort(key=lambda r: int(r[0].block_last[0]))
-        return runs
+            fresh: dict[str, list[tuple]] = {t: [] for t in missing}
+            for i in range(tt.num_rows):
+                t = tt["term"][i].as_py()
+                reader = codec.BlockedPostings(
+                    tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                    int(tt["df"][i].as_py()),
+                    np.array(tt["block_last_doc"][i].as_py(), dtype=np.int64),
+                    np.array(tt["block_doc_byte_off"][i].as_py(), dtype=np.int64),
+                    np.array(tt["block_tf_byte_off"][i].as_py(), dtype=np.int64),
+                )
+                bmax = np.array(tt["block_max_impact"][i].as_py(),
+                                dtype=np.float64)
+                tmax = float(tt["max_impact"][i].as_py())
+                fresh[t].append((reader, bmax, tmax))
+            for t in missing:
+                fresh[t].sort(key=lambda r: int(r[0].block_last[0]))
+                while len(self._blocked_cache) >= self._blocked_cache_cap:
+                    self._blocked_cache.pop(next(iter(self._blocked_cache)))
+                self._blocked_cache[(field, t)] = fresh[t]
+        return {t: self._blocked_cache[(field, t)] for t in terms}
 
     @staticmethod
     def _per_run(cand: np.ndarray, runs: list[tuple], fn,
@@ -612,11 +623,14 @@ class LocalSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ub = {t: idf[t] * max(r[2] for r in runs[t]) for t in terms}
         order = sorted(terms, key=lambda t: (-ub[t], t))
+        # cached readers carry decode counts from earlier queries: report
+        # this query's decodes relative to the load-time baseline
+        dec0 = sum(r[0].blocks_decoded for t in terms for r in runs[t])
 
         def stats() -> tuple[int, int]:
             dec = sum(r[0].blocks_decoded for t in terms for r in runs[t])
             tot = sum(r[0].n_blocks for t in terms for r in runs[t])
-            return dec, tot
+            return dec - dec0, tot
 
         for n_ess in range(1, len(order) + 1):
             ess, rest = order[:n_ess], order[n_ess:]
@@ -878,16 +892,16 @@ class LocalSearcher:
         avgdl = _avgdl(self.stats, field)
         use_blockmax = or_strategy == "blockmax"
         if or_strategy == "auto" and len(terms) > 1:
-            df_tbl = self.term_ds.to_table(
-                columns=["term", "df"], filter=_term_filters({field: terms}))
-            df_of: dict[str, int] = {}
-            for t, d in zip(df_tbl["term"].to_pylist(),
-                            df_tbl["df"].to_pylist()):
-                df_of[t] = df_of.get(t, 0) + int(d)
-            dfs = sorted(df_of.values())
-            # skipping pays when the total volume is large and the driver
-            # candidate set (rarest list) is much smaller than the rest
-            use_blockmax = bool(dfs) and (sum(dfs) > 50_000
+            # df is already hot: the _idf call above filled _df_cache
+            dfs = sorted(self._df_cache.get((field, t), 0) for t in terms)
+            # skipping pays only when the decode volume is large AND the
+            # rarest list is much smaller than the rest. Measured at ~100k
+            # docs (sum df ~2e5): exact full-decode beats block-max both
+            # cold and warm (vectorized decode ~ memory bandwidth; pivot
+            # probing has per-candidate overhead), so the volume gate sits
+            # at 500k postings — roughly the >=1M-doc corpora where a
+            # decoded-postings working set stops fitting warm caches
+            use_blockmax = bool(dfs) and (sum(dfs) > 500_000
                                           and dfs[0] * 8 < sum(dfs) - dfs[0])
         if use_blockmax:
             return self._search_or_blockmax(field, terms, k, idf, dl, avgdl)
@@ -1047,7 +1061,7 @@ def search(index_dir: str, queries: pa.Table | list[dict],
     for _qid, field, terms, _k, _m in prepared:
         by_field.setdefault(field, []).extend(terms)
     by_field = {f: sorted(set(ts)) for f, ts in by_field.items()}
-    idf, _n = load_global_idf(index_dir, by_field)
+    idf, _dfs, _n = load_global_idf(index_dir, by_field)
     avgdl_by_field = {f: _avgdl(stats, f) for f in by_field}
     seg_ids = sorted(mf.committed_segments(index_dir))
     empty = pa.table(

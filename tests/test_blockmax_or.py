@@ -81,3 +81,33 @@ def test_auto_strategy_parity_small_index(index_dir):
     ids_e, sc_e = lo.search("the w0042", k=10, or_strategy="exact")
     assert ids_a.tolist() == ids_e.tolist()
     assert sc_a.tolist() == sc_e.tolist()
+
+
+def test_blocked_runs_cached_across_queries(index_dir):
+    """The skip paths must serve repeat queries from _blocked_cache: no
+    parquet re-read, and per-query block stats report only NEW decodes
+    (a fully-memoized repeat decodes zero blocks)."""
+    lo = LocalSearcher(index_dir)
+    q = "the and of to a in"
+    lo.search(q, k=10, or_strategy="blockmax")
+    assert lo._blocked_cache, "blocked runs not cached"
+    first = lo.last_block_stats
+    n_reads = {"n": 0}
+    real_ds = lo.term_ds
+
+    class CountingDS:
+        def to_table(self, *a, **kw):
+            n_reads["n"] += 1
+            return real_ds.to_table(*a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(real_ds, name)
+
+    lo.term_ds = CountingDS()
+    ids1, sc1 = lo.search(q, k=10, or_strategy="blockmax")
+    assert n_reads["n"] == 0, "warm blockmax query re-read parquet"
+    assert lo.last_block_stats[0] == 0  # all blocks were memoized
+    assert lo.last_block_stats[1] == first[1]
+    ids2, sc2 = lo.search(q, k=10, or_strategy="exact")
+    assert ids1.tolist() == ids2.tolist()
+    assert sc1.tolist() == sc2.tolist()
