@@ -30,7 +30,7 @@ from ..functions import analyzers as an
 from ..functions.alphakey import ordered_alpha_key, same_as_alpha_key
 from ..functions.suffix import COMPANY_NAME_ENDINGS, split_company_name_endings
 from ..index import codec
-from ..index.build import BuildConfig, build_index_from_corpus
+from ..index.build import BuildConfig, _ncpus, build_index_from_corpus
 from ..index.search import search
 
 TOKEN_RE_SQL = r"[\p{L}\p{N}]+"
@@ -1138,6 +1138,90 @@ def q_embedding_topk(sf_dir: str):
     return _round_rerank(parts, EMB_K, "query_vec_id", "cos_sim", "vec_id")
 
 
+EMB_NEARDUP_T = 0.40  # cosine threshold: ~0.05% densest tail of all pairs
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs: every (a, b), a < b, with
+    round(cos, 6) >= EMB_NEARDUP_T — the exact all-pairs baseline of the
+    dedup family (exact hash / MinHash-LSH / SimHash / n-gram Jaccard /
+    embedding cosine).
+
+    Scale shape: vectors are L2-normalized per block once, blocks live in
+    the object store, and ONE RAY TASK PER BLOCK PAIR (upper triangle) does
+    a dense (b x b) float64 matmul — O(B^2) independent tasks, no driver
+    materialization and no shuffle. At 100 TB the exact cartesian is
+    replaced by the IVF/LSH candidate route (stages/ivf.py, similarity.py)
+    feeding the same verify kernel; this entry is the exactness oracle for
+    that path.
+    """
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    def norm_block(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import vec_matrix as _vm
+
+        m = _vm(t["embedding"]).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        m = m / nrm
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float64()), m.shape[1]),
+        })
+
+    nblocks = max(4, _ncpus() // 2)
+    ds = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"],
+                          override_num_blocks=nblocks)
+          .map_batches(norm_block, batch_format="pyarrow"))
+    refs = ds.to_arrow_refs()
+    pairs = [{"i": i, "j": j}
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    refs_list = list(refs)  # tiny: one ObjectRef per block
+
+    def pair_sims(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ta, tb = ray.get(refs_list[i]), ray.get(refs_list[j])
+            ids_a = ta["vec_id"].to_numpy()
+            ids_b = tb["vec_id"].to_numpy()
+            ma = np.asarray(ta["vec"].combine_chunks().values).reshape(
+                len(ids_a), -1)
+            mb = np.asarray(tb["vec"].combine_chunks().values).reshape(
+                len(ids_b), -1)
+            sims = np.round(ma @ mb.T, 6)
+            ra, cb = np.nonzero(sims >= EMB_NEARDUP_T)
+            if i == j:  # diagonal block: upper triangle only (one pair each)
+                m = ra < cb
+                ra, cb = ra[m], cb[m]
+            a_ids, b_ids = ids_a[ra], ids_b[cb]
+            lo = np.minimum(a_ids, b_ids)  # cross-block: order by id
+            hi = np.maximum(a_ids, b_ids)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sims[ra, cb])
+        return pa.table({
+            "vec_id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "vec_id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    res = (rd.from_items(pairs)
+           .map_batches(pair_sims, batch_format="pyarrow", batch_size=1)
+           .to_pandas())
+    return res.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+SQL_EMBEDDING_NEARDUP = (
+    "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]), 6) AS cos_sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    f"b.embedding::DOUBLE[]), 6) >= {EMB_NEARDUP_T}"
+)
+
+
 _EMB_IDS_SQL = ", ".join(str(i) for i in EMB_QUERY_IDS)
 SQL_EMBEDDING_TOPK = (
     f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings "
@@ -1633,6 +1717,7 @@ def queries() -> dict:
         "bm25_and_topk": q_bm25_and_topk,
         "phrase_match": q_phrase_match,
         "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_tumbling": q_events_tumbling,
         "es_doc_transform": q_es_doc_transform,
@@ -1671,6 +1756,7 @@ def oracle_sql() -> dict:
         "bm25_and_topk": _sql_bm25_and_topk(),
         "phrase_match": _sql_phrase_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "events_tumbling": SQL_EVENTS_TUMBLING,
         "es_doc_transform": _sql_es_doc_transform(),

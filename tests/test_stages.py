@@ -276,3 +276,30 @@ def test_lsh_partitioned_index_prunes_and_recalls(tmp_path):
     ref_s = ref.sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
     assert got_s["vec_id"].tolist() == ref_s["vec_id"].tolist()
     assert got_s["cos_sim"].tolist() == ref_s["cos_sim"].tolist()
+
+
+def test_embedding_neardup_matches_brute():
+    """Block-pair cartesian near-dup == single-matrix brute force: every
+    (a<b) pair exactly once with round(cos,6) >= threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_loader_ray.pipelines.catalog import (
+        EMB_NEARDUP_T, q_embedding_neardup)
+    from elasticsearch_data_loader_ray.stages.similarity import vec_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_neardup(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    m = vec_matrix(t["embedding"]).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    S = np.round(m @ m.T, 6)
+    ra, cb = np.nonzero(np.triu(S >= EMB_NEARDUP_T, 1))
+    want = sorted(zip(np.minimum(ids[ra], ids[cb]).tolist(),
+                      np.maximum(ids[ra], ids[cb]).tolist(),
+                      S[ra, cb].tolist()))
+    have = sorted(zip(got["vec_id_a"], got["vec_id_b"], got["cos_sim"]))
+    assert have == want
+    assert len(got) == len(set(zip(got["vec_id_a"], got["vec_id_b"])))
+    assert (got["vec_id_a"] < got["vec_id_b"]).all()
