@@ -217,6 +217,44 @@ SQL_TOKEN_COUNTS = (
 )
 
 
+# Lookahead-free GPT-2-style pretokenizer (contraction suffixes, optional
+# space + letter/digit/punct runs, whitespace runs) — valid RE2, so one
+# pyarrow count_substring_regex scan == DuckDB regexp_extract_all length.
+BPE_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+          r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Training-data token accounting: whitespace tokens and BPE-ish
+    pretokenizer tokens per document — the two quick corpus-size estimates
+    an LLM-pipeline budget pass needs (exact BPE merges are
+    tokenizer-specific; the pretokenizer count is the standard proxy)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        ws = pc.count_substring_regex(txt, r"\S+")
+        bpe = pc.count_substring_regex(txt, BPE_RE)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "ws_tokens": pc.cast(ws, pa.int64()),
+            "bpe_tokens": pc.cast(bpe, pa.int64()),
+        })
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_COUNTS = (
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT)"
+    " AS ws_tokens, "
+    "CAST(len(regexp_extract_all(coalesce(text, ''), "
+    f"'{BPE_RE.replace(chr(39), chr(39) * 2)}')) AS BIGINT)"
+    " AS bpe_tokens FROM documents"
+)
+
+
 def q_doc_len_stats(sf_dir: str):
     ds = q_token_counts(sf_dir)
     # partial per-batch sums -> tiny global aggregate (pre-aggregation pattern)
@@ -1702,6 +1740,7 @@ def queries() -> dict:
         "suffix_split": q_suffix_split,
         "alpha_keys": q_alpha_keys,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "doc_len_stats": q_doc_len_stats,
         "term_df": q_term_df,
         "top_terms": q_top_terms,
@@ -1741,6 +1780,7 @@ def oracle_sql() -> dict:
         "suffix_split": _sql_suffix_split(),
         "alpha_keys": _sql_alpha_keys(),
         "token_counts": SQL_TOKEN_COUNTS,
+        "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
         "doc_len_stats": SQL_DOC_LEN_STATS,
         "term_df": SQL_TERM_DF,
         "top_terms": SQL_TOP_TERMS,
