@@ -205,12 +205,13 @@ SCALING_CPUS = os.environ.get("EDLR_SCALING_CPUS", "2,8")
 
 def run_scaling() -> dict:
     """Same index-build job in two fresh processes at N and 4N CPUs over the
-    same (larger) input. Defaults: 500k docs (at 100k the job is
-    overhead-bound and under-reports scaling) and 4 vs 16 CPUs — on this
-    single 32-core box, 24+ concurrent string-kernel workers saturate the
-    shared memory bus (~1.5x per-task slowdown measured), which a multi-NODE
-    4x scale-out would not share; 4->16 isolates scheduling/shuffle scaling,
-    which is what the north rule's two-cluster criterion measures.
+    same (larger) input. Defaults: 1M docs (at 100k the job is
+    overhead-bound and under-reports scaling) and 2 vs 8 CPUs — on this
+    single 32-core box, high concurrent string-kernel worker counts
+    saturate the shared memory bus (per-task inflation measured; see
+    BASELINE.md), which a multi-NODE 4x scale-out would not share; the low
+    pair isolates scheduling/shuffle scaling, which is what the north
+    rule's two-cluster criterion measures.
     docs_per_segment is pinned so both legs process identical work units."""
 
     def one(ncpu: int) -> dict:

@@ -519,12 +519,17 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
     done = mf.covered_buckets(index_dir)
     boundaries = plan["boundaries"]
     corpus_dir = os.path.join(index_dir, "corpus")
-    # shuffle reduce-side parallelism follows the upstream block count: read
-    # with >= one block per segment so every segment builds concurrently;
-    # prune to the columns phase C consumes
+    # Shuffle reduce-side parallelism follows the upstream block count —
+    # but it must track the CPU budget, NOT n_segments: the sort-shuffle's
+    # cost grows with block count (sample/sort/reduce per block, B x B
+    # partition fragments), and map_groups already yields each bucket's
+    # group separately inside a reduce task, so segments in the same block
+    # just build sequentially. Measured at 1M docs / 122 segments / 8 cpus:
+    # 122 blocks -> 10-12s exchange, 16 blocks -> 2.8s, identical groups.
+    # Prune to the columns phase C consumes.
     ds = rd.read_parquet(
         corpus_dir, columns=_corpus_columns(cfg),
-        override_num_blocks=max(plan["n_segments"], _ncpus()))
+        override_num_blocks=max(2 * _ncpus(), 8))
 
     done_ref = ray.put(frozenset(done))
     plan_ref = ray.put(plan)

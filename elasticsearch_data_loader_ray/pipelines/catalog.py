@@ -378,12 +378,17 @@ def q_exact_dedup(sf_dir: str):
         h = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "h": pa.array(h, pa.string())})
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(df["doc_id"].min())],
-                             "n_copies": [len(df)]})
+    from ray.data.aggregate import Count, Min
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("h").map_groups(first, batch_format="pandas"))
+    res = (ds.map_batches(add_hash, batch_format="pyarrow")
+           .groupby("h").aggregate(Min("doc_id"), Count())
+           .map_batches(
+               lambda t: pa.table({
+                   "doc_id": pc.cast(t["min(doc_id)"], pa.int64()),
+                   "n_copies": pc.cast(t["count()"], pa.int64()),
+               }),
+               batch_format="pyarrow"))
+    return res
 
 
 SQL_EXACT_DEDUP = (
