@@ -529,7 +529,7 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
     # Prune to the columns phase C consumes.
     ds = rd.read_parquet(
         corpus_dir, columns=_corpus_columns(cfg),
-        override_num_blocks=max(2 * _ncpus(), 8))
+        override_num_blocks=int(os.environ.get("EDLR_SHUFFLE_BLOCKS", "0")) or max(2 * _ncpus(), 8))
 
     done_ref = ray.put(frozenset(done))
     plan_ref = ray.put(plan)

@@ -15,6 +15,7 @@ last-ulp differences cannot flip the comparison.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import re
 import shutil
@@ -1475,22 +1476,36 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Media plumbing over documents-as-binary payloads (decode stubbed —
-    see stages/multimodal.py): rows-only check."""
-    from ..stages.multimodal import ImageFeatureStage
+    """Media pipeline over documents rendered as REAL P6 netpbm images
+    (text bytes -> RGB raster), decoded with the pure-numpy netpbm decoder
+    in stages/multimodal.py — actor-pool decode + feature extraction with
+    genuine bytes-in, and a rows-only gate (features aren't
+    SQL-expressible)."""
+    from ..stages.multimodal import ImageFeatureStage, encode_ppm
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def to_media(t: pa.Table) -> pa.Table:
-        payloads = [x.encode() if x else None for x in t["text"].to_pylist()]
+        w = 32
+        payloads = []
+        for x in t["text"].to_pylist():
+            if not x:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(x.encode()[:w * 48 * 3], dtype=np.uint8)
+            h = max(1, math.ceil(len(b) / (w * 3)))
+            img = np.zeros(w * h * 3, dtype=np.uint8)
+            img[:len(b)] = b
+            payloads.append(encode_ppm(img.reshape(h, w, 3)))
         n = t.num_rows
         return pa.table({
             "media_id": pc.cast(t["doc_id"], pa.string()),
-            "media_type": pa.array(["image/png"] * n, pa.string()),
+            "media_type": pa.array(["image/x-portable-pixmap"] * n,
+                                   pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array([32] * n, pa.int32()),
-            "height": pa.array([24] * n, pa.int32()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([48] * n, pa.int32()),
         })
 
     feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(

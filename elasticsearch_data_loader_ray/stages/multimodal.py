@@ -1,14 +1,20 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with a ``media_type``
-string and a metadata struct — the Ray-side plumbing (schemas, actor-pool
-stages, batch sizing, output layout) is real and tested; the actual decode
-is STUBBED because no image/audio libraries exist in this container:
+string and a metadata struct. The Ray-side plumbing (schemas, actor-pool
+stages, batch sizing, output layout) is real and tested, and decode is
+REAL for the container-decodable formats:
 
-* ``ImageFeatureStage`` tries ``import PIL``; absent (always, here) it
-  either raises ``NotImplementedError`` (``strict=True``) or uses a
-  deterministic fake decoder (bytes -> seeded pseudo-pixels) so the
-  downstream feature schema is exercised end to end.
+* netpbm images (``image/x-portable-pixmap`` P6, ``-graymap`` P5) decode
+  with pure numpy (``decode_ppm``) -> luma plane -> histogram features;
+* PCM WAV audio (``audio/wav``) parses RIFF chunks with numpy
+  (``decode_wav``) -> rms / zero-crossing / spectral-centroid features
+  (``AudioFeatureStage``);
+* codec formats (PNG/JPEG/MP3/...) have no decoder in this container:
+  ``strict=True`` raises ``NotImplementedError`` for them, otherwise a
+  deterministic fake decoder (bytes -> seeded pseudo-pixels) keeps the
+  downstream schema exercised; ``import PIL`` is attempted once per actor
+  so the same stage picks up real codec decode where Pillow exists.
 * ``frame_sample`` treats a "video" payload as fixed-size frame chunks and
   keeps every Nth — the decode-free skeleton of a frame sampler.
 
@@ -35,6 +41,95 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 16
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy netpbm decode: binary P6 (RGB) -> (h, w, 3) uint8,
+    binary P5 (gray) -> (h, w) uint8. Raises ValueError on malformed input
+    (callers quarantine). maxval must be < 256 (8-bit)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (with '#' comments), then ONE whitespace byte, then raster
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    need = w * h * ch
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return raster.reshape((h, w, 3) if ch == 3 else (h, w))
+
+
+def encode_ppm(plane: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (fixture/test helper)."""
+    if plane.ndim == 3:
+        h, w, _ = plane.shape
+        return b"P6 %d %d 255\n" % (w, h) + plane.astype(np.uint8).tobytes()
+    h, w = plane.shape
+    return b"P5 %d %d 255\n" % (w, h) + plane.astype(np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE PCM decode -> (float32 samples in [-1, 1]
+    shaped (n, channels), sample_rate). Supports PCM 8/16-bit.
+    Raises ValueError on malformed/unsupported input."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2",
+                          count=len(data) // 2).astype(np.float32) / 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    n = len(x) // n_ch
+    return x[:n * n_ch].reshape(n, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` for PCM16 (fixture/test helper)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    n_ch = samples.shape[1]
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * n_ch * 2).to_bytes(4, "little")
+           + (n_ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for image decode: seed an rng from the payload
     hash and synthesize a (height, width) luma plane. Stable across runs and
@@ -53,32 +148,64 @@ class ImageFeatureStage:
     ``__init__`` (ST3/ST4 pattern).
     """
 
+    #: media types with a real in-container decoder
+    NETPBM_TYPES = ("image/x-portable-pixmap", "image/x-portable-graymap")
+
     def __init__(self, strict: bool = False):
-        # A real decode path is NOT implemented (stub engine): strict mode
-        # fails fast; otherwise the deterministic fake decoder is used
-        # regardless of whether Pillow happens to be importable.
-        if strict:
-            raise NotImplementedError(
-                "real image decode is not implemented in this container; "
-                "run with strict=False to use the deterministic stub")
-        self.decoder = None
+        # Per-actor decoder state (ST3/ST4): netpbm decodes with numpy
+        # always; Pillow is probed ONCE here and used for codec formats
+        # when present (never in this container). strict=True makes a
+        # codec-format payload raise instead of falling back to the
+        # deterministic fake decoder.
+        self.strict = strict
+        try:
+            from PIL import Image  # noqa: F401  (absent here)
+
+            self.pil = Image
+        except ImportError:
+            self.pil = None
 
     def _features(self, plane: np.ndarray) -> np.ndarray:
         hist = np.bincount(plane.ravel() >> 4, minlength=FEATURE_DIM)[:FEATURE_DIM]
         return (hist / max(1, plane.size)).astype(np.float32)
 
+    def _decode(self, payload: bytes, mtype: str, w: int, h: int) -> np.ndarray:
+        """payload -> luma plane (uint8)."""
+        if mtype in self.NETPBM_TYPES:
+            img = decode_ppm(payload)
+            if img.ndim == 3:  # BT.601 luma, stays uint8
+                img = (img[..., 0] * 0.299 + img[..., 1] * 0.587
+                       + img[..., 2] * 0.114).astype(np.uint8)
+            return img
+        if self.pil is not None:
+            import io
+
+            img = self.pil.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.uint8)
+        if self.strict:
+            raise NotImplementedError(
+                f"no decoder for {mtype} in this container (netpbm decodes "
+                "natively; codec formats need Pillow)")
+        return fake_decode(payload, w or 1, h or 1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, ok = [], []
-        for payload, w, h in zip(batch["payload"].to_pylist(),
-                                 batch["width"].to_pylist(),
-                                 batch["height"].to_pylist()):
+        for payload, mtype, w, h in zip(batch["payload"].to_pylist(),
+                                        batch["media_type"].to_pylist(),
+                                        batch["width"].to_pylist(),
+                                        batch["height"].to_pylist()):
             if payload is None:
                 # empty list, not null: ragged-null list columns break the
                 # pandas/TensorArray conversion downstream
                 feats.append([])
                 ok.append(False)
                 continue
-            plane = fake_decode(payload, w or 1, h or 1)
+            try:
+                plane = self._decode(payload, mtype or "", w, h)
+            except ValueError:
+                feats.append([])  # malformed payload: quarantine row
+                ok.append(False)
+                continue
             feats.append(self._features(plane).tolist())
             ok.append(True)
         return pa.table({
@@ -86,6 +213,50 @@ class ImageFeatureStage:
             "media_type": batch["media_type"],
             "decoded": pa.array(ok, pa.bool_()),
             "features": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
+AUDIO_FEATURE_NAMES = ["duration_secs", "rms", "zero_cross_rate",
+                       "spectral_centroid_hz"]
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: PCM WAV batch -> per-item audio features
+    (duration, rms, zero-crossing rate, spectral centroid) — real numpy
+    DSP over :func:`decode_wav` output. Non-WAV / malformed payloads come
+    back ``decoded=false`` with empty features."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ok = [], []
+        for payload in batch["payload"].to_pylist():
+            if payload is None:
+                feats.append([])
+                ok.append(False)
+                continue
+            try:
+                x, rate = decode_wav(payload)
+            except ValueError:
+                feats.append([])
+                ok.append(False)
+                continue
+            mono = x.mean(axis=1)
+            n = len(mono)
+            rms = float(np.sqrt(np.mean(mono ** 2))) if n else 0.0
+            zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))
+                       ) if n > 1 else 0.0
+            if n > 1:
+                spec = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                denom = float(spec.sum())
+                cent = float((freqs * spec).sum() / denom) if denom else 0.0
+            else:
+                cent = 0.0
+            feats.append([n / rate, rms, zc, cent])
+            ok.append(True)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "decoded": pa.array(ok, pa.bool_()),
+            "features": pa.array(feats, pa.list_(pa.float64())),
         })
 
 
@@ -110,13 +281,40 @@ def frame_sample(batch: pa.Table, frame_bytes: int = 1024,
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media fixture (binary payloads of varying size)."""
+    """Deterministic media fixture: REAL P6 netpbm images and PCM16 WAV
+    clips (decodable in-container), plus codec-format rows (random bytes,
+    exercising the fake/strict path) and nulls."""
     rng = np.random.default_rng(seed)
     ids = [f"m{i:05d}" for i in range(n)]
-    types = ["image/png" if i % 3 else "video/raw" for i in range(n)]
-    payloads = [rng.integers(0, 256, size=int(2048 + 4096 * rng.random()),
-                             dtype=np.uint8).tobytes() if i % 17 != 5 else None
-                for i in range(n)]
+    types, payloads = [], []
+    for i in range(n):
+        if i % 17 == 5:
+            types.append("image/png")
+            payloads.append(None)
+            continue
+        m = i % 4
+        if m == 0:  # real RGB netpbm
+            types.append("image/x-portable-pixmap")
+            img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+        elif m == 1:  # real PCM16 WAV: seeded tone + noise
+            types.append("audio/wav")
+            tsec = 0.05 + 0.1 * rng.random()
+            t = np.arange(int(8000 * tsec)) / 8000.0
+            f0 = 200 + 1800 * rng.random()
+            x = (0.5 * np.sin(2 * np.pi * f0 * t)
+                 + 0.05 * rng.standard_normal(len(t)))
+            payloads.append(encode_wav(x.astype(np.float32), 8000))
+        elif m == 2:  # codec format: no in-container decoder
+            types.append("image/png")
+            payloads.append(rng.integers(
+                0, 256, size=int(2048 + 4096 * rng.random()),
+                dtype=np.uint8).tobytes())
+        else:
+            types.append("video/raw")
+            payloads.append(rng.integers(
+                0, 256, size=int(2048 + 4096 * rng.random()),
+                dtype=np.uint8).tobytes())
     return pa.table({
         "media_id": pa.array(ids, pa.string()),
         "media_type": pa.array(types, pa.string()),

@@ -180,11 +180,53 @@ def test_multimodal_feature_stage_plumbing():
         out2[out2["decoded"]].iloc[0]["features"])
 
 
-def test_multimodal_strict_raises():
-    from elasticsearch_data_loader_ray.stages.multimodal import ImageFeatureStage
+def test_multimodal_strict_raises_for_codec_formats_only():
+    """strict mode: netpbm decodes for real; codec formats (no decoder in
+    this container) raise instead of silently faking."""
+    import numpy as np
 
+    from elasticsearch_data_loader_ray.stages.multimodal import (
+        ImageFeatureStage, encode_ppm)
+
+    stage = ImageFeatureStage(strict=True)
+    img = np.full((4, 5, 3), 9, dtype=np.uint8)
+    plane = stage._decode(encode_ppm(img), "image/x-portable-pixmap", 5, 4)
+    assert plane.shape == (4, 5)
     with pytest.raises(NotImplementedError):
-        ImageFeatureStage(strict=True)
+        stage._decode(b"\x89PNG....", "image/png", 5, 4)
+
+
+def test_netpbm_roundtrip_and_wav_features():
+    import numpy as np
+
+    from elasticsearch_data_loader_ray.stages.multimodal import (
+        AudioFeatureStage, decode_ppm, decode_wav, encode_ppm, encode_wav)
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    # netpbm with comments + multi-whitespace header
+    manual = b"P5 # comment\n 3\n2 255\n" + bytes(range(6))
+    assert decode_ppm(manual).shape == (2, 3)
+
+    # WAV roundtrip + spectral centroid lands near the tone frequency
+    t = np.arange(8000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    dec, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and dec.shape == (8000, 1)
+    assert np.max(np.abs(dec[:, 0] - x)) < 2e-4  # 16-bit quantization
+    batch = pa.table({
+        "media_id": pa.array(["a", "b"]),
+        "payload": pa.array([encode_wav(x, 8000), b"not a wav"], pa.binary()),
+    })
+    out = AudioFeatureStage()(batch)
+    assert out["decoded"].to_pylist() == [True, False]
+    dur, rms, zc, cent = out["features"][0].as_py()
+    assert abs(dur - 1.0) < 1e-6
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert 400 < cent < 480  # pure 440 Hz tone
 
 
 def test_frame_sample():
