@@ -725,18 +725,30 @@ def q_minhash_lsh_pairs(sf_dir: str):
 SQL_MINHASH_LSH_PAIRS = SQL_NGRAM_JACCARD_PAIRS
 
 
+DUP_CLUSTER_UNIONFIND_MAX = 5_000_000  # pairs; above this, star rounds
+
+
 def q_duplicate_clusters(sf_dir: str):
     """Near-dup connected components: docs in any >=0.8-Jaccard pair get a
     cluster_id = min doc_id of their component.
 
     The pair graph comes from the distributed exact-Jaccard pipeline; the
-    closure runs as union-find over the collected pairs (at web scale the
-    pair set is tiny relative to the corpus — the distributed alternative is
-    a few rounds of min-label propagation with groupby). Oracle: recursive
-    CTE transitive closure.
+    closure runs as union-find over the collected pairs while the pair set
+    is driver-sized, and switches to the DISTRIBUTED alternating
+    large/small-star rounds (`stages/components.py`, tested equivalent)
+    above ``DUP_CLUSTER_UNIONFIND_MAX``. Oracle: recursive CTE transitive
+    closure.
     """
     pairs = q_ngram_jaccard_pairs(sf_dir)
     pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    if len(pdf) > DUP_CLUSTER_UNIONFIND_MAX:  # scale path
+        from ..stages.components import connected_components
+
+        edges = rd.from_arrow(pa.table({
+            "u": pa.array(pdf["doc_a"].astype("int64")),
+            "v": pa.array(pdf["doc_b"].astype("int64"))}))
+        cc = connected_components(edges)
+        return pa.table({"doc_id": cc["node"], "cluster_id": cc["component"]})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

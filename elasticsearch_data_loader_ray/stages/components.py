@@ -1,0 +1,154 @@
+"""Distributed connected components over an edge Dataset.
+
+The near-dup clustering closure (`catalog.q_duplicate_clusters`) runs
+union-find when the collected pair set is small; THIS module is the scale
+path it defers to: alternating **large-star / small-star** rounds
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public algorithm), expressed purely as Ray Data ``groupby`` +
+vectorized group transforms:
+
+* large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for each neighbor v > u
+* small-star(u): m = min(N(u) ∪ {u}); emit (v, m) for each v <= u, v != m,
+  plus (u, m)
+
+Each round is two shuffles keyed by node id; the edge set converges in
+O(log n) rounds to a star forest where every node points at its
+component's minimum id. Skew note: a hub node's group holds its neighbor
+list; the star operations cut hub degrees geometrically, which is exactly
+why this algorithm (rather than naive label propagation, whose hot label
+groups persist) is the 100-TB shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _star_round(t: pa.Table, large: bool) -> pa.Table:
+    """One star operation over ONE node's neighbor group (vectorized)."""
+    u = int(t["u"][0].as_py())
+    nbrs = t["v"].to_numpy()
+    m = min(int(nbrs.min()), u)
+    if large:
+        keep = nbrs > u
+    else:
+        keep = (nbrs <= u) & (nbrs != m)
+    out_u = nbrs[keep]
+    out_v = np.full(len(out_u), m, dtype=np.int64)
+    if not large and u != m:
+        out_u = np.r_[out_u, u]
+        out_v = np.r_[out_v, m]
+    return pa.table({"u": pa.array(out_u, pa.int64()),
+                     "v": pa.array(out_v, pa.int64())})
+
+
+def _sym(ds: rd.Dataset) -> rd.Dataset:
+    """Edges in both directions, self-loops dropped, exact dups removed
+    per batch (global dedup is unnecessary for correctness)."""
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        a = t["u"].to_numpy()
+        b = t["v"].to_numpy()
+        u = np.r_[a, b]
+        v = np.r_[b, a]
+        keep = u != v
+        if not keep.any():
+            return empty
+        key = u[keep].astype(np.int64) * (int(v.max()) + 1) + v[keep]
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"u": pa.array(u[keep][idx], pa.int64()),
+                         "v": pa.array(v[keep][idx], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def connected_components(edges: rd.Dataset, max_rounds: int = 32) -> pa.Table:
+    """``edges`` with int64 columns (u, v) -> table (node, component) where
+    component is the minimum node id of the node's connected component.
+
+    Runs alternating large/small-star rounds until the (node -> min)
+    assignment is stable. Each round is two ``groupby("u")`` shuffles; the
+    returned assignment covers every node appearing in ``edges``.
+    """
+    ds = _sym(edges).materialize()
+    if _dist_signature(ds)[0] == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    prev_sig = None
+    for _ in range(max_rounds):
+        # each star operates on the UNDIRECTED neighborhood, so the edge
+        # list is re-symmetrized before every groupby; star outputs are
+        # directed (node -> local min)
+        large = _sym(ds).groupby("u").map_groups(
+            lambda t: _star_round(t, large=True), batch_format="pyarrow")
+        # materialize checkpoints each round's edges in the OBJECT STORE
+        # (the iterative-algorithm pattern: bounded lineage, no driver pull)
+        ds = _sym(large).groupby("u").map_groups(
+            lambda t: _star_round(t, large=False),
+            batch_format="pyarrow").materialize()
+        # convergence: the small-star output IS the (node, min-label) map
+        # once stable; compare an order-insensitive DISTRIBUTED signature
+        # (count + per-edge mixed-hash fold — no edge leaves the cluster)
+        sig = _dist_signature(ds)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    tbl = ray_get_all(ds)  # O(nodes) star forest — the only driver pull
+    u = tbl["u"].to_numpy()
+    v = tbl["v"].to_numpy()
+    # closing union-find over the star forest: free at O(nodes) size and
+    # makes the result exact even on a max_rounds exit
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = np.unique(np.r_[u, v])
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "component": pa.array([find(int(n)) for n in nodes], pa.int64()),
+    })
+
+
+def ray_get_all(ds: rd.Dataset) -> pa.Table:
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return (pa.concat_tables(tabs).combine_chunks() if tabs
+            else pa.table({"u": pa.array([], pa.int64()),
+                           "v": pa.array([], pa.int64())}))
+
+
+def _dist_signature(ds: rd.Dataset) -> tuple[int, int]:
+    """(edge count, order-insensitive hash-sum) computed with one
+    map_batches pass + tiny partials — the scale-safe stability check."""
+    def h(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.uint64)
+        v = t["v"].to_numpy().astype(np.uint64)
+        x = u * np.uint64(0x9E3779B97F4A7C15) ^ v
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "h": pa.array([int(np.bitwise_xor.reduce(x))
+                                        if len(x) else 0], pa.uint64())})
+
+    parts = ds.map_batches(h, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    acc = 0
+    for p in parts:
+        acc ^= int(p["h"])
+    return n, acc
