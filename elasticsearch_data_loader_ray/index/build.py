@@ -88,6 +88,13 @@ class BuildConfig:
     # quarantine html payloads larger than this to errors/oversize_payload
     # instead of extracting them (web-scale poison guard); None = unlimited
     max_doc_bytes: int | None = None
+    # parquet codec for the encoded-postings byte columns (doc_ids_enc,
+    # tfs_enc, positions_enc). "none" (default): the varint stream is the
+    # compression (ES/Lucene precedent) — cold term lookups skip snappy
+    # decompress (measured 2.4x faster filtered reads at 2M docs: 803 ->
+    # 340ms for 5 terms x 243 segments) at ~+50% term-file bytes.
+    # "snappy": smallest files, slower cold reads.
+    postings_compression: str = "none"
     # pack each (block x bucket) cell into one compressed Arrow-IPC payload
     # row before the segment shuffle ('zstd' | 'lz4' | None). Cuts exchange
     # rows ~1000x and bytes 2-3x — worth it when the exchange crosses a
@@ -294,23 +301,32 @@ def doc_idx_positions(doc_idx: np.ndarray) -> np.ndarray:
     return np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
 
 
+ENC_COLUMNS = ("doc_ids_enc", "tfs_enc", "positions_enc")
+
+
 def _write_segment_files(index_dir: str, seg_id: int, terms: pa.Table,
-                         docs: pa.Table, row_group_size: int) -> None:
+                         docs: pa.Table, row_group_size: int,
+                         postings_compression: str = "none") -> None:
     """Atomic segment publish: write each table into a tmp dir and rename.
 
     Layout is hive-partitioned per table (``terms/segment=K/``,
     ``docs/segment=K/``) so a whole-index read is ONE threaded
     pyarrow/Ray read with partition+predicate pushdown. The manifest written
     after both renames is the commit point (crash between renames leaves an
-    uncommitted dir that the next build overwrites).
+    uncommitted dir that the next build overwrites). The encoded-postings
+    byte columns get ``postings_compression`` (see BuildConfig), everything
+    else snappy.
     """
     for sub, tbl, rgs in (("terms", terms, row_group_size),
                           ("docs", docs, 1 << 20)):
         final_dir = os.path.join(index_dir, sub, f"segment={seg_id:06d}")
         tmp_dir = final_dir + f".tmp-{uuid.uuid4().hex}"
         os.makedirs(tmp_dir, exist_ok=True)
+        comp = {c: ("NONE" if c in ENC_COLUMNS
+                    and postings_compression == "none" else "SNAPPY")
+                for c in tbl.column_names}
         pq.write_table(tbl, os.path.join(tmp_dir, "part-0.parquet"),
-                       row_group_size=rgs)
+                       row_group_size=rgs, compression=comp)
         if os.path.isdir(final_dir):
             shutil.rmtree(final_dir)  # uncommitted leftover from a crash
         os.replace(tmp_dir, final_dir)
@@ -475,7 +491,8 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
     # within a field terms are sorted; keep field-major order for row-group
     # pruning on (field, term)
     docs_out = pa.table(docs_cols)
-    _write_segment_files(index_dir, seg_id, terms_out, docs_out, cfg.index_block_rows)
+    _write_segment_files(index_dir, seg_id, terms_out, docs_out,
+                         cfg.index_block_rows, cfg.postings_compression)
 
     secs = time.perf_counter() - t0
     if cfg.enable_metrics:

@@ -200,7 +200,8 @@ def merge_segments(index_dir: str, group_size: int = 2,
         new_id = next_id
         next_id += 1
         _write_segment_files(index_dir, new_id, merged_terms, merged_docs,
-                             cfg.index_block_rows)
+                             cfg.index_block_rows,
+                             getattr(cfg, "postings_compression", "none"))
         secs = time.perf_counter() - t0
         absorbed_buckets = sorted({
             b for s in run
