@@ -16,6 +16,7 @@ then a combined manifest replacing the inputs' manifests) and refreshing
 
 from __future__ import annotations
 
+import math
 import os
 import time
 
@@ -252,4 +253,19 @@ def merge_segments(index_dir: str, group_size: int = 2,
         stats.setdefault("merges", []).append(
             {"group_size": group_size, "secs": round(time.perf_counter() - t_all, 3)})
         mf.write_json_atomic(stats_path, stats)
+    return survivors
+
+
+def compact_to(index_dir: str, max_segments: int,
+               cfg: BuildConfig | None = None) -> list[int]:
+    """Serving-side compaction policy: merge adjacent runs until at most
+    ``max_segments`` remain (simplified Lucene tiered-merge). Cold-query
+    fan-out costs ~1 ms per segment FILE, so builds that accumulated many
+    small segments (or many incremental batches) call this once before
+    serving; an epoch-swapping ``LocalSearcher`` (``refresh_interval``)
+    picks the compacted set up live."""
+    survivors = sorted(mf.committed_segments(index_dir))
+    while len(survivors) > max_segments:
+        group = math.ceil(len(survivors) / max_segments)
+        survivors = merge_segments(index_dir, group_size=group, cfg=cfg)
     return survivors

@@ -162,3 +162,22 @@ def test_searcher_auto_refresh_interval(tmp_path_factory):
     assert any(s >= mf.MERGED_ID_BASE for s in lo.seg_ids)
     assert ids_b.tolist() == ids_a.tolist()
     assert sc_b.tolist() == sc_a.tolist()
+
+
+def test_compact_to_bounds_segment_count(tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.merge import compact_to
+
+    src = tmp_path_factory.mktemp("ct_src")
+    pq.write_table(fixtures.generate_webtext(600), str(src / "p.parquet"))
+    src = str(src)
+    idx = str(tmp_path_factory.mktemp("idx_compact"))
+    stats = build_index(src, idx, BuildConfig(docs_per_segment=60))
+    assert stats["n_segments"] >= 8
+    queries = fixtures.generate_queries()
+    before = search(idx, queries).to_pandas()
+    survivors = compact_to(idx, 3)
+    assert len(survivors) <= 3
+    assert len(mf.committed_segments(idx)) == len(survivors)
+    after = search(idx, queries).to_pandas()
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    assert before["score"].tolist() == after["score"].tolist()
