@@ -1539,6 +1539,48 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str):
+    """Audio pipeline: deterministic PCM16 WAV clips (tone keyed by doc_id)
+    -> actor-pool decode + DSP features (duration/rms/zero-cross/spectral
+    centroid) via the pure-numpy RIFF decoder. Rows-only gate; the centroid
+    column doubles as a self-check (must track the synthesized tone)."""
+    from ..stages.multimodal import AudioFeatureStage, encode_wav
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        payloads = []
+        for i, nc in zip(ids, t["n_chars"].to_numpy()):
+            f0 = 100.0 + (int(i) % 40) * 20.0  # 100..880 Hz, deterministic
+            n = 800 + int(nc) % 800
+            tt = np.arange(n) / 8000.0
+            payloads.append(encode_wav(
+                (0.4 * np.sin(2 * np.pi * f0 * tt)).astype(np.float32), 8000))
+        return pa.table({
+            "media_id": pa.array([str(i) for i in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    feats = (ds.map_batches(to_wav, batch_format="pyarrow")
+             .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                          batch_size=128, concurrency=2))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        lists = t["features"].to_pylist()
+        return pa.table({
+            "media_id": t["media_id"],
+            "decoded": t["decoded"],
+            "duration_secs": pa.array(
+                [round(x[0], 6) if x else 0.0 for x in lists], pa.float64()),
+            "spectral_centroid_hz": pa.array(
+                [round(x[3], 1) if x else 0.0 for x in lists], pa.float64()),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Sliding + session windows over events (streaming-shaped ops)
 # ---------------------------------------------------------------------------
@@ -1796,6 +1838,7 @@ def queries() -> dict:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "quality_percentiles": q_quality_percentiles,
