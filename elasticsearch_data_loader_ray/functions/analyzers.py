@@ -259,12 +259,26 @@ def standard_tokenize_batch(
     each token came from, and ``doc_len[r]`` is the token count of row ``r``
     (BM25 ``dl`` / F14). Nulls tokenize to zero tokens.
 
-    Implementation: one RE2 split over the lowercased column
-    (pc.split_pattern_regex), then numpy offset arithmetic to drop the empty
-    edge fragments — no per-row Python.
+    Fast path: token boundaries + lowercasing computed directly on the
+    UTF-8 byte buffer with the class/lowercase tables (ASCII + safe 2-byte
+    codepoints; ~6x faster than the RE2 split — the split's unicode-class
+    automaton dominated segment builds). Batches containing 3/4-byte
+    sequences or case-expanding codepoints fall back to the RE2 path; both
+    paths are identity-tested against each other and the scalar analyzer.
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    fast = _tokenize_bytes(texts)
+    if fast is not None:
+        return fast
+    return _tokenize_arrow(texts)
+
+
+def _tokenize_arrow(
+    texts: pa.Array,
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """RE2 path: one regex split over the lowercased column, then numpy
+    offset arithmetic to drop the empty edge fragments."""
     n = len(texts)
     lowered = pc.utf8_lower(texts)
     lists = pc.split_pattern_regex(lowered, pattern=RE2_TOKEN_DELIM)
@@ -278,6 +292,105 @@ def standard_tokenize_batch(
     # split_pattern_regex leaves '' fragments at delimiter-adjacent edges
     keep = np.asarray(pc.not_equal(flat, "").combine_chunks()
                       if isinstance(flat, pa.ChunkedArray) else pc.not_equal(flat, ""))
+    tokens = flat.filter(pa.array(keep))
+    doc_index = doc_index[keep]
+    doc_len = np.bincount(doc_index, minlength=n).astype(np.int32)
+    return doc_index, tokens, doc_len
+
+
+def _lower_luts() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ascii lowercase byte map, 2-byte pair lowercase map, 2-byte-safe
+    mask). A 2-byte codepoint is SAFE when lowercasing is 1:1 onto another
+    2-byte codepoint (no expansion like U+0130) and does not change its
+    token class — everything else routes the batch to the RE2 path."""
+    low1 = np.arange(256, dtype=np.uint8)
+    low1[65:91] += 32
+    low2 = np.zeros((30 * 64, 2), dtype=np.uint8)
+    safe2 = np.zeros(30 * 64, dtype=bool)
+    for lead in range(0xC2, 0xE0):
+        for cont in range(0x80, 0xC0):
+            i = (lead - 0xC2) * 64 + (cont - 0x80)
+            cp = ((lead & 0x1F) << 6) | (cont & 0x3F)
+            lo = chr(cp).lower()
+            enc = lo.encode("utf-8")
+            if len(lo) == 1 and len(enc) == 2 and (
+                    bool(_PY_TOKEN.fullmatch(lo)) ==
+                    bool(_PY_TOKEN.fullmatch(chr(cp)))):
+                low2[i] = list(enc)
+                safe2[i] = True
+    return low1, low2, safe2
+
+
+_LOW1, _LOW2, _SAFE2 = _lower_luts()
+
+
+def _ascii_map() -> np.ndarray:
+    """Combined lowercase+delimiter single-byte map: ASCII token chars ->
+    lowercase, ASCII non-token -> space; bytes >= 0x80 identity (2-byte
+    pairs fixed up separately)."""
+    m = np.full(256, 0x20, dtype=np.uint8)
+    m[128:] = np.arange(128, 256, dtype=np.uint8)
+    for lo, hi in [(48, 58), (97, 123)]:
+        m[lo:hi] = np.arange(lo, hi, dtype=np.uint8)
+    m[65:91] = np.arange(97, 123, dtype=np.uint8)
+    return m
+
+
+_ASCII_MAP = _ascii_map()
+
+
+def _tokenize_bytes(
+    texts: pa.Array,
+) -> tuple[np.ndarray, pa.Array, np.ndarray] | None:
+    """Byte-domain tokenize+lowercase; None if the batch needs the RE2
+    path (3/4-byte sequences or unsafe 2-byte codepoints present).
+
+    One LUT pass rewrites the whole buffer to "lowercased tokens separated
+    by spaces" (2-byte pairs lowered or blanked pairwise), the ORIGINAL
+    offsets are reused zero-copy, and Arrow's single-byte split does the
+    token extraction in C++."""
+    arr = pc.fill_null(texts, "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, np.int64), pa.array([], pa.string()),
+                np.zeros(0, np.int32))
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    all_offs = np.frombuffer(arr.buffers()[1], dtype=width)
+    offs = all_offs[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(offs[-1]))[int(offs[0]):]
+    if (data >= 0xE0).any():
+        return None
+    out = _ASCII_MAP[data]
+    li = np.flatnonzero((data >= 0xC2) & (data < 0xE0))
+    if len(li):
+        li = li[li + 1 < len(data)]
+        pair_idx = (data[li].astype(np.int64) - 0xC2) * 64 \
+            + (data[li + 1].astype(np.int64) - 0x80)
+        if not _SAFE2[pair_idx].all():
+            return None
+        is_tok = _LUT2[pair_idx]
+        t_i = li[is_tok]
+        out[t_i] = _LOW2[pair_idx[is_tok], 0]
+        out[t_i + 1] = _LOW2[pair_idx[is_tok], 1]
+        d_i = li[~is_tok]
+        out[d_i] = 0x20
+        out[d_i + 1] = 0x20
+    off0 = int(offs[0])
+    remapped = pa.Array.from_buffers(
+        pa.large_utf8() if width is np.int64 else pa.utf8(), n,
+        [None, pa.py_buffer(np.ascontiguousarray(offs - off0)),
+         pa.py_buffer(out)])
+    lists = pc.split_pattern(remapped, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    l_offs = np.asarray(lists.offsets)
+    lengths = np.diff(l_offs)
+    doc_index = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    keep = np.asarray(pc.not_equal(flat, ""))
     tokens = flat.filter(pa.array(keep))
     doc_index = doc_index[keep]
     doc_len = np.bincount(doc_index, minlength=n).astype(np.int32)

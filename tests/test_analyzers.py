@@ -101,3 +101,29 @@ def test_batch_tokenizer_matches_scalar():
 def test_batch_token_count():
     arr = pa.array(["one two", "three", ""], pa.string())
     assert an.token_count_batch(arr).tolist() == [2, 1, 0]
+
+
+def test_byte_tokenizer_matches_re2_path():
+    """_tokenize_bytes (LUT remap + single-byte split) must be identical to
+    the RE2 path on fixtures, slices, Latin-1 case/punct edges; exotic rows
+    must route the batch to the fallback."""
+    import numpy as np
+
+    from elasticsearch_data_loader_ray import fixtures
+    from elasticsearch_data_loader_ray.functions.analyzers import (
+        _tokenize_arrow, _tokenize_bytes, standard_tokenize_batch)
+
+    texts = fixtures.generate_webtext(400)["text"].combine_chunks()
+    for col in [texts, texts.slice(101, 99)]:
+        b, a = _tokenize_bytes(col), _tokenize_arrow(col)
+        assert b is not None
+        assert b[1].to_pylist() == a[1].to_pylist()
+        assert np.array_equal(b[0], a[0]) and np.array_equal(b[2], a[2])
+    edges = pa.array(["Hello WORLD", "", None, "  --x--  ", "CaFé SEÑOR",
+                      "ZÜrich grüß", "0AbC9", "«quoted» ×5 ÷2", "µ0"])
+    b, a = _tokenize_bytes(edges), _tokenize_arrow(edges)
+    assert b is not None and b[1].to_pylist() == a[1].to_pylist()
+    hard = pa.array(["İstanbul", "中文 mixed", "🎉 party"])
+    assert _tokenize_bytes(hard) is None  # exotic rows -> RE2 fallback
+    p, q = standard_tokenize_batch(hard), _tokenize_arrow(hard)
+    assert p[1].to_pylist() == q[1].to_pylist()
