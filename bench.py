@@ -231,11 +231,14 @@ def run_scaling() -> dict:
     def best_of(ncpu: int, n: int | None = None) -> dict:
         # best-of-n per leg: the sandbox shares cores with other processes,
         # so single runs are noisy (observed ±25% on the low leg). Big jobs
-        # (>= 4M docs) run once — long runs average the noise out and
-        # host_steal_pct qualifies the record.
+        # (>= 4M docs) run once — long runs average the noise out — BUT a
+        # leg that measured a host-steal burst (> 1.5%) is retried once:
+        # steal is exogenous contention, not engine behavior.
         if n is None:
             n = 1 if SCALING_DOCS >= 4_000_000 else 2
         runs = [one(ncpu) for _ in range(n)]
+        if all(r.get("host_steal_pct", 0) > 1.5 for r in runs):
+            runs.append(one(ncpu))
         return max(runs, key=lambda r: r["docs_per_sec"])
 
     lo, hi = (int(x) for x in SCALING_CPUS.split(","))
