@@ -202,7 +202,8 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
                 "n_segments": 0, "seed": cfg.seed}
         mf.write_json_atomic(plan_path, plan)
         return plan
-    if n_est <= 5_000_000:
+    plan_cutoff = int(os.environ.get("EDLR_PLAN_CUTOFF", "5000000"))
+    if n_est <= plan_cutoff:
         # driver fast path: one url-column pull, exact boundaries/counts via
         # Arrow C++ kernels (urls are ~1% of corpus bytes; above the cutoff,
         # fall back to the fully distributed path). The previous
