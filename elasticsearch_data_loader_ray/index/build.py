@@ -240,29 +240,39 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
         dl_total = int(pc.sum(uniq["doc_len"]).as_py() or 0)
     else:
         boundaries = _segment_boundaries(urls_ds.select_columns(["url"]), n_est, cfg)
+        # re-read with CPU-sized blocks: the bucket shuffle's cost tracks
+        # upstream block count (see _build_segments)
+        urls_ds = rd.read_parquet(corpus_dir,
+                                  columns=["url", "doc_len", "warc_ts"],
+                                  override_num_blocks=max(2 * _ncpus(), 8))
 
         def add_bucket(t: pa.Table) -> pa.Table:
+            pin_worker_threads()
             urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
             return t.append_column("bucket", pa.array(_bucket_of(urls, boundaries)))
 
-        import pandas as pd
-
-        def distinct_stats(df: pd.DataFrame) -> pd.DataFrame:
-            # keep-first by (url, warc_ts) — the exact phase-C dedup rule
-            d = df.sort_values(["url", "warc_ts"], kind="stable").drop_duplicates("url")
-            return pd.DataFrame(
-                {
-                    "bucket": [int(df["bucket"].iloc[0])],
-                    "n_docs": [len(d)],
-                    "dl_sum": [int(d["doc_len"].sum())],
-                    "n_dups": [len(df) - len(d)],
-                }
-            )
+        def distinct_stats(t: pa.Table) -> pa.Table:
+            # keep-first by (url, warc_ts) — the exact phase-C dedup rule,
+            # vectorized (Arrow sort + run-boundary mask, no pandas groups)
+            pin_worker_threads()
+            t = t.combine_chunks().sort_by(
+                [("url", "ascending"), ("warc_ts", "ascending")])
+            urls = np.asarray(t["url"].to_numpy(zero_copy_only=False),
+                              dtype=object)
+            first = np.ones(len(urls), dtype=bool)
+            first[1:] = urls[1:] != urls[:-1]
+            dl = t["doc_len"].to_numpy()
+            return pa.table({
+                "bucket": pa.array([int(t["bucket"][0].as_py())], pa.int32()),
+                "n_docs": pa.array([int(first.sum())], pa.int64()),
+                "dl_sum": pa.array([int(dl[first].sum())], pa.int64()),
+                "n_dups": pa.array([int(len(urls) - first.sum())], pa.int64()),
+            })
 
         counts = (
             urls_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(distinct_stats, batch_format="pandas")
+            .map_groups(distinct_stats, batch_format="pyarrow")
             .to_pandas()
             .sort_values("bucket")
         )

@@ -256,3 +256,26 @@ def test_manifest_lineage_fields(index_dir):
     for field in ("n_docs", "n_postings", "url_checksum", "doc_id_base",
                   "build_secs", "status"):
         assert field in m
+
+
+def test_distributed_plan_path_builds_identical_docs(webtext, index_dir,
+                                                     tmp_path_factory,
+                                                     monkeypatch):
+    """Forcing the >cutoff distributed plan (sampled boundaries + bucketed
+    exact counts) must index the same doc set with the same global stats;
+    search results must match the fast-path index exactly (doc ids are
+    url-rank, invariant to boundary placement)."""
+    _, src = webtext
+    idx_fast, stats_fast = index_dir
+    monkeypatch.setenv("EDLR_PLAN_CUTOFF", "1")
+    out = str(tmp_path_factory.mktemp("index_distplan"))
+    stats = build_index(src, out, BuildConfig(docs_per_segment=150,
+                                              extract_concurrency=2))
+    assert stats["n_docs"] == stats_fast["n_docs"]
+    assert stats["n_postings"] == stats_fast["n_postings"]
+    assert abs(stats["avgdl"] - stats_fast["avgdl"]) < 1e-9
+    queries = fixtures.generate_queries()
+    a = search(idx_fast, queries).to_pandas()
+    b = search(out, queries).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
