@@ -25,30 +25,50 @@ BM25_B = 0.75
 # --- varint (LEB128) ------------------------------------------------------
 
 def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
-    """Bytes each value needs under LEB128 (1..10 for uint64)."""
+    """Bytes each value needs under LEB128 (1..10 for uint64).
+
+    One comparison over the full array; the (usually tiny) multi-byte
+    subset iterates further — values < 128 are the overwhelming common
+    case for tf streams and dense gap lists."""
     v = values.astype(np.uint64, copy=False)
     lens = np.ones(len(v), dtype=np.int64)
-    for k in range(1, 10):
-        lens += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    big = np.flatnonzero(v >= np.uint64(128))
+    k = 1
+    while len(big):
+        lens[big] += 1
+        k += 1
+        if k >= 10:  # uint64 ceiling: 7*10 bits covers all values
+            break
+        big = big[v[big] >= np.uint64(1) << np.uint64(7 * k)]
     return lens
 
 
 def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Encode uint values -> (bytes: uint8 array, per-value byte lengths).
 
-    Vectorized: iterates over byte positions (max 10), not values.
-    """
+    Vectorized: byte 0 of every value is ONE scatter; bytes 1+ iterate
+    only over the (rare) multi-byte subset. All-1-byte streams return the
+    cast directly."""
     v = values.astype(np.uint64, copy=False)
     lens = varint_byte_lengths(v)
+    if len(v) == 0:
+        return np.zeros(0, dtype=np.uint8), lens
+    if int(lens.max()) == 1:  # pure 1-byte stream: bytes ARE the values
+        return v.astype(np.uint8), lens
     ends = np.cumsum(lens)
     starts = ends - lens
-    out = np.zeros(int(ends[-1]) if len(v) else 0, dtype=np.uint8)
-    max_len = int(lens.max()) if len(v) else 0
-    for j in range(max_len):
-        mask = lens > j
-        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (lens[mask] - 1 > j).astype(np.uint8) << 7
-        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    multi = lens > 1
+    out[starts] = ((v & np.uint64(0x7F)).astype(np.uint8)
+                   | (multi.astype(np.uint8) << 7))
+    rest = np.flatnonzero(multi)
+    j = 1
+    while len(rest):
+        chunk = ((v[rest] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((lens[rest] - 1 > j).astype(np.uint8)) << 7
+        out[starts[rest] + j] = chunk | cont
+        j += 1
+        rest = rest[lens[rest] > j]
     return out, lens
 
 
