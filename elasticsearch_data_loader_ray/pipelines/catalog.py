@@ -1759,6 +1759,68 @@ SQL_DISTINCT_SOURCES = (
 )
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order date
+    (o_orderdate <= ts) — an operator Ray Data lacks natively, built as the
+    canonical distributed shape: tag both sides, UNION, hash-partition by
+    key with ONE groupby, and merge within each key group via sorted
+    searchsorted. Partitioning assumption: a single user's events+orders
+    fit one worker (keys are users — naturally bounded); no broadcast, so
+    both sides may be arbitrarily large. Oracle: DuckDB ASOF LEFT JOIN
+    (order dates deduped for determinism)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["user_id"], "t": t["ts"], "event_id": t["event_id"],
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["o_custkey"],
+            "t": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "event_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    both = (ev.map_batches(tag_events, batch_format="pyarrow")
+            .union(od.map_batches(tag_orders, batch_format="pyarrow")))
+
+    def asof_group(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["side"].to_numpy()
+        ts = g["t"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev_m = side == 0
+        e_ts = ts[ev_m]
+        e_ids = g["event_id"].to_numpy()[ev_m]
+        o_ts = np.unique(ts[~ev_m])  # sorted + deduped order dates
+        pos = np.searchsorted(o_ts, e_ts, side="right") - 1
+        matched = pos >= 0
+        out_dates = np.full(len(e_ts), np.datetime64("NaT", "us"))
+        if matched.any():
+            out_dates[matched] = o_ts[pos[matched]].astype("datetime64[us]")
+        return pa.table({
+            "event_id": pa.array(e_ids, pa.int64()),
+            "user_id": pa.array(
+                np.full(len(e_ts), int(g["key"][0].as_py()), np.int64)),
+            "last_order_date": pa.array(out_dates, pa.timestamp("us")),
+        })
+
+    return both.groupby("key").map_groups(asof_group, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF_JOIN = (
+    "SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date "
+    "FROM events e ASOF LEFT JOIN "
+    "(SELECT DISTINCT o_custkey, o_orderdate FROM orders) o "
+    "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+)
+
+
 def q_lineitem_orders_join(sf_dir: str):
     """Broadcast hash join (small side via ray.put, no shuffle): revenue per
     order priority — the guide's broadcast-join pattern over the TPC-H pair.
@@ -1845,6 +1907,7 @@ def queries() -> dict:
         "top_docs_per_source": q_top_docs_per_source,
         "distinct_sources": q_distinct_sources,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "events_asof_join": q_events_asof_join,
     }
 
 
@@ -1883,4 +1946,5 @@ def oracle_sql() -> dict:
         "top_docs_per_source": SQL_TOP_DOCS_PER_SOURCE,
         "distinct_sources": SQL_DISTINCT_SOURCES,
         "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
+        "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     }
