@@ -1759,6 +1759,70 @@ SQL_DISTINCT_SOURCES = (
 )
 
 
+HLL_P = 14  # 16384 registers -> ~0.8% standard error
+
+
+def _hll_partial(keys: np.ndarray) -> np.ndarray:
+    """HyperLogLog register partial for one batch (uint64 hashed keys)."""
+    h = keys.astype(np.uint64, copy=False)
+    # splitmix64 finalizer: uniform bits from arbitrary key hashes
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)
+    # rank = leading zeros of the remaining 64-P bits + 1 (capped)
+    rank = np.full(len(h), 64 - HLL_P + 1, dtype=np.int64)
+    nz = rest != 0
+    # leading zeros via float64 exponent of the top bit (exact for uint64)
+    top = rest[nz]
+    lz = np.int64(63) - np.floor(np.log2(top.astype(np.float64))).astype(np.int64)
+    # float rounding guard at powers of two
+    lz = np.clip(lz, 0, 63)
+    too_hi = (top >> (np.uint64(63) - lz.astype(np.uint64))) == 0
+    lz[too_hi] -= 1
+    rank[nz] = lz + 1
+    regs = np.zeros(1 << HLL_P, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def q_distinct_count_hll(sf_dir: str):
+    """Cardinality sketch: HyperLogLog (p=14) over lineitem order keys —
+    per-batch register partials in map_batches, ONE elementwise-max merge
+    of 16 KiB registers at the driver (no shuffle, constant driver memory
+    regardless of input size: the 100-TB count-distinct shape). Rows-only
+    gate (estimates aren't SQL-reproducible); the pytest bound asserts
+    <2% error vs exact."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def part(t: pa.Table) -> pa.Table:
+        regs = _hll_partial(t["l_orderkey"].to_numpy().astype(np.uint64))
+        return pa.table({"regs": pa.array([regs.tolist()],
+                                          pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    regs = np.zeros(1 << HLL_P, dtype=np.int64)
+    for p in parts:
+        regs = np.maximum(regs, np.asarray(p["regs"], dtype=np.int64))
+    return pa.table({
+        "column": pa.array(["l_orderkey"], pa.string()),
+        "estimate": pa.array([round(_hll_estimate(regs))], pa.int64()),
+        "precision_p": pa.array([HLL_P], pa.int64()),
+    })
+
+
 def q_events_asof_join(sf_dir: str):
     """As-of join: each event matched to the user's most recent order date
     (o_orderdate <= ts) — an operator Ray Data lacks natively, built as the
@@ -1908,6 +1972,7 @@ def queries() -> dict:
         "distinct_sources": q_distinct_sources,
         "lineitem_orders_join": q_lineitem_orders_join,
         "events_asof_join": q_events_asof_join,
+        "distinct_count_hll": q_distinct_count_hll,
     }
 
 

@@ -345,3 +345,29 @@ def test_embedding_neardup_matches_brute():
     assert have == want
     assert len(got) == len(set(zip(got["vec_id_a"], got["vec_id_b"])))
     assert (got["vec_id_a"] < got["vec_id_b"]).all()
+
+
+def test_hll_distinct_count_within_error_bound():
+    import duckdb
+    import numpy as np
+
+    from elasticsearch_data_loader_ray.pipelines.catalog import (
+        _hll_estimate, _hll_partial, q_distinct_count_hll)
+
+    # merged partials == single-pass registers, and error < 2% at p=14
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**63, 500_000).astype(np.uint64)
+    dup = np.concatenate([keys, keys[:100_000]])
+    whole = _hll_partial(dup)
+    merged = np.maximum(_hll_partial(dup[:300_000]), _hll_partial(dup[300_000:]))
+    assert np.array_equal(whole, merged)
+    exact = len(np.unique(dup))
+    est = _hll_estimate(whole)
+    assert abs(est - exact) / exact < 0.02
+
+    got = q_distinct_count_hll("/root/testdata/sf0.001")
+    est = got["estimate"][0].as_py()
+    exact = duckdb.sql(
+        "SELECT count(DISTINCT l_orderkey) FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')").fetchone()[0]
+    assert abs(est - exact) / max(exact, 1) < 0.02
