@@ -1759,6 +1759,40 @@ SQL_DISTINCT_SOURCES = (
 )
 
 
+SAMPLE_HEX_THRESHOLD = "0d"  # md5(text) hex prefix < '0d' ~ 5.1% of docs
+
+
+def q_deterministic_sample(sf_dir: str):
+    """Reproducible corpus subsampling: keep documents whose content-hash
+    falls below a fixed threshold (md5 hex < '0d' ~ 5%). Hash-threshold
+    sampling is the training-data standard because membership is a pure
+    function of content — stable across runs, machines and partitionings,
+    and composable (a 1% sample is a subset of the 5% one). Embarrassingly
+    parallel map_batches filter; SQL-exact oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        keep = pa.array([h < SAMPLE_HEX_THRESHOLD for h in hs])
+        out = t.filter(keep)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "content_hash": pa.array([h for h in hs
+                                      if h < SAMPLE_HEX_THRESHOLD],
+                                     pa.string()),
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_DETERMINISTIC_SAMPLE = (
+    "SELECT doc_id, md5(coalesce(text, '')) AS content_hash FROM documents "
+    f"WHERE md5(coalesce(text, '')) < '{SAMPLE_HEX_THRESHOLD}'"
+)
+
+
 HLL_P = 14  # 16384 registers -> ~0.8% standard error
 
 
@@ -1973,6 +2007,7 @@ def queries() -> dict:
         "lineitem_orders_join": q_lineitem_orders_join,
         "events_asof_join": q_events_asof_join,
         "distinct_count_hll": q_distinct_count_hll,
+        "deterministic_sample": q_deterministic_sample,
     }
 
 
@@ -2012,4 +2047,5 @@ def oracle_sql() -> dict:
         "distinct_sources": SQL_DISTINCT_SOURCES,
         "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     }
