@@ -260,6 +260,79 @@ class AudioFeatureStage:
         })
 
 
+def resize_plane(img: np.ndarray, out_h: int, out_w: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy image resize for decoded planes ((h,w) gray or (h,w,3)
+    RGB, uint8). ``method``: 'nearest' or 'bilinear' (align_corners=False
+    half-pixel convention, the OpenCV/PIL default)."""
+    h, w = img.shape[:2]
+    if method == "nearest":
+        ys = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(np.int64)
+        xs = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(np.int64)
+        return img[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method: {method}")
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(fx), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)
+    wx = np.clip(fx - x0, 0.0, 1.0)
+    a = img[y0][:, x0].astype(np.float64)
+    b = img[y0][:, x1].astype(np.float64)
+    c = img[y1][:, x0].astype(np.float64)
+    d = img[y1][:, x1].astype(np.float64)
+    if img.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + c * wy * (1 - wx) + d * wy * wx)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode netpbm payloads, resize to a fixed
+    (out_h, out_w), re-encode as netpbm — the standard image-normalization
+    step of a multimodal training pipeline, decodable end to end in this
+    container."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 method: str = "bilinear"):
+        self.out_h, self.out_w, self.method = out_h, out_w, method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads, ok = [], [], []
+        for mid, mtype, payload in zip(batch["media_id"].to_pylist(),
+                                       batch["media_type"].to_pylist(),
+                                       batch["payload"].to_pylist()):
+            ids.append(mid)
+            if payload is None or mtype not in ImageFeatureStage.NETPBM_TYPES:
+                payloads.append(None)
+                ok.append(False)
+                continue
+            try:
+                img = decode_ppm(payload)
+            except ValueError:
+                payloads.append(None)
+                ok.append(False)
+                continue
+            small = resize_plane(img, self.out_h, self.out_w, self.method)
+            payloads.append(encode_ppm(small))
+            ok.append(True)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "resized": pa.array(ok, pa.bool_()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([self.out_w] * len(ids), pa.int32()),
+            "height": pa.array([self.out_h] * len(ids), pa.int32()),
+        })
+
+
 def frame_sample(batch: pa.Table, frame_bytes: int = 1024,
                  every_nth: int = 10) -> pa.Table:
     """Flat-map a 'video' payload into every-Nth fixed-size frame chunks."""

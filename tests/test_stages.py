@@ -371,3 +371,33 @@ def test_hll_distinct_count_within_error_bound():
         "SELECT count(DISTINCT l_orderkey) FROM "
         "read_parquet('/root/testdata/sf0.001/lineitem.parquet')").fetchone()[0]
     assert abs(est - exact) / max(exact, 1) < 0.02
+
+
+def test_resize_plane_and_stage():
+    import numpy as np
+
+    from elasticsearch_data_loader_ray.stages.multimodal import (
+        ImageResizeStage, decode_ppm, encode_ppm, resize_plane,
+        synth_media_table)
+
+    # identity resize is exact; 2x nearest upsample repeats pixels
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert np.array_equal(resize_plane(img, 4, 6, "nearest"), img)
+    assert np.array_equal(resize_plane(img, 4, 6, "bilinear"), img)
+    up = resize_plane(img, 8, 12, "nearest")
+    assert np.array_equal(up[::2, ::2], img)
+    # constant image stays constant under bilinear at any size
+    const = np.full((5, 7, 3), 200, dtype=np.uint8)
+    assert (resize_plane(const, 9, 4, "bilinear") == 200).all()
+    # downsample of a horizontal gradient stays monotone
+    grad = np.tile(np.arange(0, 240, 10, dtype=np.uint8), (6, 1))
+    small = resize_plane(grad, 3, 6, "bilinear")
+    assert (np.diff(small.astype(int), axis=1) >= 0).all()
+
+    t = synth_media_table(40)
+    out = ImageResizeStage(out_h=8, out_w=8)(t)
+    ok = [i for i, r in enumerate(out["resized"].to_pylist()) if r]
+    assert ok, "no netpbm rows resized"
+    for i in ok[:5]:
+        dec = decode_ppm(out["payload"][i].as_py())
+        assert dec.shape[:2] == (8, 8)
