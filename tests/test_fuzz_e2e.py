@@ -64,3 +64,52 @@ def test_resume_cleans_crash_leftovers(tmp_path):
     want = oracle.bm25_topk(t, queries).to_pandas()
     assert got["score"].tolist() == want["score"].tolist()
     assert stats["n_docs"] == want["doc_id"].nunique() or stats["n_docs"] > 0
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_unicode_corpus_engine_equals_oracle(tmp_path, seed):
+    """Corpora mixing ASCII with CJK / emoji / case-expanding codepoints
+    drive the byte-tokenizer's RE2 fallback and the extractor's scalar
+    routes through the WHOLE pipeline; engine must still equal the brute
+    oracle bitwise."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datetime import datetime, timedelta
+
+    rng = np.random.default_rng(seed)
+    exotic = ["中文", "分词", "東京", "İstanbul", "ÇÖĞÜŞ", "µmetre", "Σσς",
+              "🎉party", "naïve", "№42", "ñandú", "ß", "ＦＵＬＬ", "ﬁligree"]
+    ascii_w = ["alpha", "beta", "gamma", "delta", "data", "search", "the"]
+    rows = []
+    base = datetime(2024, 1, 1)
+    for i in range(160):
+        k = int(rng.integers(3, 40))
+        words = [str(rng.choice(exotic if rng.random() < 0.3 else ascii_w))
+                 for _ in range(k)]
+        paras = [" ".join(words[j:j + 8]) for j in range(0, len(words), 8)]
+        text = "\n\n".join(paras)
+        rows.append((f"https://u{seed}.example/{i:04d}", base + timedelta(seconds=i),
+                     fixtures._render_html(text, i), text, "mix"))
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "text": pa.array([r[3] for r in rows], pa.large_string()),
+        "lang": pa.array([r[4] for r in rows], pa.string()),
+    })
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, BuildConfig(docs_per_segment=50))
+    queries = pa.table({
+        "query_id": pa.array(list(range(4)), pa.int64()),
+        "query": pa.array(["中文 data", "µmetre search", "istanbul the",
+                           "σσς alpha"], pa.string()),
+        "k": pa.array([10] * 4, pa.int64()),
+    })
+    got = search_inprocess(idx, queries).to_pandas()
+    want = oracle.bm25_topk(t, queries).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()  # bitwise
