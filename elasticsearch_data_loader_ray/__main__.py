@@ -5,6 +5,7 @@ Commands:
   python -m elasticsearch_data_loader_ray build  INPUT INDEX_DIR [--wipe] [--docs-per-segment N]
   python -m elasticsearch_data_loader_ray search INDEX_DIR QUERY [-k K] [--field F] [--mode or|and]
   python -m elasticsearch_data_loader_ray stats  INDEX_DIR
+  python -m elasticsearch_data_loader_ray compact INDEX_DIR [--max-segments N]
 
 The reference wraps its loader in a shell script that optionally deletes and
 re-creates the index before exec-ing the Go binary
@@ -45,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
 
+    cp = sub.add_parser("compact")
+    cp.add_argument("index_dir")
+    cp.add_argument("--max-segments", type=int, default=8,
+                    help="merge adjacent runs until at most N segments "
+                         "remain (cold-query fan-out bound)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -77,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({k: stats[k] for k in
                               ("n_docs", "n_segments", "n_postings",
                                "n_duplicates", "rejects", "phase_secs")}))
+        elif args.cmd == "compact":
+            from .index import manifest as mf
+            from .index.merge import compact_to
+
+            before = len(mf.committed_segments(args.index_dir))
+            survivors = compact_to(args.index_dir, args.max_segments)
+            print(json.dumps({"segments_before": before,
+                              "segments_after": len(survivors)}))
         elif args.cmd == "search":
             from .index.search import LocalSearcher
 
