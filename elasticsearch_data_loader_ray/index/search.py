@@ -688,9 +688,15 @@ class LocalSearcher:
             if not len(alive):
                 self.last_block_stats = stats()
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            # top-k slice, then bitwise-exact lex-order rescore
+            # top-k slice, then bitwise-exact lex-order rescore. `partial`
+            # was accumulated in upper-bound term order while the rescore
+            # below runs in lex order; float addition order can move a sum
+            # by an ulp either way, so cut with a few-ulp slack to keep
+            # near-tie docs for the rescore to decide (ADVICE r2).
             if len(alive) > k:
                 kth = np.partition(partial, -k)[-k]
+                for _ in range(4):
+                    kth = np.nextafter(kth, -np.inf)
                 sel = partial >= kth
                 alive = alive[sel]
                 for u in tf_rest:

@@ -1929,9 +1929,16 @@ def q_lineitem_orders_join(sf_dir: str):
                             columns=["o_orderkey", "o_orderpriority"]
                             ).combine_chunks()
     # broadcast the small side ONCE as Arrow arrays; probe is vectorized
-    # (pc.index_in + take), not a per-row dict.get loop
-    lookup_ref = ray.put((orders["o_orderkey"].chunk(0),
-                          orders["o_orderpriority"].chunk(0)))
+    # (pc.index_in + take), not a per-row dict.get loop. An empty orders
+    # table combines to zero chunks, so materialize via pc.list-safe casts
+    # rather than chunk(0) (ADVICE r2).
+    def _one(col: pa.ChunkedArray) -> pa.Array:
+        return (col.chunk(0) if col.num_chunks == 1
+                else col.combine_chunks()
+                if col.num_chunks else pa.array([], col.type))
+
+    lookup_ref = ray.put((_one(orders["o_orderkey"]),
+                          _one(orders["o_orderpriority"])))
 
     def join(t: pa.Table) -> pa.Table:
         keys, vals = ray.get(lookup_ref)
@@ -2026,6 +2033,10 @@ def oracle_sql() -> dict:
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "duplicate_clusters": SQL_DUPLICATE_CLUSTERS,
+        # minhash oracle match is probabilistic, not exact-by-construction:
+        # the engine verifies Jaccard over 64-bit FNV shingle hashes and
+        # 32x4 LSH banding (combined FN/collision odds ~5e-8 per qualifying
+        # pair at J>=0.8) — an unlucky corpus could flip a row (ADVICE r2)
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         # simhash: rows-only (hash values are not SQL-expressible)
         "langid_quality": SQL_LANGID_QUALITY,

@@ -59,10 +59,14 @@ def _sym(ds: rd.Dataset) -> rd.Dataset:
         keep = u != v
         if not keep.any():
             return empty
-        key = u[keep].astype(np.int64) * (int(v.max()) + 1) + v[keep]
-        _, idx = np.unique(key, return_index=True)
-        return pa.table({"u": pa.array(u[keep][idx], pa.int64()),
-                         "v": pa.array(v[keep][idx], pa.int64())})
+        # dedup via a 2-column unique: a u*(max+1)+v scalar key overflows
+        # int64 for node ids above ~2^31.5 and a wraparound collision would
+        # silently drop a distinct edge (ADVICE r2)
+        uu, vv = u[keep], v[keep]
+        _, idx = np.unique(np.stack([uu, vv], axis=1), axis=0,
+                           return_index=True)
+        return pa.table({"u": pa.array(uu[idx], pa.int64()),
+                         "v": pa.array(vv[idx], pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -224,14 +224,16 @@ def lsh_topk(out_dir: str, query_vecs: np.ndarray, query_ids: list[int],
             probe_buckets(int(sig), n_probes, meta["n_planes"]))
     wanted = sorted(set().union(*probe_of.values())) if probe_of else []
     lsh_topk.last_buckets_read = wanted
-    ds = pads.dataset(os.path.join(out_dir, "buckets"), partitioning="hive")
-    flt = functools.reduce(operator.or_,
-                           [pads.field("lsh_bucket") == w for w in wanted])
-    t = ds.to_table(columns=[id_col, embedding_col, "lsh_bucket"], filter=flt)
     empty = pa.table({"query_vec_id": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.int64()),
                       "vec_id": pa.array([], pa.int64()),
                       "cos_sim": pa.array([], pa.float64())})
+    if not wanted:  # no queries -> no buckets; reduce() would raise
+        return empty
+    ds = pads.dataset(os.path.join(out_dir, "buckets"), partitioning="hive")
+    flt = functools.reduce(operator.or_,
+                           [pads.field("lsh_bucket") == w for w in wanted])
+    t = ds.to_table(columns=[id_col, embedding_col, "lsh_bucket"], filter=flt)
     if t.num_rows == 0:
         return empty
     vecs = vec_matrix(t[embedding_col])
