@@ -63,23 +63,78 @@ def split_company_name_endings(name: str) -> tuple[str, str]:
     return name, ""
 
 
-def split_company_name_endings_batch(names: pa.Array | pa.ChunkedArray) -> pa.Table:
-    """Vectorized wrapper: string column -> table(name_start, name_ending).
+def _gather_strings(data: np.ndarray, row_starts: np.ndarray,
+                    lens: np.ndarray) -> pa.Array:
+    """Assemble a string array from per-row (byte_start, byte_len) slices of
+    one shared UTF-8 buffer — fully vectorized fancy-index gather."""
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    out_off = np.r_[0, np.cumsum(lens)]
+    idx = (np.repeat(row_starts.astype(np.int64), lens)
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(out_off[:-1], lens))
+    return pa.Array.from_buffers(
+        pa.large_utf8(), len(lens),
+        [None, pa.py_buffer(out_off), pa.py_buffer(data[idx])])
 
-    The per-string scan is first-match-in-declared-order over 72 suffixes —
-    cheap enough that the scalar function over a numpy object array is fine
-    for this cold (keyword-field) path.
+
+def split_company_name_endings_batch(names: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Vectorized ``split_company_name_endings`` over a string column ->
+    table(name_start, name_ending). Byte-exact vs the scalar function:
+
+    * the trailing strip and the 72 suffix probes are ASCII patterns, so the
+      byte domain and the codepoint domain agree for any valid UTF-8;
+    * first-match-in-declared-order = 72 ``pc.ends_with`` passes that only
+      claim still-unmatched rows;
+    * slicing happens at ASCII boundaries (the space before a matched
+      suffix), so byte cuts never split a multi-byte character.
     """
-    vals = names.to_numpy(zero_copy_only=False)
-    starts = np.empty(len(vals), dtype=object)
-    ends = np.empty(len(vals), dtype=object)
-    for i, v in enumerate(vals):
-        if v is None:
-            starts[i] = None
-            ends[i] = None
-        else:
-            starts[i], ends[i] = split_company_name_endings(v)
+    import pyarrow.compute as pc
+
+    if isinstance(names, pa.ChunkedArray):
+        names = names.combine_chunks()
+    n = len(names)
+    if n == 0:
+        return pa.table({"name_start": pa.array([], pa.string()),
+                         "name_ending": pa.array([], pa.string())})
+    valid = np.asarray(names.is_valid())
+    filled = pc.fill_null(names, "")
+    stripped = pc.replace_substring_regex(
+        filled, pattern=r"[^A-Za-z0-9_]+$", replacement="")
+    match_len = np.zeros(n, dtype=np.int64)   # bytes removed from stripped
+    unmatched = np.ones(n, dtype=bool)
+    for cne in COMPANY_NAME_ENDINGS:
+        m = np.asarray(pc.ends_with(stripped, pattern=cne)) & unmatched
+        if not m.any():
+            continue
+        sp = np.asarray(pc.ends_with(stripped, pattern=" " + cne))
+        match_len[m & sp] = len(cne) + 1
+        unmatched &= ~m
+    # byte lengths of name / stripped per row (large_string-safe)
+    def _bytes_of(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=width)[
+            arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                             count=int(offs[-1]))[offs[0]:]
+        return offs - offs[0], data
+
+    name_offs, name_data = _bytes_of(filled)
+    strip_offs, _sd = _bytes_of(stripped)
+    name_len = np.diff(name_offs)
+    strip_len = np.diff(strip_offs)
+    start_len = np.where(unmatched, name_len, strip_len - match_len)
+    starts_arr = _gather_strings(name_data, name_offs[:-1], start_len)
+    ends_arr = _gather_strings(name_data, name_offs[:-1] + start_len,
+                               name_len - start_len)
+    if not valid.all():
+        null_s = pa.scalar(None, pa.large_utf8())
+        vmask = pa.array(valid)
+        starts_arr = pc.if_else(vmask, starts_arr, null_s)
+        ends_arr = pc.if_else(vmask, ends_arr, null_s)
     return pa.table(
-        {"name_start": pa.array(starts, pa.string()),
-         "name_ending": pa.array(ends, pa.string())}
+        {"name_start": pc.cast(starts_arr, pa.string()),
+         "name_ending": pc.cast(ends_arr, pa.string())}
     )

@@ -136,20 +136,24 @@ SQL_RECORD_TRANSFORM = (
 # ---------------------------------------------------------------------------
 
 def q_suffix_split(sf_dir: str):
+    from ..functions.suffix import split_company_name_endings_batch
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def xf(df: pd.DataFrame) -> pd.DataFrame:
-        names = [_name_expr_py(x, i) for x, i in zip(df["text"], df["doc_id"])]
-        parts = [split_company_name_endings(n) if n is not None else (None, None)
-                 for n in names]
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
+    def xf(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [_name_expr_py(x, i) for x, i in
+             zip(t["text"].to_pylist(), t["doc_id"].to_pylist())],
+            pa.string())
+        split = split_company_name_endings_batch(names)
+        return pa.table({
+            "doc_id": t["doc_id"],
             "name": names,
-            "name_start": [p[0] for p in parts],
-            "name_ending": [p[1] for p in parts],
+            "name_start": split["name_start"],
+            "name_ending": split["name_ending"],
         })
 
-    return ds.map_batches(xf, batch_format="pandas")
+    return ds.map_batches(xf, batch_format="pyarrow")
 
 
 def _sql_suffix_split() -> str:
@@ -166,19 +170,25 @@ def _sql_suffix_split() -> str:
 
 
 def q_alpha_keys(sf_dir: str):
+    from ..functions.alphakey import (
+        ordered_alpha_key_batch,
+        same_as_alpha_key_batch,
+    )
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def xf(df: pd.DataFrame) -> pd.DataFrame:
-        names = [_name_expr_py(x, i) for x, i in zip(df["text"], df["doc_id"])]
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "same_as_alpha_key": [same_as_alpha_key(n) if n is not None else None
-                                  for n in names],
-            "ordered_alpha_key": [ordered_alpha_key(n) if n is not None else None
-                                  for n in names],
+    def xf(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [_name_expr_py(x, i) for x, i in
+             zip(t["text"].to_pylist(), t["doc_id"].to_pylist())],
+            pa.string())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "same_as_alpha_key": same_as_alpha_key_batch(names),
+            "ordered_alpha_key": ordered_alpha_key_batch(names),
         })
 
-    return ds.map_batches(xf, batch_format="pandas")
+    return ds.map_batches(xf, batch_format="pyarrow")
 
 
 def _sql_alpha_keys() -> str:
@@ -342,19 +352,41 @@ SQL_TOP_TERMS = SQL_TERM_DF + " ORDER BY cf DESC, term ASC LIMIT 20"
 # ---------------------------------------------------------------------------
 
 def q_first_token_edge_ngrams(sf_dir: str):
+    """Edge n-grams (2..20) of each doc's first standard token — vectorized:
+    one batch tokenize, run-start selection for the first token per doc,
+    then one ``utf8_slice_codeunits`` kernel per gram length (<= 19 calls
+    per batch, no per-row Python)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "gram": pa.array([], pa.string())})
+
     def xf(t: pa.Table) -> pa.Table:
-        out_id, out_g = [], []
-        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = an.analyze("analyzer_limit_first", x or "")
-            if not toks:
-                continue
-            for g in an.tokenize_edge_ngram(toks[0]):
-                out_id.append(i)
-                out_g.append(g)
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "gram": pa.array(out_g, pa.string())})
+        idx, toks, _dl = an.standard_tokenize_batch(t["text"])
+        if len(idx) == 0:
+            return empty
+        # analyzer_limit_first == standard tokenize + lowercase + limit 1:
+        # batch tokens are already lowercased; take each doc's first token
+        first_pos = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        firsts = toks.take(pa.array(first_pos))
+        doc_ids = t["doc_id"].to_numpy()[idx[first_pos]]
+        lens = np.asarray(pc.utf8_length(firsts))
+        out_ids, out_grams = [], []
+        for g in range(an.EDGE_NGRAM_MIN, an.EDGE_NGRAM_MAX + 1):
+            m = lens >= g
+            if not m.any():
+                break
+            out_ids.append(doc_ids[m])
+            out_grams.append(pc.utf8_slice_codeunits(
+                firsts.filter(pa.array(m)), 0, g))
+        if not out_ids:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "gram": pc.cast(pa.concat_arrays(
+                [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+                 for g in out_grams]), pa.string()),
+        })
 
     return ds.map_batches(xf, batch_format="pyarrow")
 
@@ -1388,7 +1420,7 @@ def q_es_doc_transform(sf_dir: str):
     ).select_columns([
         "id", "kind", "record_type", "lang", "links_self", "title",
         "title_start", "title_ending", "alpha_key", "ordered_alpha_key",
-        "ordered_alpha_key_with_id",
+        "ordered_alpha_key_with_id", "title_stripped_len", "word_count",
     ])
 
 
@@ -1409,7 +1441,12 @@ def _sql_es_doc_transform() -> str:
         + _alpha_key_sql("title") + " AS alpha_key, "
         + _alpha_key_sql("title_start") + " AS ordered_alpha_key, "
         + _alpha_key_sql("title_start") + " || ':' || id "
-        "AS ordered_alpha_key_with_id FROM split"
+        "AS ordered_alpha_key_with_id, "
+        # ES-declared integer computed fields (search_scheme.json:119-128
+        # corporate_stripped_len; :171-174 word_count token_count sub-field)
+        "CAST(length(title_start) AS BIGINT) AS title_stripped_len, "
+        f"CAST(len(regexp_extract_all(title, '{TOKEN_RE_SQL}')) AS BIGINT) "
+        "AS word_count FROM split"
     )
 
 

@@ -26,9 +26,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.alphakey import ordered_alpha_key, same_as_alpha_key
-from ..functions.suffix import split_company_name_endings
-
 KIND = "searchresults#document"
 RECORD_TYPE = "documents"
 IGNORE_ABOVE = 256
@@ -40,10 +37,13 @@ def doc_title(text: str) -> str:
     return text.split("\n\n", 1)[0][:TITLE_MAX]
 
 
-def _keyword_mask(values: list[str | None]) -> list[str | None]:
+def _keyword_mask(values: "pa.Array"):
     """O3 — ignore_above: keyword values >256 chars are not indexed (NULL)."""
-    return [v if v is not None and len(v) <= IGNORE_ABOVE else None
-            for v in values]
+    import pyarrow.compute as pc
+
+    return pc.if_else(
+        pc.less_equal(pc.utf8_length(values), IGNORE_ABOVE), values,
+        pa.scalar(None, pa.string()))
 
 
 def transform_records(batch: pa.Table, id_column: str = "url",
@@ -52,39 +52,65 @@ def transform_records(batch: pa.Table, id_column: str = "url",
     """webtext/corpus batch -> EsDoc-shaped batch (flat columns).
 
     Rows with NULL or empty text are dropped (M2/M3 — the caller's extract
-    stage normally side-writes them first).
+    stage normally side-writes them first). Fully vectorized: title slicing,
+    the 72-suffix split, alpha keys and the keyword masks are Arrow/numpy
+    batch kernels (``split_company_name_endings_batch`` /
+    ``same_as_alpha_key_batch``), no per-row Python.
+
+    Integer computed fields (ES declares them in
+    ``search_scheme.json:119-128`` — ``corporate_stripped_len`` — and
+    ``:171-174`` — the ``word_count`` token_count sub-field):
+
+    * ``title_stripped_len``: character length of ``title_start`` (the
+      corporate-suffix-stripped title);
+    * ``word_count``: standard-analyzer token count of ``title`` (F14).
     """
     import pyarrow.compute as pc
+
+    from ..functions.alphakey import same_as_alpha_key_batch
+    from ..functions.analyzers import token_count_batch
+    from ..functions.suffix import split_company_name_endings_batch
 
     keep = pc.and_(batch[text_column].is_valid(),
                    pc.not_equal(batch[text_column], ""))
     batch = batch.filter(keep)
-    ids = [str(x) for x in batch[id_column].to_pylist()]
-    texts = batch[text_column].to_pylist()
-    langs = batch[lang_column].to_pylist()
-
-    titles = [doc_title(x) for x in texts]
-    splits = [split_company_name_endings(t) for t in titles]
-    alpha = [same_as_alpha_key(t) for t in titles]
-    ordered = [ordered_alpha_key(t) for t in titles]
-    n = len(ids)
-    okwid = [f"{o}:{i}" for o, i in zip(ordered, ids)]
+    n = batch.num_rows
+    ids = pc.cast(batch[id_column], pa.string())
+    texts = batch[text_column]
+    # first paragraph, capped at TITLE_MAX codepoints (== doc_title per row)
+    titles = pc.cast(pc.utf8_slice_codeunits(
+        pc.list_element(pc.split_pattern(texts, "\n\n", max_splits=1), 0),
+        0, TITLE_MAX), pa.string())
+    if isinstance(titles, pa.ChunkedArray):
+        titles = titles.combine_chunks()
+    split = split_company_name_endings_batch(titles)
+    title_start = split["name_start"]
+    if isinstance(title_start, pa.ChunkedArray):
+        title_start = title_start.combine_chunks()
+    alpha = same_as_alpha_key_batch(titles)
+    ordered = same_as_alpha_key_batch(title_start)
+    okwid = pc.binary_join_element_wise(ordered, ids, ":")
 
     return pa.table({
-        "id": pa.array(ids, pa.string()),
+        "id": ids,
         "kind": pa.array([KIND] * n, pa.string()),
         "record_type": pa.array([RECORD_TYPE] * n, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-        "links_self": pa.array([f"/doc/{i}" for i in ids], pa.string()),
-        "title": pa.array(titles, pa.string()),
-        "title_start": pa.array([s[0] for s in splits], pa.string()),
-        "title_ending": pa.array([s[1] for s in splits], pa.string()),
-        "alpha_key": pa.array(alpha, pa.string()),
-        "ordered_alpha_key": pa.array(ordered, pa.string()),
-        "ordered_alpha_key_with_id": pa.array(okwid, pa.string()),
+        "lang": batch[lang_column],
+        "links_self": pc.binary_join_element_wise(
+            pa.scalar("/doc"), ids, "/"),
+        "title": titles,
+        "title_start": title_start,
+        "title_ending": split["name_ending"],
+        "alpha_key": alpha,
+        "ordered_alpha_key": ordered,
+        "ordered_alpha_key_with_id": okwid,
+        # ES-declared integer computed fields
+        "title_stripped_len": pc.cast(pc.utf8_length(title_start),
+                                      pa.int64()),
+        "word_count": pa.array(
+            token_count_batch(titles).astype("int64"), pa.int64()),
         # keyword (exact-match) projections with ignore_above masking
-        "title_keyword": pa.array(_keyword_mask(titles), pa.string()),
-        "alpha_key_keyword": pa.array(_keyword_mask(alpha), pa.string()),
-        "ordered_alpha_key_with_id_keyword": pa.array(
-            _keyword_mask(okwid), pa.string()),
+        "title_keyword": _keyword_mask(titles),
+        "alpha_key_keyword": _keyword_mask(alpha),
+        "ordered_alpha_key_with_id_keyword": _keyword_mask(okwid),
     })
