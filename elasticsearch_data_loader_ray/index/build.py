@@ -611,6 +611,183 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
     return summaries
 
 
+# --- fused fresh-build path (manual exchange, overlapped phases) ----------
+#
+# The 4-phase path above re-reads the corpus parquet twice (plan + segments)
+# and routes the segment exchange through Ray Data's sort-based shuffle,
+# whose cost is dominated by per-job terms that do not shrink with CPU count
+# (boundary sampling, per-block sorts, shuffle-block materialization, the
+# all-to-all barrier — measured ~24 s at 4M docs regardless of 2 vs 8 CPUs;
+# the segments phase scaled 0.59 while per-task build times were flat).
+# Fresh builds therefore run this fused plan:
+#
+#   1. boundaries: one pruned url-column pass over the INPUT (quantile
+#      sample — placement only affects segment membership, never doc ids);
+#   2. ONE streaming pass: read -> extract; each finished block concurrently
+#      (a) writes a corpus parquet part (resumability — same bytes as
+#      phase A) and (b) partitions into per-bucket slices returned as
+#      separate driver-owned objects (``num_returns=2*n_buckets``: data
+#      slice + a (url, warc_ts, doc_len) mini used for counting). Extract,
+#      corpus write and the exchange overlap instead of barriering;
+#   3. per-bucket count wave over the minis (~5% of corpus bytes): exact
+#      post-dedup counts -> prefix-sum doc-id offsets -> plan.json
+#      (identical content/semantics to _make_plan);
+#   4. per-bucket build wave: gather the bucket's data slices and run the
+#      same vectorized ``_build_segment`` (dedup, dense ids, tokenize,
+#      encode, atomic manifest commit).
+#
+# The exchange is raw Ray tasks because the Dataset API cannot express a
+# range-partition by *known* boundaries without a sort: every object is
+# owned by the driver (lineage-reconstructible), data crosses the object
+# store exactly once, and there is no sample/sort/fragment machinery. On a
+# resumed build (corpus/_SUCCESS, plan.json or committed manifests present)
+# the phase-based path runs instead — fused and phased builds produce
+# identical indexes (doc ids are global url ranks in both).
+
+def _fused_enabled(index_dir: str) -> bool:
+    if os.environ.get("EDLR_FUSED", "1") == "0":
+        return False
+    return not (
+        os.path.exists(os.path.join(index_dir, "corpus", "_SUCCESS"))
+        or os.path.exists(os.path.join(index_dir, "plan.json"))
+        or mf.committed_segments(index_dir)
+    )
+
+
+@ray.remote
+def _write_corpus_block(tbl: pa.Table, corpus_dir: str, name: str) -> int:
+    pin_worker_threads()
+    pq.write_table(tbl, os.path.join(corpus_dir, name))
+    return tbl.num_rows
+
+
+_MINI_COLS = ["url", "warc_ts", "doc_len"]
+
+
+@ray.remote
+def _partition_block(tbl: pa.Table, boundaries: list[str], n_buckets: int,
+                     cols: list[str]):
+    """One corpus block -> 2*n_buckets driver-owned objects: the bucket's
+    data slice (columns ``cols``) and its count mini (``_MINI_COLS``).
+    Slices of a taken table serialize compactly (verified: ~row bytes, not
+    buffer bytes), so each bucket ships only its own rows."""
+    pin_worker_threads()
+    t = tbl.select(cols).combine_chunks()
+    urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
+    b = _bucket_of(urls, boundaries)
+    order = np.argsort(b, kind="stable")
+    ts = t.take(pa.array(order))
+    bs = b[order]
+    empty = ts.slice(0, 0)
+    datas: list[pa.Table] = [empty] * n_buckets
+    if len(bs):
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], len(bs)]
+        for s, e in zip(starts, ends):
+            datas[int(bs[s])] = ts.slice(int(s), int(e - s))
+    minis = [d.select(_MINI_COLS) for d in datas]
+    return tuple(datas) + tuple(minis)
+
+
+@ray.remote
+def _bucket_stats(*minis: pa.Table) -> tuple[int, int, int]:
+    """(n_docs, dl_sum, n_dups) for one bucket after keep-first dedup by
+    (url asc, warc_ts asc) — the exact phase-C rule, so plan offsets/avgdl
+    cover exactly the docs that get indexed."""
+    pin_worker_threads()
+    tabs = [m for m in minis if m.num_rows]
+    if not tabs:
+        return 0, 0, 0
+    t = pa.concat_tables(tabs).combine_chunks().sort_by(
+        [("url", "ascending"), ("warc_ts", "ascending")])
+    urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
+    first = np.ones(len(urls), dtype=bool)
+    first[1:] = urls[1:] != urls[:-1]
+    dl = t["doc_len"].to_numpy()
+    return int(first.sum()), int(dl[first].sum()), int(len(urls) - first.sum())
+
+
+@ray.remote
+def _build_bucket(index_dir: str, seg_id: int, plan: dict, cfg: BuildConfig,
+                  *parts: pa.Table) -> int:
+    pin_worker_threads()
+    tabs = [p for p in parts if p.num_rows]
+    group = pa.concat_tables(tabs)
+    group = group.append_column(
+        "bucket", pa.array(np.full(group.num_rows, seg_id, dtype=np.int32)))
+    _build_segment(group, index_dir, plan, cfg)
+    return seg_id
+
+
+def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
+               timings: dict[str, float], boundaries: list[str]) -> dict:
+    """Run the fused exchange+build over ``source`` (extract output or a
+    clean corpus Dataset). See the section comment above for the plan."""
+    corpus_dir = os.path.join(index_dir, "corpus")
+    if os.path.isdir(corpus_dir):
+        shutil.rmtree(corpus_dir)
+    os.makedirs(corpus_dir, exist_ok=True)
+    n_buckets = len(boundaries) + 1
+    cols = _corpus_columns(cfg)
+    part_task = _partition_block.options(num_returns=2 * n_buckets)
+    t0 = time.perf_counter()
+    write_refs, data_refs, mini_refs, keep = [], [], [], []
+    i = 0
+    for bundle in source.iter_internal_ref_bundles():
+        keep.append(bundle)
+        for block_ref in bundle.block_refs:
+            write_refs.append(_write_corpus_block.remote(
+                block_ref, corpus_dir, f"part-{i:06d}.parquet"))
+            rets = part_task.remote(block_ref, boundaries, n_buckets, cols)
+            data_refs.append(list(rets[:n_buckets]))
+            mini_refs.append(list(rets[n_buckets:]))
+            i += 1
+    timings["corpus"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    stats_per_bucket = ray.get(
+        [_bucket_stats.remote(*per_bucket) for per_bucket in zip(*mini_refs)]
+    ) if mini_refs else []
+    per_bucket = np.array([s[0] for s in stats_per_bucket], dtype=np.int64)
+    if len(per_bucket) == 0:
+        per_bucket = np.zeros(n_buckets, dtype=np.int64)
+    n_docs = int(per_bucket.sum())
+    dl_total = sum(s[1] for s in stats_per_bucket)
+    n_dups = sum(s[2] for s in stats_per_bucket)
+    offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
+    plan = {
+        "boundaries": boundaries,
+        "offsets": offsets.tolist(),
+        "per_segment_docs": per_bucket.tolist(),
+        "n_docs": n_docs,
+        "n_duplicates": n_dups,
+        "avgdl": (dl_total / n_docs) if n_docs else 0.0,
+        "n_segments": n_buckets if n_docs else 0,
+        "seed": cfg.seed,
+    }
+    mf.write_json_atomic(os.path.join(index_dir, "plan.json"), plan)
+    timings["plan"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    plan_ref = ray.put(plan)
+    if n_docs:
+        ray.get([
+            _build_bucket.remote(index_dir, b, plan_ref, cfg,
+                                 *[blk[b] for blk in data_refs])
+            for b in range(n_buckets) if per_bucket[b] > 0
+        ])
+    timings["segments"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ray.get(write_refs)
+    del keep, data_refs, mini_refs
+    with open(os.path.join(corpus_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+    stats = _finalize(index_dir, plan, cfg, timings)
+    timings["finalize"] = round(time.perf_counter() - t0, 3)
+    return stats
+
+
 # --- phase D --------------------------------------------------------------
 
 def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
@@ -687,9 +864,17 @@ def build_index_from_corpus(corpus: rd.Dataset, index_dir: str,
     Used when the input is a text table rather than raw HTML webtext."""
     cfg = cfg or BuildConfig()
     os.makedirs(index_dir, exist_ok=True)
+    timings: dict[str, float] = {}
+    if _fused_enabled(index_dir):
+        t = time.perf_counter()
+        mat = corpus.materialize()
+        n_est = mat.count()
+        boundaries = (_segment_boundaries(mat.select_columns(["url"]),
+                                          n_est, cfg) if n_est else [])
+        timings["bounds"] = round(time.perf_counter() - t, 3)
+        return _run_fused(mat, index_dir, cfg, timings, boundaries)
     corpus_dir = os.path.join(index_dir, "corpus")
     success = os.path.join(corpus_dir, "_SUCCESS")
-    timings: dict[str, float] = {}
     t = time.perf_counter()
     if not os.path.exists(success):
         if os.path.isdir(corpus_dir):
@@ -718,10 +903,36 @@ def _build_after_corpus(index_dir: str, cfg: BuildConfig,
 
 def build_index(input_path: str, index_dir: str,
                 cfg: BuildConfig | None = None) -> dict:
-    """Build (or resume) the full inverted index; returns stats.json content."""
+    """Build (or resume) the full inverted index; returns stats.json content.
+
+    Fresh builds run the fused overlapped plan (see the fused section
+    comment); resumed builds (corpus/plan/manifests already on disk) run
+    the 4-phase path, which skips completed work. ``EDLR_FUSED=0`` forces
+    the phased path everywhere."""
     cfg = cfg or BuildConfig()
     os.makedirs(index_dir, exist_ok=True)
     timings: dict[str, float] = {}
+    if _fused_enabled(index_dir):
+        t = time.perf_counter()
+        errors_dir = os.path.join(index_dir, "errors")
+        if os.path.isdir(errors_dir):
+            shutil.rmtree(errors_dir)
+        # boundary sample over the INPUT's url column only (pruned read):
+        # reject rows shift quantiles negligibly and never affect doc ids
+        urls_ds = rd.read_parquet(input_path, columns=["url"])
+        n_est = urls_ds.count()
+        boundaries = _segment_boundaries(urls_ds, n_est, cfg) if n_est else []
+        timings["bounds"] = round(time.perf_counter() - t, 3)
+        src = rd.read_parquet(
+            input_path, override_num_blocks=max(2 * _ncpus(), 16)
+        ).map_batches(
+            extract_batch,
+            fn_kwargs={"errors_dir": errors_dir,
+                       "max_doc_bytes": cfg.max_doc_bytes},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+        )
+        return _run_fused(src, index_dir, cfg, timings, boundaries)
     t = time.perf_counter()
     _build_corpus(input_path, index_dir, cfg)
     timings["corpus"] = round(time.perf_counter() - t, 3)

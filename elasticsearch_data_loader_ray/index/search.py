@@ -415,14 +415,44 @@ class LocalSearcher:
             self.refresh()
 
     def _dl_for(self, field: str) -> np.ndarray:
+        """Doc-length lookup array for ``field`` — a read-only float64
+        memmap over a flat sidecar file (``doclen/<field>.<n_docs>.f64``),
+        built once per index from the docs tables and shared by every
+        process serving it. Fancy indexing touches only the pages holding
+        the looked-up doc ids, so per-query resident memory tracks the
+        query's postings, not the corpus (the Lucene norms-file shape);
+        values are small integers, exactly representable, so scores are
+        bitwise-identical to the previous dense in-heap array."""
         if field not in self._dl:
-            arr = np.zeros(self.n_docs, dtype=np.float64)
-            if self.doc_files:
+            self._dl[field] = self._doclen_map(field)
+        return self._dl[field]
+
+    def _doclen_map(self, field: str) -> np.ndarray:
+        import uuid as _uuid
+
+        n = self.n_docs
+        if n == 0 or not self.doc_files:
+            return np.zeros(max(n, 1), dtype=np.float64)
+        path = os.path.join(self.index_dir, "doclen", f"{field}.{n}.f64")
+        if not os.path.exists(path):
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+                arr = np.memmap(tmp, dtype=np.float64, mode="w+", shape=(n,))
+                for f in self.doc_files:
+                    dt = pq.read_table(f, columns=["doc_id", _dl_column(field)])
+                    arr[dt["doc_id"].to_numpy()] = \
+                        dt[_dl_column(field)].to_numpy()
+                arr.flush()
+                del arr
+                os.replace(tmp, path)  # atomic: concurrent builders race safely
+            except OSError:  # read-only index dir: dense in-heap fallback
+                arr = np.zeros(n, dtype=np.float64)
                 dt = pq.read_table(self.doc_files,
                                    columns=["doc_id", _dl_column(field)])
                 arr[dt["doc_id"].to_numpy()] = dt[_dl_column(field)].to_numpy()
-            self._dl[field] = arr
-        return self._dl[field]
+                return arr
+        return np.memmap(path, dtype=np.float64, mode="r", shape=(n,))
 
     def _idf(self, field: str, terms: list[str]) -> dict[str, float]:
         missing = [t for t in terms if (field, t) not in self._idf_cache]
@@ -635,9 +665,11 @@ class LocalSearcher:
         for n_ess in range(1, len(order) + 1):
             ess, rest = order[:n_ess], order[n_ess:]
             r_total = float(sum(ub[t] for t in rest))
-            # essential union: full decode (block reader, so stats count it)
-            dense = np.zeros(self.n_docs, dtype=np.float64)
-            touched = np.zeros(self.n_docs, dtype=bool)
+            # essential union: full decode (block reader, so stats count it).
+            # Compact accumulation over the union of essential doc ids —
+            # same per-doc addition order as a dense array indexed by doc id
+            # (term-major, ids ascending within a term), bitwise-identical,
+            # but peak memory tracks the decoded postings, not n_docs.
             ess_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for t in ess:
                 parts = [r[0].block(b) for r in runs[t]
@@ -645,11 +677,14 @@ class LocalSearcher:
                 ids = np.concatenate([p[0] for p in parts])
                 tfs = np.concatenate([p[1] for p in parts])
                 ess_lists[t] = (ids, tfs)
-                dense[ids] += idf[t] * codec.bm25_tf_impact(
+            alive = np.unique(np.concatenate(
+                [ess_lists[t][0] for t in ess]))  # ascending
+            partial = np.zeros(len(alive), dtype=np.float64)
+            for t in ess:
+                ids, tfs = ess_lists[t]
+                pos = np.searchsorted(alive, ids)
+                partial[pos] += idf[t] * codec.bm25_tf_impact(
                     tfs.astype(np.float64), dl[ids], avgdl)
-                touched[ids] = True
-            alive = np.flatnonzero(touched)  # ascending
-            partial = dense[alive]
             theta = (float(np.partition(partial, -k)[-k])
                      if len(partial) >= k else -np.inf)
             tf_rest: dict[str, np.ndarray] = {}
@@ -728,16 +763,23 @@ class LocalSearcher:
                               idf: dict[str, float], dl: np.ndarray,
                               avgdl: float) -> tuple[np.ndarray, np.ndarray]:
         """Exhaustive OR scoring (lexicographic accumulation) — the default
-        serving path and the bitwise reference for the block-max path."""
+        serving path and the bitwise reference for the block-max path.
+
+        Accumulates into a COMPACT array over the union of posting doc ids
+        (np.unique + searchsorted) instead of a dense O(n_docs) score
+        array: per-doc addition order is unchanged (term-major, ascending
+        ids within each term), so scores are bitwise-identical while peak
+        memory tracks the query's postings, not the corpus."""
         by_term = self._postings_for(field, terms)
-        scores = np.zeros(self.n_docs, dtype=np.float64)
-        touched = np.zeros(self.n_docs, dtype=bool)
+        runs = [ids for t in terms for ids, _tfs in by_term.get(t, [])]
+        if not runs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        loc = np.unique(np.concatenate(runs))
+        sc = np.zeros(len(loc), dtype=np.float64)
         for t in terms:  # lexicographic accumulation order
             for ids, tfs in by_term.get(t, []):
-                scores[ids] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
-                touched[ids] = True
-        loc = np.flatnonzero(touched)
-        sc = scores[loc]
+                pos = np.searchsorted(loc, ids)
+                sc[pos] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
         if len(loc) > k:
             kth = np.partition(sc, -k)[-k]
             keep = sc >= kth

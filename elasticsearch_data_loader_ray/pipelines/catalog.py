@@ -446,16 +446,22 @@ def _shingles(tokens: list[str], k: int = SHINGLE_K) -> set[str]:
 
 
 def _doc_shingles_ds(sf_dir: str) -> rd.Dataset:
+    """(doc_id, shingle, n) rows — ``n`` is the doc's DISTINCT shingle count,
+    computed inside the batch (each doc lives in one batch), so set sizes
+    ride along with the shingle rows instead of a driver-side dict."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def xf(t: pa.Table) -> pa.Table:
-        out_id, out_s = [], []
+        out_id, out_s, out_n = [], [], []
         for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for s in _shingles(an.analyze("standard", x or "")):
+            sh = _shingles(an.analyze("standard", x or ""))
+            for s in sh:
                 out_id.append(i)
                 out_s.append(s)
+                out_n.append(len(sh))
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "shingle": pa.array(out_s, pa.string())})
+                         "shingle": pa.array(out_s, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
 
     return ds.map_batches(xf, batch_format="pyarrow")
 
@@ -464,33 +470,34 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact all-pairs n-gram Jaccard >= 0.8 via a shingle-join (no LSH).
 
     Scale note: this is the *oracle-checkable* exact variant; the scale path
-    is q_minhash_lsh_pairs (candidates via banding, then exact verify).
+    is q_minhash_lsh_pairs (candidates via banding, then exact verify). No
+    driver-side state: shingle-set sizes travel with the shingle rows and
+    reduce through the pair groupby (Min over a per-doc constant).
     """
-    sh = _doc_shingles_ds(sf_dir).materialize()  # reused by both passes
-    sizes_pdf = (sh.groupby("doc_id").count().to_pandas()
-                 .rename(columns={"count()": "n"}))
-    sizes = dict(zip(sizes_pdf["doc_id"], sizes_pdf["n"]))
-    sizes_ref = ray.put(sizes)
+    sh = _doc_shingles_ds(sf_dir)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        df = df.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        ns = df["n"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib],
+                             "na": ns[ia], "nb": ns[ib]})
+
+    from ray.data.aggregate import Count, Min
 
     inter = (
         sh.groupby("shingle")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"]).count()
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="i"),
+                   Min("na", alias_name="na"), Min("nb", alias_name="nb"))
     )
 
     def jac(df: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(sizes_ref)
-        inter_n = df["count()"].to_numpy(dtype=np.float64)
-        na = df["doc_a"].map(sz).to_numpy(dtype=np.float64)
-        nb = df["doc_b"].map(sz).to_numpy(dtype=np.float64)
+        inter_n = df["i"].to_numpy(dtype=np.float64)
+        na = df["na"].to_numpy(dtype=np.float64)
+        nb = df["nb"].to_numpy(dtype=np.float64)
         j = inter_n / (na + nb - inter_n)
         out = pd.DataFrame({"doc_a": df["doc_a"], "doc_b": df["doc_b"],
                             "jaccard": np.round(j, 6)})
@@ -764,14 +771,16 @@ def q_duplicate_clusters(sf_dir: str):
     """Near-dup connected components: docs in any >=0.8-Jaccard pair get a
     cluster_id = min doc_id of their component.
 
-    The pair graph comes from the distributed exact-Jaccard pipeline; the
-    closure runs as union-find over the collected pairs while the pair set
-    is driver-sized, and switches to the DISTRIBUTED alternating
-    large/small-star rounds (`stages/components.py`, tested equivalent)
-    above ``DUP_CLUSTER_UNIONFIND_MAX``. Oracle: recursive CTE transitive
-    closure.
+    The pair graph comes from the MinHash+LSH pipeline — the SCALE path
+    (banding candidates + exact verify), not the quadratic all-pairs
+    shingle join; both produce the identical verified-pair contract, so the
+    recursive-CTE oracle is unchanged. The closure runs as union-find over
+    the collected pairs while the pair set is driver-sized, and switches to
+    the DISTRIBUTED alternating large/small-star rounds
+    (`stages/components.py`, tested equivalent) above
+    ``DUP_CLUSTER_UNIONFIND_MAX``.
     """
-    pairs = q_ngram_jaccard_pairs(sf_dir)
+    pairs = q_minhash_lsh_pairs(sf_dir)
     pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
     if len(pdf) > DUP_CLUSTER_UNIONFIND_MAX:  # scale path
         from ..stages.components import connected_components
