@@ -17,6 +17,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BuildConfig", "SearchConfig", "build_index", "build_index_from_corpus",
+    "append_index", "append_index_from_corpus",
     "search", "search_inprocess", "LocalSearcher", "PhraseSearcher",
     "merge_segments",
 ]
@@ -27,6 +28,10 @@ def __getattr__(name):  # lazy public API (avoid importing ray at package import
         from .index import build as _b
 
         return getattr(_b, name)
+    if name in ("append_index", "append_index_from_corpus"):
+        from .index import append as _a
+
+        return getattr(_a, name)
     if name in ("SearchConfig", "search", "search_inprocess", "LocalSearcher",
                 "PhraseSearcher"):
         from .index import search as _s

@@ -3,9 +3,15 @@
 Commands:
 
   python -m elasticsearch_data_loader_ray build  INPUT INDEX_DIR [--wipe] [--docs-per-segment N]
+  python -m elasticsearch_data_loader_ray append INPUT INDEX_DIR [--docs-per-segment N]
   python -m elasticsearch_data_loader_ray search INDEX_DIR QUERY [-k K] [--field F] [--mode or|and]
   python -m elasticsearch_data_loader_ray stats  INDEX_DIR
   python -m elasticsearch_data_loader_ray compact INDEX_DIR [--max-segments N]
+
+``append`` goes beyond the reference (whose only refresh story is a full
+reload): new documents land as a fresh segment generation, re-ingested urls
+upsert (old doc tombstoned), and a serving ``LocalSearcher`` with
+``refresh_interval`` picks the commit up live.
 
 The reference wraps its loader in a shell script that optionally deletes and
 re-creates the index before exec-ing the Go binary
@@ -35,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--docs-per-segment", type=int, default=None)
     b.add_argument("--format", default="parquet",
                    choices=["parquet", "json", "jsonl", "csv"])
+
+    ap = sub.add_parser("append")
+    ap.add_argument("input")
+    ap.add_argument("index_dir")
+    ap.add_argument("--docs-per-segment", type=int, default=None)
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
@@ -84,6 +95,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({k: stats[k] for k in
                               ("n_docs", "n_segments", "n_postings",
                                "n_duplicates", "rejects", "phase_secs")}))
+        elif args.cmd == "append":
+            from .index.append import append_index
+            from .index.build import BuildConfig
+
+            stats = append_index(args.input, args.index_dir,
+                                 BuildConfig(
+                                     docs_per_segment=args.docs_per_segment))
+            print(json.dumps({k: stats.get(k) for k in
+                              ("n_docs", "n_segments", "n_postings",
+                               "n_deleted", "generations", "phase_secs")}))
         elif args.cmd == "compact":
             from .index import manifest as mf
             from .index.merge import compact_to

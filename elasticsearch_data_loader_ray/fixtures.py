@@ -101,8 +101,13 @@ def _render_html(text: str, i: int) -> bytes:
     return "\n".join(buf).encode("utf-8")
 
 
-def generate_webtext(n_docs: int, seed: int = SEED) -> pa.Table:
-    """Generate ``n_docs`` rows of the WEBTEXT table (includes reject rows)."""
+def generate_webtext(n_docs: int, seed: int = SEED,
+                     start: int = 0) -> pa.Table:
+    """Generate ``n_docs`` rows of the WEBTEXT table (includes reject rows).
+
+    ``start`` offsets the global row index ``i`` (urls, timestamps, reject
+    patterns stay globally consistent) while the rng is local — the chunked
+    generator uses it to produce disjoint row ranges independently."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(), dtype=object)
     probs = _zipf_probs(len(vocab))
@@ -116,10 +121,11 @@ def generate_webtext(n_docs: int, seed: int = SEED) -> pa.Table:
 
     n_tok_arr = (10 + 490 * rng.random(n_docs) ** 2).astype(np.int64)
     corp_pick = rng.random(n_docs)
-    for i in range(n_docs):
+    for j in range(n_docs):
+        i = start + j
         ts = base_ts + timedelta(seconds=int(i))
         lang = _LANGS[i % len(_LANGS)]
-        if i % 101 == 19 and i > 0 and urls[-1] is not None:
+        if i % 101 == 19 and j > 0 and urls[-1] is not None:
             # exact duplicate of the previous row (D1 create-conflict analogue)
             urls.append(urls[-1]); tss.append(tss[-1])
             htmls.append(htmls[-1]); texts.append(texts[-1]); langs.append(langs[-1])
@@ -134,11 +140,11 @@ def generate_webtext(n_docs: int, seed: int = SEED) -> pa.Table:
             htmls.append(_render_html("", i)); texts.append(""); langs.append(lang)
             continue
         corp_line = None
-        if corp_pick[i] < 0.2:
+        if corp_pick[j] < 0.2:
             stem = _CORP_STEMS[i % len(_CORP_STEMS)]
             suf = _CORP_SUFFIXES[i % len(_CORP_SUFFIXES)]
             corp_line = f"{stem} {suf}"
-        text = _doc_text(rng, vocab, probs, int(n_tok_arr[i]), corp_line,
+        text = _doc_text(rng, vocab, probs, int(n_tok_arr[j]), corp_line,
                          oversized=(i % 61 == 23))
         urls.append(url); tss.append(ts)
         htmls.append(_render_html(text, i)); texts.append(text); langs.append(lang)
@@ -157,20 +163,67 @@ def generate_webtext(n_docs: int, seed: int = SEED) -> pa.Table:
     )
 
 
+PARALLEL_GEN_MIN_DOCS = 4_000_001  # sizes <= 4M keep legacy byte-identity
+
+
 def write_webtext(path: str, n_docs: int, seed: int = SEED,
                   rows_per_file: int = 25_000) -> str:
     """Write the webtext table as a directory of parquet files (parallel-read
     friendly). Chunked generation keeps memory bounded; chunk boundaries do
     not affect content (single rng consumed in row order).
+
+    Above ``PARALLEL_GEN_MIN_DOCS`` rows the per-chunk generator runs
+    instead (one seeded rng per file via SeedSequence(seed, chunk), Ray
+    tasks when a cluster is up): content differs from the sequential
+    generator at the same size but is equally deterministic — existing
+    cached fixtures at <= 4M docs stay byte-identical.
     """
     import os
 
+    if n_docs > PARALLEL_GEN_MIN_DOCS - 1:
+        return _write_webtext_chunked(path, n_docs, seed, rows_per_file)
     os.makedirs(path, exist_ok=True)
     rng_table = generate_webtext(n_docs, seed)
     for fi, start in enumerate(range(0, n_docs, rows_per_file)):
         chunk = rng_table.slice(start, rows_per_file)
         pq.write_table(chunk, os.path.join(path, f"part-{fi:05d}.parquet"),
                        row_group_size=4096)
+    return path
+
+
+def _chunk_seed(seed: int, chunk: int) -> int:
+    return int(np.random.SeedSequence([seed, chunk]).generate_state(1)[0])
+
+
+def _gen_chunk_file(path: str, fi: int, start: int, rows: int,
+                    seed: int) -> str:
+    t = generate_webtext(rows, seed=_chunk_seed(seed, fi), start=start)
+    out = f"{path}/part-{fi:05d}.parquet"
+    pq.write_table(t, out, row_group_size=4096)
+    return out
+
+
+def _write_webtext_chunked(path: str, n_docs: int, seed: int,
+                           rows_per_file: int) -> str:
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    spans = [(fi, start, min(rows_per_file, n_docs - start))
+             for fi, start in enumerate(range(0, n_docs, rows_per_file))]
+    try:
+        import ray
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray:
+        import ray
+
+        gen = ray.remote(_gen_chunk_file)
+        ray.get([gen.remote(path, fi, start, rows, seed)
+                 for fi, start, rows in spans])
+    else:
+        for fi, start, rows in spans:
+            _gen_chunk_file(path, fi, start, rows, seed)
     return path
 
 

@@ -102,6 +102,25 @@ class BuildConfig:
     # packing measured net-negative (iso @1M docs: raw 18.6/10.6s at 2/8
     # cpus vs packed-zstd 31.1/13.7s), so default off
     shuffle_pack_codec: str | None = None
+    # D1 create-conflict parity: the reference treats a duplicate _id as
+    # FATAL (companybindex/main.go:216-222 aborts the load on a bulk item
+    # create conflict). Default off — the engine's default semantics
+    # (keep-first dedup + counted duplicates in manifests/stats) are
+    # strictly more useful for web crawls; True fails the build with
+    # example urls before any segment is committed.
+    strict_duplicates: bool = False
+
+
+class DuplicateUrlError(ValueError):
+    """Raised by strict_duplicates builds when the input has >1 row per url
+    (the reference's bulk-create-conflict fatal, main.go:216-222)."""
+
+    def __init__(self, n_duplicates: int, examples: list[str]):
+        self.n_duplicates = n_duplicates
+        self.examples = examples
+        super().__init__(
+            f"{n_duplicates} duplicate url(s) in input "
+            f"(strict_duplicates=True); examples: {examples[:5]}")
 
 
 def _ncpus() -> int:
@@ -226,6 +245,10 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
         uniq = tbl_s.filter(pa.array(first))
         n_docs = uniq.num_rows
         n_dups = n_rows - n_docs
+        if cfg.strict_duplicates and n_dups:
+            dup_urls = np.asarray(
+                urls_col.to_numpy(zero_copy_only=False), dtype=object)[~first]
+            raise DuplicateUrlError(n_dups, dup_urls[:5].tolist())
         dps = _docs_per_segment(cfg, n_docs)
         n_segments = max(1, math.ceil(n_docs / dps))
         # cut INDICES into the deduped url order: per-bucket counts are the
@@ -262,11 +285,14 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
             first = np.ones(len(urls), dtype=bool)
             first[1:] = urls[1:] != urls[:-1]
             dl = t["doc_len"].to_numpy()
+            dup_ex = urls[~first][:1]
             return pa.table({
                 "bucket": pa.array([int(t["bucket"][0].as_py())], pa.int32()),
                 "n_docs": pa.array([int(first.sum())], pa.int64()),
                 "dl_sum": pa.array([int(dl[first].sum())], pa.int64()),
                 "n_dups": pa.array([int(len(urls) - first.sum())], pa.int64()),
+                "dup_example": pa.array(
+                    [str(dup_ex[0]) if len(dup_ex) else None], pa.string()),
             })
 
         counts = (
@@ -283,6 +309,9 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
         n_docs = int(per_bucket.sum())
         n_dups = int(counts["n_dups"].sum())
         dl_total = int(counts["dl_sum"].sum())
+        if cfg.strict_duplicates and n_dups:
+            raise DuplicateUrlError(
+                n_dups, counts["dup_example"].dropna().tolist()[:5])
     plan = {
         "boundaries": boundaries,
         "offsets": offsets.tolist(),
@@ -290,6 +319,7 @@ def _make_plan(index_dir: str, cfg: BuildConfig) -> dict:
         "n_docs": n_docs,
         "n_duplicates": n_dups,
         "avgdl": (dl_total / n_docs) if n_docs else 0.0,
+        "dl_total": int(dl_total),
         "n_segments": n_segments,
         "seed": cfg.seed,
     }
@@ -493,8 +523,12 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
         f_dl64 = f_dl.astype(np.int64)
         # global avgdl for extra fields is unknown at encode time: block-max
         # bounds use the avgdl-free upper bound (see codec.bm25_tf_impact);
-        # exact scoring uses stats.json per-field avgdl at query time
-        field_tables.append(encode_field(fname, f_idx, f_toks, f_dl64, None))
+        # exact scoring uses stats.json per-field avgdl at query time.
+        # index_positions applies to EVERY text field (ES records positions
+        # on all text fields by default, search_scheme.json:140-198), so
+        # phrase queries work on multi-fields too.
+        field_tables.append(encode_field(fname, f_idx, f_toks, f_dl64, None,
+                                         with_positions=cfg.index_positions))
         docs_cols[f"doc_len_{fname}"] = pa.array(f_dl, pa.int32())
         field_dl_sums[fname] = int(f_dl64.sum())
 
@@ -517,6 +551,10 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
     mf.write_manifest(
         index_dir, seg_id,
         {
+            # avgdl the text-field block-max bounds were encoded under:
+            # after appends move the global avgdl, searchers scale stored
+            # bounds by max(1, avgdl_now/encode_avgdl) to stay admissible
+            "encode_avgdl": float(plan["avgdl"]),
             "n_input_rows": int(n_input),
             "n_docs": int(n_docs),
             "n_duplicates": int(n_dups),
@@ -689,22 +727,39 @@ def _partition_block(tbl: pa.Table, boundaries: list[str], n_buckets: int,
     return tuple(datas) + tuple(minis)
 
 
-@ray.remote
-def _bucket_stats(*minis: pa.Table) -> tuple[int, int, int]:
-    """(n_docs, dl_sum, n_dups) for one bucket after keep-first dedup by
-    (url asc, warc_ts asc) — the exact phase-C rule, so plan offsets/avgdl
-    cover exactly the docs that get indexed."""
-    pin_worker_threads()
+def _bucket_stats_one(minis) -> tuple[int, int, int, list[str]]:
+    """(n_docs, dl_sum, n_dups, dup_examples) for one bucket after
+    keep-first dedup by (url asc, warc_ts asc) — the exact phase-C rule, so
+    plan offsets/avgdl cover exactly the docs that get indexed."""
     tabs = [m for m in minis if m.num_rows]
     if not tabs:
-        return 0, 0, 0
+        return 0, 0, 0, []
     t = pa.concat_tables(tabs).combine_chunks().sort_by(
         [("url", "ascending"), ("warc_ts", "ascending")])
     urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
     first = np.ones(len(urls), dtype=bool)
     first[1:] = urls[1:] != urls[:-1]
     dl = t["doc_len"].to_numpy()
-    return int(first.sum()), int(dl[first].sum()), int(len(urls) - first.sum())
+    dup_ex = urls[~first][:3].tolist()
+    return (int(first.sum()), int(dl[first].sum()),
+            int(len(urls) - first.sum()), dup_ex)
+
+
+# buckets per stats task / segments per build task: grouping amortizes the
+# per-task scheduling + arg-serialization cost (485 one-bucket tasks cost
+# ~4s of driver time regardless of CPU count — pure Amdahl overhead).
+# Values are leg-independent so every cluster size runs identical work units.
+STATS_GROUP = 16
+BUILD_GROUP = 4
+
+
+@ray.remote
+def _bucket_stats_group(n_blocks: int, *minis_flat: pa.Table) -> list[tuple]:
+    """Stats for a RANGE of buckets; ``minis_flat`` is bucket-major
+    (bucket0's n_blocks minis, then bucket1's, ...)."""
+    pin_worker_threads()
+    return [_bucket_stats_one(minis_flat[g * n_blocks:(g + 1) * n_blocks])
+            for g in range(len(minis_flat) // n_blocks)]
 
 
 @ray.remote
@@ -719,6 +774,24 @@ def _build_bucket(index_dir: str, seg_id: int, plan: dict, cfg: BuildConfig,
     return seg_id
 
 
+@ray.remote
+def _build_bucket_group(index_dir: str, seg_ids: list[int], plan: dict,
+                        cfg: BuildConfig, n_blocks: int,
+                        *parts_flat: pa.Table) -> list[int]:
+    """Build several segments sequentially in one task; ``parts_flat`` is
+    bucket-major (seg_ids[0]'s n_blocks slices, then seg_ids[1]'s, ...)."""
+    pin_worker_threads()
+    for g, seg_id in enumerate(seg_ids):
+        tabs = [p for p in parts_flat[g * n_blocks:(g + 1) * n_blocks]
+                if p.num_rows]
+        group = pa.concat_tables(tabs)
+        group = group.append_column(
+            "bucket",
+            pa.array(np.full(group.num_rows, seg_id, dtype=np.int32)))
+        _build_segment(group, index_dir, plan, cfg)
+    return list(seg_ids)
+
+
 def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
                timings: dict[str, float], boundaries: list[str]) -> dict:
     """Run the fused exchange+build over ``source`` (extract output or a
@@ -731,7 +804,8 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
     cols = _corpus_columns(cfg)
     part_task = _partition_block.options(num_returns=2 * n_buckets)
     t0 = time.perf_counter()
-    write_refs, data_refs, mini_refs, keep = [], [], [], []
+    write_refs, data_refs, mini_refs = [], [], []
+    keep: list = []
     i = 0
     for bundle in source.iter_internal_ref_bundles():
         keep.append(bundle)
@@ -742,18 +816,32 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
             data_refs.append(list(rets[:n_buckets]))
             mini_refs.append(list(rets[n_buckets:]))
             i += 1
+    # extract blocks stay pinned only by the pending write/partition tasks'
+    # args from here on — they free progressively as those tasks finish
+    del keep
     timings["corpus"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    stats_per_bucket = ray.get(
-        [_bucket_stats.remote(*per_bucket) for per_bucket in zip(*mini_refs)]
-    ) if mini_refs else []
+    if mini_refs:
+        n_blk = len(mini_refs)
+        cols = list(zip(*mini_refs))  # per-bucket tuples of per-block refs
+        gtasks = []
+        for s in range(0, n_buckets, STATS_GROUP):
+            flat = [r for b in range(s, min(s + STATS_GROUP, n_buckets))
+                    for r in cols[b]]
+            gtasks.append(_bucket_stats_group.remote(n_blk, *flat))
+        stats_per_bucket = [t for res in ray.get(gtasks) for t in res]
+    else:
+        stats_per_bucket = []
     per_bucket = np.array([s[0] for s in stats_per_bucket], dtype=np.int64)
     if len(per_bucket) == 0:
         per_bucket = np.zeros(n_buckets, dtype=np.int64)
     n_docs = int(per_bucket.sum())
     dl_total = sum(s[1] for s in stats_per_bucket)
     n_dups = sum(s[2] for s in stats_per_bucket)
+    if cfg.strict_duplicates and n_dups:
+        raise DuplicateUrlError(
+            n_dups, [u for s in stats_per_bucket for u in s[3]][:5])
     offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
     plan = {
         "boundaries": boundaries,
@@ -762,6 +850,7 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
         "n_docs": n_docs,
         "n_duplicates": n_dups,
         "avgdl": (dl_total / n_docs) if n_docs else 0.0,
+        "dl_total": int(dl_total),
         "n_segments": n_buckets if n_docs else 0,
         "seed": cfg.seed,
     }
@@ -770,17 +859,27 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
 
     t0 = time.perf_counter()
     plan_ref = ray.put(plan)
+    del mini_refs  # minis free as soon as their stats tasks finish
     if n_docs:
-        ray.get([
-            _build_bucket.remote(index_dir, b, plan_ref, cfg,
-                                 *[blk[b] for blk in data_refs])
-            for b in range(n_buckets) if per_bucket[b] > 0
-        ])
+        n_blk = len(data_refs)
+        live = [b for b in range(n_buckets) if per_bucket[b] > 0]
+        build_refs = []
+        for s in range(0, len(live), BUILD_GROUP):
+            ids = live[s:s + BUILD_GROUP]
+            flat = [blk[b] for b in ids for blk in data_refs]
+            build_refs.append(_build_bucket_group.remote(
+                index_dir, ids, plan_ref, cfg, n_blk, *flat))
+        # drop the driver's slice refs NOW: each slice stays pinned only by
+        # its pending build task's args, so store memory frees group by
+        # group as waveB progresses instead of all-at-once at the end
+        del data_refs
+        ray.get(build_refs)
+    else:
+        del data_refs
     timings["segments"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     ray.get(write_refs)
-    del keep, data_refs, mini_refs
     with open(os.path.join(corpus_dir, "_SUCCESS"), "w") as f:
         f.write("")
     stats = _finalize(index_dir, plan, cfg, timings)
@@ -791,7 +890,10 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
 # --- phase D --------------------------------------------------------------
 
 def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
-              timings: dict[str, float]) -> dict:
+              timings: dict[str, float], extra: dict | None = None) -> dict:
+    """``extra`` keys are merged into stats.json before the atomic write —
+    the append path uses this so visibility (n_docs), tombstone file list
+    and generation lineage land in ONE atomic commit."""
     stats_path = os.path.join(index_dir, "stats.json")
     manifests = mf.committed_segments(index_dir)
     term_files = [seg_terms_path(index_dir, s) for s in sorted(manifests)]
@@ -802,7 +904,13 @@ def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
         os.makedirs(term_stats_dir, exist_ok=True)
         total_terms = sum(m["n_terms"] for m in manifests.values())
         if plan["n_docs"] > 0 and term_files:
-            if total_terms <= 5_000_000:
+            # driver cutoff: (field, term, df) rows are ~50 B each, so 50M
+            # rows is ~2.5 GB — one threaded read + C++ group_by beats a
+            # distributed sort-shuffle by ~10x well past this point
+            # (measured: 29M rows in seconds vs 70s+ distributed at 8M
+            # docs). Above it, the Ray groupby path takes over.
+            if total_terms <= int(os.environ.get(
+                    "EDLR_FINALIZE_CUTOFF", "50000000")):
                 # small vocab: one threaded read + C++ group_by on the driver
                 # beats three distributed stages of overhead
                 tt = pq.read_table(term_files, columns=["field", "term", "df"])
@@ -832,6 +940,10 @@ def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
     stats = {
         "n_docs": plan["n_docs"],
         "avgdl": plan["avgdl"],
+        # integer doc-length total: appends add to it exactly, so the
+        # recomputed avgdl matches a from-scratch build bit-for-bit
+        "dl_total": int(plan.get(
+            "dl_total", round(plan["avgdl"] * plan["n_docs"]))),
         "per_field": per_field,
         "field_analyzers": {"text": "standard",
                             **{f: a for f, _s, a in cfg.fields}},
@@ -851,6 +963,8 @@ def _finalize(index_dir: str, plan: dict, cfg: BuildConfig,
         },
         "phase_secs": timings,
     }
+    if extra:
+        stats.update(extra)
     mf.write_json_atomic(stats_path, stats)
     return stats
 
@@ -923,8 +1037,12 @@ def build_index(input_path: str, index_dir: str,
         n_est = urls_ds.count()
         boundaries = _segment_boundaries(urls_ds, n_est, cfg) if n_est else []
         timings["bounds"] = round(time.perf_counter() - t, 3)
+        # block count scales with rows (~125k docs / ~300MB of text per
+        # block) so one block + its partition copy stays a small fraction
+        # of a worker heap, and never below 2 blocks per CPU
+        n_blocks = max(2 * _ncpus(), 16, math.ceil(n_est / 125_000))
         src = rd.read_parquet(
-            input_path, override_num_blocks=max(2 * _ncpus(), 16)
+            input_path, override_num_blocks=n_blocks
         ).map_batches(
             extract_batch,
             fn_kwargs={"errors_dir": errors_dir,

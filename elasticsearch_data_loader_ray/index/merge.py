@@ -209,7 +209,12 @@ def merge_segments(index_dir: str, group_size: int = 2,
             for b in (manifests[s].get("absorbed_buckets", [])
                       or ([s] if s < mf.MERGED_ID_BASE else []))
         })
+        enc_avgdls = [m_ for s in run
+                      if (m_ := manifests[s].get("encode_avgdl")) is not None]
         combined = {
+            # min over inputs: the CONSERVATIVE bound base — searchers scale
+            # stored block-max bounds by avgdl_now/encode_avgdl after appends
+            **({"encode_avgdl": float(min(enc_avgdls))} if enc_avgdls else {}),
             "n_input_rows": sum(manifests[s]["n_input_rows"] for s in run),
             "n_docs": sum(manifests[s]["n_docs"] for s in run),
             "n_duplicates": sum(manifests[s]["n_duplicates"] for s in run),

@@ -70,6 +70,58 @@ def _load_stats(index_dir: str) -> dict:
     return mf.read_json(os.path.join(index_dir, "stats.json"))
 
 
+def _visible_seg_ids(index_dir: str, stats: dict) -> tuple[list[int], dict]:
+    """Committed segments whose doc range is covered by ``stats.n_docs`` —
+    the append visibility gate: an append commits segment files/manifests
+    first, and the atomic stats.json rewrite is the visibility point, so a
+    searcher must never serve a segment whose doc ids reach past it."""
+    ms = mf.committed_segments(index_dir)
+    n = int(stats.get("n_docs", 0))
+    vis = {s: m for s, m in ms.items()
+           if int(m["doc_id_base"]) + int(m["n_docs"]) <= n}
+    return sorted(vis), vis
+
+
+def _load_deleted(index_dir: str, stats: dict) -> np.ndarray:
+    """Sorted global doc ids tombstoned by url upserts (appends)."""
+    out = []
+    for rel in stats.get("tombstone_files", []):
+        p = os.path.join(index_dir, rel)
+        if os.path.exists(p):
+            out.append(np.asarray(mf.read_json(p)["deleted_doc_ids"],
+                                  dtype=np.int64))
+    if not out:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(out))
+
+
+def _drop_deleted(deleted: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """keep-mask over ``ids`` given the sorted tombstone array."""
+    if len(deleted) == 0 or len(ids) == 0:
+        return np.ones(len(ids), dtype=bool)
+    pos = np.searchsorted(deleted, ids)
+    ok = pos < len(deleted)
+    posc = np.minimum(pos, len(deleted) - 1)
+    return ~(ok & (deleted[posc] == ids))
+
+
+def _bound_scale(vis_manifests: dict, stats: dict) -> float:
+    """Admissibility factor for stored text-field block-max bounds.
+
+    Bounds were encoded under each segment's build-time avgdl
+    (``encode_avgdl`` in its manifest); after appends move the global
+    avgdl UP, the true impact can exceed the stored bound by at most
+    ``avgdl_now / encode_avgdl`` (denominator-term scaling), so pruning
+    multiplies bounds by the max such ratio. Fresh builds: exactly 1.0."""
+    avg = float(stats.get("avgdl", 0.0) or 0.0)
+    scale = 1.0
+    for m in vis_manifests.values():
+        enc = float(m.get("encode_avgdl", 0.0) or 0.0)
+        if enc > 0 and avg > enc:
+            scale = max(scale, avg / enc)
+    return scale
+
+
 def _field_analyzer(stats: dict, field: str) -> str:
     return stats.get("field_analyzers", {}).get(field, "standard")
 
@@ -158,6 +210,10 @@ class SegmentSearcher:
         self.idf = deref(idf_ref)           # {(field, term): idf}
         self.avgdl = avgdl_by_field
         self.use_maxscore = use_maxscore
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+        self._bscale = _bound_scale(
+            _visible_seg_ids(index_dir, stats)[1], stats)
         self.by_field: dict[str, list[str]] = {}
         for _qid, field, terms, _k, _m in self.queries:
             got = self.by_field.setdefault(field, [])
@@ -221,6 +277,10 @@ class SegmentSearcher:
             cand = np.intersect1d(cand, postings[kk][0], assume_unique=True)
             if len(cand) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(self._deleted):
+            cand = cand[_drop_deleted(self._deleted, cand)]
+            if len(cand) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         loc = cand - base
         scores = np.zeros(len(cand), dtype=np.float64)
         for kk in keys:  # lexicographic order (query_terms sorts)
@@ -252,6 +312,8 @@ class SegmentSearcher:
             cand = np.intersect1d(cand, postings[kk][0], assume_unique=True)
             if len(cand) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(self._deleted):
+            cand = cand[_drop_deleted(self._deleted, cand)]
         idf_sum = float(sum(self.idf[(field, t)] for t in uniq))
         avgdl = self.avgdl[field]
         hits, freqs = [], []
@@ -286,7 +348,8 @@ class SegmentSearcher:
                     tfs, dl[loc], avgdl)
                 touched[loc] = True
         else:
-            ubs = [(self.idf[kk] * postings[kk][2], kk) for kk in keys]
+            ubs = [(self.idf[kk] * postings[kk][2] * self._bscale, kk)
+                   for kk in keys]
             ubs.sort(reverse=True)
             remaining = sum(u for u, _ in ubs)
             theta = -np.inf
@@ -303,11 +366,19 @@ class SegmentSearcher:
                     tfs, dl[loc], avgdl)
                 touched[loc] = True
                 remaining -= u
-                cand = scores[touched]
+                # theta over NON-deleted docs only: a tombstoned doc in the
+                # top-k would inflate the bar and over-prune legit docs
+                loc_t = np.flatnonzero(touched)
+                if len(self._deleted):
+                    loc_t = loc_t[_drop_deleted(self._deleted, loc_t + base)]
+                cand = scores[loc_t]
                 if len(cand) > k:
                     theta = np.partition(cand, -k)[-k]
         loc = np.flatnonzero(touched)
         sc = scores[loc]
+        if len(self._deleted):
+            keepd = _drop_deleted(self._deleted, loc + base)
+            loc, sc = loc[keepd], sc[keepd]
         if len(loc) > k:
             kth = np.partition(sc, -k)[-k]
             keep = sc >= kth  # keep ALL ties at the k-th score for tie-break
@@ -374,7 +445,9 @@ class LocalSearcher:
         index_dir = self.index_dir
         self.stats = _load_stats(index_dir)
         self.n_docs = int(self.stats["n_docs"])
-        self.seg_ids = sorted(mf.committed_segments(index_dir))
+        self.seg_ids, vis = _visible_seg_ids(index_dir, self.stats)
+        self._deleted = _load_deleted(index_dir, self.stats)
+        self._bscale = _bound_scale(vis, self.stats)
         self.term_files = [seg_terms_path(index_dir, s) for s in self.seg_ids]
         self.term_ds = (pads.dataset(self.term_files) if self.term_files else None)
         self.doc_files = [seg_docs_path(index_dir, s) for s in self.seg_ids]
@@ -400,7 +473,8 @@ class LocalSearcher:
         in-flight on the old epoch are unaffected (segment files are
         immutable; merge publishes under NEW ids and the combined manifest
         is the atomic commit point)."""
-        new_ids = sorted(mf.committed_segments(self.index_dir))
+        new_ids, _ = _visible_seg_ids(self.index_dir,
+                                      _load_stats(self.index_dir))
         if new_ids == self.seg_ids:
             return False
         self._bind()
@@ -513,6 +587,8 @@ class LocalSearcher:
         # driver decodes fully; every other term probed lazily
         cand = np.concatenate([r.block(b)[0] for r in readers[driver]
                                for b in range(r.n_blocks)])
+        if len(self._deleted):
+            cand = cand[_drop_deleted(self._deleted, cand)]
         others = [t for t in terms if t != driver]
         others.sort(key=lambda t: df_of[t])  # rarest first: shrink fastest
         tf_by_term: dict[str, np.ndarray] = {}
@@ -651,7 +727,8 @@ class LocalSearcher:
         if not terms:
             self.last_block_stats = (0, 0)
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        ub = {t: idf[t] * max(r[2] for r in runs[t]) for t in terms}
+        bscale = self._bscale  # appended-index bound admissibility factor
+        ub = {t: idf[t] * max(r[2] for r in runs[t]) * bscale for t in terms}
         order = sorted(terms, key=lambda t: (-ub[t], t))
         # cached readers carry decode counts from earlier queries: report
         # this query's decodes relative to the load-time baseline
@@ -685,6 +762,9 @@ class LocalSearcher:
                 pos = np.searchsorted(alive, ids)
                 partial[pos] += idf[t] * codec.bm25_tf_impact(
                     tfs.astype(np.float64), dl[ids], avgdl)
+            if len(self._deleted):  # tombstoned docs can never rank
+                keepm = _drop_deleted(self._deleted, alive)
+                alive, partial = alive[keepm], partial[keepm]
             theta = (float(np.partition(partial, -k)[-k])
                      if len(partial) >= k else -np.inf)
             tf_rest: dict[str, np.ndarray] = {}
@@ -697,7 +777,8 @@ class LocalSearcher:
                     lambda r, c: np.where(
                         (b := np.searchsorted(r[0].block_last, c))
                         < r[0].n_blocks,
-                        idf[t] * r[1][np.minimum(b, r[0].n_blocks - 1)], 0.0),
+                        idf[t] * bscale
+                        * r[1][np.minimum(b, r[0].n_blocks - 1)], 0.0),
                     np.float64)
                 keep = partial + bm + suffix >= theta
                 if not keep.all():
@@ -780,6 +861,9 @@ class LocalSearcher:
             for ids, tfs in by_term.get(t, []):
                 pos = np.searchsorted(loc, ids)
                 sc[pos] += idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
+        if len(self._deleted):  # upsert tombstones: drop before top-k
+            keep = _drop_deleted(self._deleted, loc)
+            loc, sc = loc[keep], sc[keep]
         if len(loc) > k:
             kth = np.partition(sc, -k)[-k]
             keep = sc >= kth
@@ -841,6 +925,10 @@ class LocalSearcher:
         cand = merged[terms[0]][0]
         for t in terms[1:]:
             cand = np.intersect1d(cand, merged[t][0], assume_unique=True)
+            if len(cand) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(self._deleted):
+            cand = cand[_drop_deleted(self._deleted, cand)]
             if len(cand) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
         sc = np.zeros(len(cand), dtype=np.float64)
@@ -1004,10 +1092,6 @@ class PhraseSearcher:
             raise ValueError(
                 "index was built without positions "
                 "(BuildConfig.index_positions=True required)")
-        if field != DEFAULT_FIELD:
-            raise ValueError(
-                "phrase queries require positions, which are only indexed "
-                f"for the '{DEFAULT_FIELD}' field")
         seq = list(analyze(_field_analyzer(lo.stats, field), query))
         if not seq:
             return (np.empty(0, np.int64), np.empty(0, np.float64),
@@ -1045,6 +1129,8 @@ class PhraseSearcher:
             if len(cand) == 0:
                 return (np.empty(0, np.int64), np.empty(0, np.float64),
                         np.empty(0, np.int64))
+        if len(lo._deleted):
+            cand = cand[_drop_deleted(lo._deleted, cand)]
         dl = lo._dl_for(field)
         avgdl = _avgdl(lo.stats, field)
         idf_sum = float(sum(idf[t] for t in uniq))
@@ -1101,17 +1187,13 @@ def search(index_dir: str, queries: pa.Table | list[dict],
                 raise ValueError(
                     "phrase queries require an index built with "
                     "BuildConfig(index_positions=True)")
-            if field != DEFAULT_FIELD:
-                raise ValueError(
-                    "phrase queries require positions, which are only "
-                    f"indexed for the '{DEFAULT_FIELD}' field")
     by_field: dict[str, list[str]] = {}
     for _qid, field, terms, _k, _m in prepared:
         by_field.setdefault(field, []).extend(terms)
     by_field = {f: sorted(set(ts)) for f, ts in by_field.items()}
     idf, _dfs, _n = load_global_idf(index_dir, by_field)
     avgdl_by_field = {f: _avgdl(stats, f) for f in by_field}
-    seg_ids = sorted(mf.committed_segments(index_dir))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
     empty = pa.table(
         {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
          "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}

@@ -1052,6 +1052,67 @@ def q_bm25_topk(sf_dir: str):
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
+def _ensure_append_index(sf_dir: str) -> str:
+    """Half-build + half-append index over the documents table: docs below
+    the median doc_id are built, the rest APPENDED as a second generation
+    (disjoint urls -> no upserts). dl_total is integer-exact, so avgdl and
+    every BM25 score match a from-scratch full build bit-for-bit — the
+    full-corpus SQL is this entry's oracle."""
+    from ..index.append import append_index_from_corpus
+
+    tag = _code_fingerprint()
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/edlr_cache/append_docs_{key}"
+    marker = os.path.join(idx, "_CATALOG_OK")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == tag:
+                return idx
+    shutil.rmtree(idx, ignore_errors=True)
+    import pyarrow.parquet as pq_
+
+    ids = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    median = int(np.median(ids["doc_id"].to_numpy()))
+
+    def half(lo: bool):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        op = (pc.less_equal if lo else pc.greater)
+
+        def f(t: pa.Table) -> pa.Table:
+            return _docs_to_corpus(t.filter(op(t["doc_id"], median)))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    cfg = BuildConfig(docs_per_segment=2000)
+    build_index_from_corpus(half(True), idx, cfg)
+    append_index_from_corpus(half(False), idx, cfg)
+    with open(marker, "w") as f:
+        f.write(tag)
+    return idx
+
+
+def q_incremental_append(sf_dir: str):
+    """build(A) + append(B) over the documents table, then BM25 top-k —
+    must equal the full-corpus build (and the full-corpus SQL oracle)
+    exactly: same df (term_stats rebuilt over both generations), same
+    avgdl (integer dl_total), rank ties broken on the original doc_id."""
+    idx = _ensure_append_index(sf_dir)
+    queries = pa.table({
+        "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+        "query": pa.array(DOC_QUERIES, pa.string()),
+        "k": pa.array([DOC_K + 20] * len(DOC_QUERIES), pa.int64()),
+    })
+    res = search(idx, queries).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
 def _sql_bm25_topk() -> str:
     from ..index.search import query_terms
 
@@ -2040,6 +2101,7 @@ def queries() -> dict:
         "langid_quality": q_langid_quality,
         "fingerprint": q_fingerprint,
         "bm25_topk": q_bm25_topk,
+        "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "phrase_match": q_phrase_match,
         "embedding_topk": q_embedding_topk,
@@ -2088,6 +2150,9 @@ def oracle_sql() -> dict:
         "langid_quality": SQL_LANGID_QUALITY,
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
+        # append gate: build(first half) + append(second half) must equal
+        # the FULL-corpus BM25 — the same SQL is the oracle by construction
+        "incremental_append": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
         "phrase_match": _sql_phrase_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,

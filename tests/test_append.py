@@ -1,0 +1,161 @@
+"""Incremental append (generation segments + url upserts).
+
+Gate property: build(A) + append(B) over disjoint urls must equal a
+from-scratch build over A∪B — same hit urls and BITWISE-identical scores
+(integer dl_total -> identical avgdl; term_stats rebuilt over both
+generations -> identical idf). Upserts tombstone the superseded doc."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from elasticsearch_data_loader_ray import fixtures
+from elasticsearch_data_loader_ray.functions.analyzers import token_count_batch
+from elasticsearch_data_loader_ray.index import manifest as mf
+from elasticsearch_data_loader_ray.index.append import (
+    append_index,
+    append_index_from_corpus,
+    sweep_invisible_segments,
+)
+from elasticsearch_data_loader_ray.index.build import (
+    BuildConfig,
+    DuplicateUrlError,
+    build_index,
+    build_index_from_corpus,
+    seg_docs_path,
+)
+from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+
+def _corpus_table(urls: list[str], texts: list[str]) -> pa.Table:
+    n = len(urls)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+
+
+def _url_of(idx_dir: str) -> dict[int, str]:
+    segs = sorted(mf.committed_segments(idx_dir))
+    t = pq.read_table([seg_docs_path(idx_dir, s) for s in segs],
+                      columns=["doc_id", "url"])
+    return dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+
+
+def test_append_equals_full_build(tmp_path):
+    t = fixtures.generate_webtext(1200)
+    a, b = t.slice(0, 600), t.slice(600)
+    src_a, src_b, src_all = (tmp_path / n for n in ("a", "b", "all"))
+    for d in (src_a, src_b, src_all):
+        d.mkdir()
+    pq.write_table(a, str(src_a / "p.parquet"))
+    pq.write_table(b, str(src_b / "p.parquet"))
+    pq.write_table(t, str(src_all / "p.parquet"))
+
+    cfg = BuildConfig(docs_per_segment=150)
+    full = build_index(str(src_all), str(tmp_path / "idx_full"), cfg)
+    part = build_index(str(src_a), str(tmp_path / "idx_inc"), cfg)
+    inc = append_index(str(src_b), str(tmp_path / "idx_inc"), cfg)
+
+    assert inc["n_docs"] == full["n_docs"]
+    assert inc["dl_total"] == full["dl_total"]
+    assert inc["avgdl"] == full["avgdl"]  # bitwise via integer dl_total
+    assert inc["n_postings"] == full["n_postings"]
+    assert inc.get("n_deleted", 0) == 0  # disjoint urls: no upserts
+
+    url_full = _url_of(str(tmp_path / "idx_full"))
+    url_inc = _url_of(str(tmp_path / "idx_inc"))
+    sf = LocalSearcher(str(tmp_path / "idx_full"))
+    si = LocalSearcher(str(tmp_path / "idx_inc"))
+    # compare the FULL scored set (k = corpus): top-k boundaries can differ
+    # between the two indexes only by doc_id tie order (doc ids are
+    # assigned per-index), so url->score over ALL hits is the equivalence
+    for row in fixtures.generate_queries().to_pylist():
+        i1, s1 = sf.search(row["query"], full["n_docs"])
+        i2, s2 = si.search(row["query"], inc["n_docs"])
+        by_url_1 = sorted(zip((url_full[int(d)] for d in i1), s1))
+        by_url_2 = sorted(zip((url_inc[int(d)] for d in i2), s2))
+        assert [u for u, _ in by_url_1] == [u for u, _ in by_url_2]
+        assert [s for _, s in by_url_1] == [s for _, s in by_url_2]  # bitwise
+
+
+def test_append_upsert_tombstones_old_doc(tmp_path):
+    urls = [f"https://u/{i:04d}" for i in range(80)]
+    texts = [f"alpha common w{i}" for i in range(80)]
+    build_index_from_corpus(rd.from_arrow(_corpus_table(urls, texts)),
+                            str(tmp_path / "idx"),
+                            BuildConfig(docs_per_segment=20))
+    # re-ingest url 50 with new content, plus one brand-new url
+    up = _corpus_table([urls[50], "https://u/9999"],
+                       ["bravo fresh w50", "bravo common extra"])
+    stats = append_index_from_corpus(rd.from_arrow(up), str(tmp_path / "idx"),
+                                     BuildConfig(docs_per_segment=20))
+    assert stats["n_deleted"] == 1
+    assert stats["n_docs"] == 82  # deleted doc keeps its (dense) id slot
+    s = LocalSearcher(str(tmp_path / "idx"))
+    url_of = _url_of(str(tmp_path / "idx"))
+    ids_a, _ = s.search("alpha", k=100)
+    assert urls[50] not in {url_of[int(d)] for d in ids_a}
+    ids_b, _ = s.search("bravo", k=10)
+    assert urls[50] in {url_of[int(d)] for d in ids_b}
+    # conjunctive path drops the tombstoned doc too
+    ids_and, _ = s.search("alpha w50", k=10, mode="and")
+    assert urls[50] not in {url_of[int(d)] for d in ids_and}
+
+
+def test_append_visible_via_refresh(tmp_path):
+    urls = [f"https://r/{i:04d}" for i in range(40)]
+    build_index_from_corpus(
+        rd.from_arrow(_corpus_table(urls, ["base text"] * 40)),
+        str(tmp_path / "idx"), BuildConfig(docs_per_segment=20))
+    s = LocalSearcher(str(tmp_path / "idx"))
+    assert len(s.search("newcomer", k=5)[0]) == 0
+    append_index_from_corpus(
+        rd.from_arrow(_corpus_table(["https://r/z1"], ["newcomer text"])),
+        str(tmp_path / "idx"), BuildConfig(docs_per_segment=20))
+    assert s.refresh() is True
+    assert len(s.search("newcomer", k=5)[0]) == 1
+
+
+def test_append_strict_duplicates_rejects_upsert(tmp_path):
+    urls = [f"https://s/{i:04d}" for i in range(30)]
+    build_index_from_corpus(
+        rd.from_arrow(_corpus_table(urls, ["text one"] * 30)),
+        str(tmp_path / "idx"), BuildConfig(docs_per_segment=10))
+    with pytest.raises(DuplicateUrlError):
+        append_index_from_corpus(
+            rd.from_arrow(_corpus_table([urls[3]], ["conflict"])),
+            str(tmp_path / "idx"),
+            BuildConfig(docs_per_segment=10, strict_duplicates=True))
+
+
+def test_invisible_segment_sweep_and_gating(tmp_path):
+    urls = [f"https://v/{i:04d}" for i in range(30)]
+    idx = str(tmp_path / "idx")
+    build_index_from_corpus(
+        rd.from_arrow(_corpus_table(urls, ["gated text"] * 30)),
+        idx, BuildConfig(docs_per_segment=10))
+    # simulate a crashed append: a committed manifest whose doc range lies
+    # beyond stats.n_docs (files present, never became visible)
+    import os
+
+    fake_id = 2_000_000
+    for sub in ("terms", "docs"):
+        os.makedirs(os.path.join(idx, sub, f"segment={fake_id:06d}"))
+    mf.write_manifest(idx, fake_id, {
+        "doc_id_base": 30, "n_docs": 5, "n_input_rows": 5, "n_duplicates": 0,
+        "n_terms": 1, "n_postings": 1, "url_checksum": "x",
+        "build_secs": 0.0, "docs_per_sec": None})
+    s = LocalSearcher(idx)
+    assert fake_id not in s.seg_ids  # gated out
+    swept = sweep_invisible_segments(idx, 30)
+    assert swept == [fake_id]
+    assert fake_id not in mf.committed_segments(idx)

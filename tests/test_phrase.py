@@ -104,3 +104,56 @@ def test_phrase_survives_merge(pos_index, tmp_path_factory):
     after = PhraseSearcher(LocalSearcher(idx)).search("the data", k=50)
     assert before[0].tolist() == after[0].tolist()
     assert before[1].tolist() == after[1].tolist()
+
+
+def test_phrase_on_multifield(tmp_path_factory):
+    """index_positions covers EVERY text field: phrase search on a
+    non-default field (simple analyzer -> letters-only token stream)
+    matches a brute token-sequence scan over that field's analyzer."""
+    src = tmp_path_factory.mktemp("phmf_src")
+    t = fixtures.generate_webtext(300)
+    pq.write_table(t, str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("phmf_idx"))
+    stats = build_index(str(src), out, BuildConfig(
+        docs_per_segment=80, index_positions=True,
+        fields=(("text_simple", "text", "simple"),),
+    ))
+    # brute: engine dedup rule, then the field's own analyzer stream
+    rows = [(u, ts, x) for u, ts, x in zip(t["url"].to_pylist(),
+                                           t["warc_ts"].to_pylist(),
+                                           t["text"].to_pylist()) if x]
+    rows.sort(key=lambda r: (r[0], r[1]))
+    seen = {}
+    for u, _ts, x in rows:
+        seen.setdefault(u, x)
+    toks = [analyze("simple", seen[u]) for u in sorted(seen)]
+    phrase = "the data"
+    seq = analyze("simple", phrase)
+    dl = np.array([len(x) for x in toks], dtype=np.float64)
+    avgdl = float(stats["per_field"]["text_simple"]["avgdl"])
+    assert avgdl == pytest.approx(dl.mean())
+    uniq = sorted(set(seq))
+    dfs = {u: sum(u in set(tk) for tk in toks) for u in uniq}
+    idf_sum = float(sum(codec.bm25_idf(dfs[u], len(toks)) for u in uniq))
+    want = {}
+    for d, tk in enumerate(toks):
+        c = sum(1 for i in range(len(tk) - len(seq) + 1)
+                if tk[i:i + len(seq)] == seq)
+        if c:
+            want[d] = (c, idf_sum * float(codec.bm25_tf_impact(
+                np.array([c], dtype=np.float64), np.array([dl[d]]), avgdl)[0]))
+    ps = PhraseSearcher(LocalSearcher(out))
+    ids, scores, freqs = ps.search(phrase, k=1000, field="text_simple")
+    got = {int(d): (int(f), float(s)) for d, s, f in zip(ids, scores, freqs)}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12)
+    # distributed path agrees on the multi-field phrase
+    from elasticsearch_data_loader_ray.index.search import search as dsearch
+
+    dist = dsearch(out, [{"query_id": 0, "query": phrase, "k": 20,
+                          "mode": "phrase", "field": "text_simple"}]).to_pandas()
+    loc_ids, loc_sc, _ = ps.search(phrase, k=20, field="text_simple")
+    assert dist["doc_id"].tolist() == loc_ids.tolist()
+    assert dist["score"].tolist() == loc_sc.tolist()
