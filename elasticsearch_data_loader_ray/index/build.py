@@ -49,7 +49,7 @@ from ray.data.aggregate import Sum
 
 from ..functions.analyzers import standard_tokenize_batch
 from ..stages.extract import count_rejects, extract_batch
-from . import codec, manifest as mf
+from . import blobs, codec, manifest as mf
 
 
 def seg_terms_path(index_dir: str, seg_id: int) -> str:
@@ -95,6 +95,14 @@ class BuildConfig:
     # 340ms for 5 terms x 243 segments) at ~+50% term-file bytes.
     # "snappy": smallest files, slower cold reads.
     postings_compression: str = "none"
+    # physical terms layout: True (default) splits the encoded-postings
+    # byte columns into a per-segment sidecar binary with byte-range
+    # columns in the parquet (index/blobs.py — the Lucene terms-dict/.doc
+    # shape; cold queries range-read only the postings they touch). False
+    # keeps them inline in parquet. Forced inline when
+    # postings_compression != "none" (compressed cells can't be
+    # range-read). Readers auto-detect the layout per segment.
+    postings_sidecar: bool = True
     # pack each (block x bucket) cell into one compressed Arrow-IPC payload
     # row before the segment shuffle ('zstd' | 'lz4' | None). Cuts exchange
     # rows ~1000x and bytes 2-3x — worth it when the exchange crosses a
@@ -347,17 +355,30 @@ ENC_COLUMNS = ("doc_ids_enc", "tfs_enc", "positions_enc")
 
 def _write_segment_files(index_dir: str, seg_id: int, terms: pa.Table,
                          docs: pa.Table, row_group_size: int,
-                         postings_compression: str = "none") -> None:
+                         postings_compression: str = "none",
+                         sidecar: bool = True) -> None:
     """Atomic segment publish: write each table into a tmp dir and rename.
 
     Layout is hive-partitioned per table (``terms/segment=K/``,
     ``docs/segment=K/``) so a whole-index read is ONE threaded
     pyarrow/Ray read with partition+predicate pushdown. The manifest written
     after both renames is the commit point (crash between renames leaves an
-    uncommitted dir that the next build overwrites). The encoded-postings
-    byte columns get ``postings_compression`` (see BuildConfig), everything
-    else snappy.
+    uncommitted dir that the next build overwrites).
+
+    Terms layout: with ``postings_compression == "none"`` (default) the
+    encoded-postings byte columns split into a consolidated sidecar binary
+    (``postings-0.bin``) with byte-range columns in the parquet — the
+    Lucene terms-dict/.doc shape; cold queries range-read exactly the
+    postings they touch (see ``blobs.py``). Compressed postings can't be
+    range-read, so a non-"none" codec keeps them inline in parquet.
     """
+    if "segment_id" not in terms.column_names:
+        terms = terms.append_column(
+            "segment_id",
+            pa.array(np.full(terms.num_rows, seg_id, dtype=np.int32)))
+    blob: bytes | None = None
+    if sidecar and postings_compression == "none":
+        terms, blob = blobs.split_for_write(terms)
     for sub, tbl, rgs in (("terms", terms, row_group_size),
                           ("docs", docs, 1 << 20)):
         final_dir = os.path.join(index_dir, sub, f"segment={seg_id:06d}")
@@ -368,9 +389,28 @@ def _write_segment_files(index_dir: str, seg_id: int, terms: pa.Table,
                 for c in tbl.column_names}
         pq.write_table(tbl, os.path.join(tmp_dir, "part-0.parquet"),
                        row_group_size=rgs, compression=comp)
+        if sub == "terms" and blob is not None:
+            with open(os.path.join(tmp_dir, blobs.BLOB_NAME), "wb") as f:
+                f.write(blob)
         if os.path.isdir(final_dir):
             shutil.rmtree(final_dir)  # uncommitted leftover from a crash
         os.replace(tmp_dir, final_dir)
+
+
+def read_segment_terms(index_dir: str, seg_id: int) -> pa.Table:
+    """Full logical terms table for one segment (enc columns materialized
+    from the sidecar when the segment uses the blob layout). Canonical
+    column order, so tables from mixed-layout segments concat cleanly."""
+    path = seg_terms_path(index_dir, seg_id)
+    tbl = pq.read_table(path)
+    if blobs.has_sidecar(tbl.schema):
+        tbl = blobs.materialize_enc(
+            tbl, lambda _s: path,
+            want_positions="pos_nbytes" in tbl.column_names)
+    order = ["field", "term", "df", "doc_ids_enc", "tfs_enc",
+             "block_last_doc", "block_max_impact", "block_doc_byte_off",
+             "block_tf_byte_off", "max_impact", "positions_enc"]
+    return tbl.select([c for c in order if c in tbl.column_names])
 
 
 def _corpus_columns(cfg: BuildConfig) -> list[str]:
@@ -537,7 +577,8 @@ def _build_segment(group: pa.Table, index_dir: str, plan: dict,
     # pruning on (field, term)
     docs_out = pa.table(docs_cols)
     _write_segment_files(index_dir, seg_id, terms_out, docs_out,
-                         cfg.index_block_rows, cfg.postings_compression)
+                         cfg.index_block_rows, cfg.postings_compression,
+                         cfg.postings_sidecar)
 
     secs = time.perf_counter() - t0
     if cfg.enable_metrics:

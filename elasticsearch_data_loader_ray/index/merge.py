@@ -26,7 +26,8 @@ import pyarrow.parquet as pq
 
 from . import codec
 from . import manifest as mf
-from .build import BuildConfig, _write_segment_files, seg_docs_path, seg_terms_path
+from .build import (BuildConfig, _write_segment_files, read_segment_terms,
+                    seg_docs_path, seg_terms_path)
 
 
 def _reencode_first(enc: bytes, prev_last: int) -> tuple[bytes, int]:
@@ -191,7 +192,7 @@ def merge_segments(index_dir: str, group_size: int = 2,
             survivors.append(run[0])
             continue
         t0 = time.perf_counter()
-        term_parts = [pq.read_table(seg_terms_path(index_dir, s)) for s in run]
+        term_parts = [read_segment_terms(index_dir, s) for s in run]
         doc_parts = [pq.read_table(seg_docs_path(index_dir, s)) for s in run]
         merged_terms = _merge_term_tables(term_parts)
         merged_docs = pa.concat_tables(doc_parts).combine_chunks()
@@ -202,7 +203,8 @@ def merge_segments(index_dir: str, group_size: int = 2,
         next_id += 1
         _write_segment_files(index_dir, new_id, merged_terms, merged_docs,
                              cfg.index_block_rows,
-                             getattr(cfg, "postings_compression", "none"))
+                             getattr(cfg, "postings_compression", "none"),
+                             getattr(cfg, "postings_sidecar", True))
         secs = time.perf_counter() - t0
         absorbed_buckets = sorted({
             b for s in run

@@ -38,7 +38,7 @@ import ray
 import ray.data as rd
 
 from ..functions.analyzers import analyze
-from . import codec
+from . import blobs, codec
 from . import manifest as mf
 from .build import seg_docs_path, seg_terms_path
 
@@ -227,15 +227,23 @@ class SegmentSearcher:
         filters = _term_filters(self.by_field)
         if filters is None:
             return None
-        cols = ["field", "term", "df", "doc_ids_enc", "tfs_enc", "max_impact"]
+        path = seg_terms_path(self.index_dir, seg_id)
         need_positions = any(m == "phrase" for *_rest, m in self.queries)
-        if need_positions:
-            cols.append("positions_enc")
-        tt = pq.read_table(
-            seg_terms_path(self.index_dir, seg_id),
-            columns=cols,
-            filters=filters,
-        )
+        schema = pq.read_schema(path)
+        if blobs.has_sidecar(schema):
+            cols = ["field", "term", "df", "max_impact", "segment_id",
+                    *blobs.RANGE_COLUMNS]
+            if "pos_nbytes" not in schema.names:
+                cols.remove("pos_nbytes")
+            tt = pq.read_table(path, columns=cols, filters=filters)
+            tt = blobs.materialize_enc(tt, lambda _s: path,
+                                       want_positions=need_positions)
+        else:
+            cols = ["field", "term", "df", "doc_ids_enc", "tfs_enc",
+                    "max_impact"]
+            if need_positions:
+                cols.append("positions_enc")
+            tt = pq.read_table(path, columns=cols, filters=filters)
         dl_cols = sorted({_dl_column(f) for f in self.by_field})
         docs = pq.read_table(seg_docs_path(self.index_dir, seg_id),
                              columns=["doc_id", *dl_cols])
@@ -466,6 +474,29 @@ class LocalSearcher:
         self._blocked_cache_cap = 8192
         self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
 
+    def _read_terms(self, dict_cols: list[str], terms_by_field: dict,
+                    positions: bool = False) -> pa.Table:
+        """Filtered term-dictionary read WITH encoded postings materialized,
+        for either layout: inline (enc columns live in parquet) or blob
+        sidecar (small byte-range columns in parquet; postings fetched with
+        coalesced ``pread`` s of exactly the needed ranges — the cold-query
+        path stops paying for whole row-group binary column chunks)."""
+        filt = _term_filters(terms_by_field)
+        schema = self.term_ds.schema
+        if not blobs.has_sidecar(schema):
+            cols = [*dict_cols, "doc_ids_enc", "tfs_enc"]
+            if positions:
+                cols.append("positions_enc")
+            return self.term_ds.to_table(columns=cols, filter=filt)
+        cols = [*dict_cols, "segment_id", "blob_off", "doc_nbytes",
+                "tf_nbytes"]
+        if positions and "pos_nbytes" in schema.names:
+            cols.append("pos_nbytes")
+        tt = self.term_ds.to_table(columns=cols, filter=filt)
+        return blobs.materialize_enc(
+            tt, lambda sid: seg_terms_path(self.index_dir, sid),
+            want_positions=positions)
+
     def refresh(self) -> bool:
         """Epoch swap: re-resolve the committed segment set and, if it
         changed (segment merge, incremental build), rebind files and drop
@@ -650,11 +681,11 @@ class LocalSearcher:
             return None
         missing = [t for t in terms if (field, t) not in self._blocked_cache]
         if missing:
-            tt = self.term_ds.to_table(
-                columns=["term", "df", "doc_ids_enc", "tfs_enc", "max_impact",
-                         "block_last_doc", "block_max_impact",
-                         "block_doc_byte_off", "block_tf_byte_off"],
-                filter=_term_filters({field: missing}),
+            tt = self._read_terms(
+                ["term", "df", "max_impact", "block_last_doc",
+                 "block_max_impact", "block_doc_byte_off",
+                 "block_tf_byte_off"],
+                {field: missing},
             )
             fresh: dict[str, list[tuple]] = {t: [] for t in missing}
             for i in range(tt.num_rows):
@@ -883,10 +914,7 @@ class LocalSearcher:
             else:
                 missing.append(t)
         if missing:
-            tt = self.term_ds.to_table(
-                columns=["term", "df", "doc_ids_enc", "tfs_enc"],
-                filter=_term_filters({field: missing}),
-            )
+            tt = self._read_terms(["term", "df"], {field: missing})
             for i in range(tt.num_rows):
                 t = tt["term"][i].as_py()
                 ids, tfs = codec.decode_postings(
@@ -904,10 +932,7 @@ class LocalSearcher:
                                avgdl: float) -> tuple[np.ndarray, np.ndarray]:
         """Conjunctive top-k via full posting decode (pre-block-offset
         index format fallback; results identical to the block-skip path)."""
-        tt = self.term_ds.to_table(
-            columns=["term", "df", "doc_ids_enc", "tfs_enc"],
-            filter=_term_filters({field: terms}),
-        )
+        tt = self._read_terms(["term", "df"], {field: terms})
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for i in range(tt.num_rows):
             t = tt["term"][i].as_py()
@@ -959,11 +984,7 @@ class LocalSearcher:
             cached = self._postings_cache.get((field, t))
             runs = cached
             if runs is None:
-                import pyarrow.dataset as pads
-
-                tbl = self.term_ds.to_table(
-                    columns=["term", "df", "doc_ids_enc", "tfs_enc"],
-                    filter=_term_filters({field: [t]}))
+                tbl = self._read_terms(["term", "df"], {field: [t]})
                 runs = []
                 for i in range(tbl.num_rows):
                     runs.append(codec.decode_postings(
@@ -1088,7 +1109,7 @@ class PhraseSearcher:
                field: str = DEFAULT_FIELD) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         lo = self.local
         if (lo.term_ds is not None
-                and "positions_enc" not in lo.term_ds.schema.names):
+                and not blobs.has_positions(lo.term_ds.schema)):
             raise ValueError(
                 "index was built without positions "
                 "(BuildConfig.index_positions=True required)")
@@ -1101,10 +1122,7 @@ class PhraseSearcher:
         if len(idf) != len(uniq):  # a term absent anywhere -> no phrase
             return (np.empty(0, np.int64), np.empty(0, np.float64),
                     np.empty(0, np.int64))
-        tt = lo.term_ds.to_table(
-            columns=["term", "df", "doc_ids_enc", "tfs_enc", "positions_enc"],
-            filter=_term_filters({field: uniq}),
-        )
+        tt = lo._read_terms(["term", "df"], {field: uniq}, positions=True)
         per_term_docs: dict[str, list[np.ndarray]] = {t: [] for t in uniq}
         per_term_pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq}
         for i in range(tt.num_rows):

@@ -1629,7 +1629,9 @@ def q_multimodal_features(sf_dir: str):
 
     feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
         ImageFeatureStage, batch_format="pyarrow", batch_size=64,
-        concurrency=2)
+        # autoscaling actor pool sized to the host (a pinned pool of 2
+        # starved the stage on 32 CPUs; VERDICT r2)
+        concurrency=(2, max(2, _ncpus())))
 
     def summarize(t: pa.Table) -> pa.Table:
         # scalar summary columns (list columns don't survive generic
@@ -1672,7 +1674,7 @@ def q_audio_features(sf_dir: str):
 
     feats = (ds.map_batches(to_wav, batch_format="pyarrow")
              .map_batches(AudioFeatureStage, batch_format="pyarrow",
-                          batch_size=128, concurrency=2))
+                          batch_size=128, concurrency=(2, max(2, _ncpus()))))
 
     def summarize(t: pa.Table) -> pa.Table:
         lists = t["features"].to_pylist()
@@ -1941,10 +1943,12 @@ def _hll_estimate(regs: np.ndarray) -> float:
 
 def q_distinct_count_hll(sf_dir: str):
     """Cardinality sketch: HyperLogLog (p=14) over lineitem order keys —
-    per-batch register partials in map_batches, ONE elementwise-max merge
-    of 16 KiB registers at the driver (no shuffle, constant driver memory
-    regardless of input size: the 100-TB count-distinct shape). Rows-only
-    gate (estimates aren't SQL-reproducible); the pytest bound asserts
+    per-batch register partials in map_batches, a distributed fan-in level
+    (each task elementwise-maxes up to 1024 partials into one), then one
+    driver max over the few survivors (no shuffle, constant driver memory
+    regardless of input size: the 100-TB count-distinct shape — 1M input
+    batches reach the driver as ~1k 16 KiB rows). Rows-only gate
+    (estimates aren't SQL-reproducible); the pytest bound asserts
     <2% error vs exact."""
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
 
@@ -1953,7 +1957,17 @@ def q_distinct_count_hll(sf_dir: str):
         return pa.table({"regs": pa.array([regs.tolist()],
                                           pa.list_(pa.int64()))})
 
-    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    def merge_regs(t: pa.Table) -> pa.Table:
+        col = t["regs"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.int64).reshape(
+            t.num_rows, 1 << HLL_P)
+        return pa.table({"regs": pa.array([flat.max(axis=0).tolist()],
+                                          pa.list_(pa.int64()))})
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .map_batches(merge_regs, batch_format="pyarrow",
+                          batch_size=1024)
+             .take_all())
     regs = np.zeros(1 << HLL_P, dtype=np.int64)
     for p in parts:
         regs = np.maximum(regs, np.asarray(p["regs"], dtype=np.int64))

@@ -42,15 +42,22 @@ DOC_STATS = pa.schema(
     ]
 )
 
-# Per-segment posting (term) table.
+# Per-segment posting (term) table — the LOGICAL schema. The default
+# physical layout (postings_compression="none") moves the *_enc byte
+# columns into a per-segment sidecar binary and stores
+# (segment_id, blob_off, doc_nbytes, tf_nbytes[, pos_nbytes]) byte ranges
+# instead (index/blobs.py); readers materialize either layout.
 SEGMENT_TERMS = pa.schema(
     [
+        pa.field("field", pa.string()),
         pa.field("term", pa.string()),
         pa.field("df", pa.int64()),
         pa.field("doc_ids_enc", pa.binary()),
         pa.field("tfs_enc", pa.binary()),
         pa.field("block_last_doc", pa.list_(pa.int64())),
         pa.field("block_max_impact", pa.list_(pa.float64())),
+        pa.field("block_doc_byte_off", pa.list_(pa.int64())),
+        pa.field("block_tf_byte_off", pa.list_(pa.int64())),
         pa.field("max_impact", pa.float64()),
     ]
 )

@@ -91,8 +91,10 @@ def test_merged_equals_directly_built(tmp_path_factory):
     build_index(str(src), one, BuildConfig(docs_per_segment=10**6))
 
     def postings_map(idx):
+        from elasticsearch_data_loader_ray.index.build import read_segment_terms
+
         seg = sorted(mf.committed_segments(idx))[0]
-        t = pq.read_table(seg_terms_path(idx, seg))
+        t = read_segment_terms(idx, seg)
         out = {}
         for i in range(t.num_rows):
             key = (t["field"][i].as_py(), t["term"][i].as_py())

@@ -55,8 +55,12 @@ def test_unique_field_tf_is_one(multi_index):
     from elasticsearch_data_loader_ray.index import codec
 
     segs = sorted(mf.committed_segments(idx))
-    tt = pq.read_table(seg_terms_path(idx, segs[0]),
-                       filters=[("field", "==", "text_unique")])
+    import pyarrow.compute as pc
+
+    from elasticsearch_data_loader_ray.index.build import read_segment_terms
+
+    tt = read_segment_terms(idx, segs[0])
+    tt = tt.filter(pc.equal(tt["field"], "text_unique"))
     for i in range(min(20, tt.num_rows)):
         _, tfs = codec.decode_postings(
             tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
