@@ -36,6 +36,15 @@ import pyarrow as pa
 BLOB_NAME = "postings-0.bin"
 ENC_COLUMNS = ("doc_ids_enc", "tfs_enc", "positions_enc")
 RANGE_COLUMNS = ("blob_off", "doc_nbytes", "tf_nbytes", "pos_nbytes")
+# per-term block metadata (block-max skipping): variable-length numeric
+# lists, moved into the blob as raw little-endian arrays so the terms
+# parquet stays pure fixed-width (a filtered dictionary read materializes
+# whole row groups — with these lists inline that measured 3x the scalar
+# read cost at 4M docs). blk_n in the parquet gives each list's length;
+# each array occupies 8*blk_n bytes, in this order after the postings.
+BLOCK_COLUMNS = ("block_last_doc", "block_max_impact",
+                 "block_doc_byte_off", "block_tf_byte_off")
+_BLOCK_DTYPES = (np.int64, np.float64, np.int64, np.int64)
 # coalesce ranged reads whose gap is under this many bytes: one pread of a
 # slightly larger span beats two seeks (and two object-store GETs)
 COALESCE_GAP = 1 << 16
@@ -54,14 +63,29 @@ def has_positions(schema: pa.Schema) -> bool:
     return "positions_enc" in schema.names or "pos_nbytes" in schema.names
 
 
+def _list_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) numpy views of a list column (one combined
+    chunk). values dtype follows the column's element type."""
+    arr = col.combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return offs, vals
+
+
 def split_for_write(terms: pa.Table) -> tuple[pa.Table, bytes]:
-    """Logical terms table (with enc columns) -> (physical dict table with
-    byte-range columns, sidecar blob bytes)."""
+    """Logical terms table (with enc + block-list columns) -> (physical
+    fixed-width dict table with byte-range columns, sidecar blob bytes).
+
+    Per-term row payload, contiguous:
+    ``doc | tf | pos? | block_last(8n) | block_max(8n) | bdoc(8n) | btf(8n)``
+    so one ranged read serves scoring (prefix) and a second tiny read (or
+    the same coalesced one) serves block-max metadata."""
     doc_encs = terms["doc_ids_enc"].combine_chunks().to_pylist()
     tf_encs = terms["tfs_enc"].combine_chunks().to_pylist()
     with_pos = "positions_enc" in terms.column_names
     pos_encs = (terms["positions_enc"].combine_chunks().to_pylist()
                 if with_pos else None)
+    with_blocks = all(c in terms.column_names for c in BLOCK_COLUMNS)
     n = terms.num_rows
     doc_n = np.fromiter((len(b) for b in doc_encs), np.int64, n)
     tf_n = np.fromiter((len(b) for b in tf_encs), np.int64, n)
@@ -71,6 +95,14 @@ def split_for_write(terms: pa.Table) -> tuple[pa.Table, bytes]:
     else:
         pos_n = None
     row_n = doc_n + tf_n + (np.maximum(pos_n, 0) if with_pos else 0)
+    blk_views = []
+    if with_blocks:
+        for c, dt in zip(BLOCK_COLUMNS, _BLOCK_DTYPES):
+            offs_c, vals_c = _list_views(terms[c])
+            blk_views.append((offs_c, np.ascontiguousarray(
+                vals_c.astype(dt, copy=False))))
+        blk_n = np.diff(blk_views[0][0])
+        row_n = row_n + 32 * blk_n
     offs = np.zeros(n, dtype=np.int64)
     if n:
         np.cumsum(row_n[:-1], out=offs[1:])
@@ -80,14 +112,22 @@ def split_for_write(terms: pa.Table) -> tuple[pa.Table, bytes]:
         parts.append(tf_encs[i])
         if with_pos and pos_encs[i] is not None:
             parts.append(pos_encs[i])
+        if with_blocks:
+            for offs_c, vals_c in blk_views:
+                parts.append(vals_c[offs_c[i]:offs_c[i + 1]].tobytes())
     blob = b"".join(parts)
-    phys = terms.drop_columns([c for c in ENC_COLUMNS
-                               if c in terms.column_names])
+    drop = [c for c in ENC_COLUMNS if c in terms.column_names]
+    if with_blocks:
+        drop += list(BLOCK_COLUMNS)
+    phys = terms.drop_columns(drop)
     phys = phys.append_column("blob_off", pa.array(offs, pa.int64()))
     phys = phys.append_column("doc_nbytes", pa.array(doc_n, pa.int64()))
     phys = phys.append_column("tf_nbytes", pa.array(tf_n, pa.int64()))
     if with_pos:
         phys = phys.append_column("pos_nbytes", pa.array(pos_n, pa.int64()))
+    if with_blocks:
+        phys = phys.append_column(
+            "blk_n", pa.array(blk_n.astype(np.int32), pa.int32()))
     return phys, blob
 
 
@@ -151,13 +191,20 @@ def _read_ranges(path: str, starts: np.ndarray,
 
 
 def materialize_enc(tbl: pa.Table, path_of_segment,
-                    want_positions: bool = False) -> pa.Table:
-    """Append ``doc_ids_enc`` / ``tfs_enc`` (and ``positions_enc``) columns
-    to a sidecar-layout dictionary table by ranged reads.
+                    want_positions: bool = False,
+                    want_blocks: bool = False) -> pa.Table:
+    """Append ``doc_ids_enc`` / ``tfs_enc`` (and ``positions_enc``,
+    ``block_*``) columns to a sidecar-layout dictionary table by ranged
+    reads.
 
     ``tbl`` must carry ``segment_id`` plus the RANGE_COLUMNS;
     ``path_of_segment(seg_id) -> terms parquet path`` locates each blob.
-    No-op for inline-layout tables (enc columns already present)."""
+    No-op for inline-layout tables (enc columns already present); block
+    columns already inline in the parquet (pre-v2 layout) are kept as-is.
+    Scoring bytes (doc|tf|pos prefix) and block metadata (fixed 32 bytes x
+    blk_n tail) fetch as separate ranges so an OR query on a positioned
+    index doesn't read the (large) positions stream; the reader coalesces
+    them when the gap is small."""
     if "doc_ids_enc" in tbl.column_names:
         return tbl
     n = tbl.num_rows
@@ -165,29 +212,55 @@ def materialize_enc(tbl: pa.Table, path_of_segment,
     offs = tbl["blob_off"].to_numpy()
     doc_n = tbl["doc_nbytes"].to_numpy()
     tf_n = tbl["tf_nbytes"].to_numpy()
-    want_positions = want_positions and "pos_nbytes" in tbl.column_names
-    pos_n = (tbl["pos_nbytes"].to_numpy() if want_positions
+    has_pos = "pos_nbytes" in tbl.column_names
+    want_positions = want_positions and has_pos
+    pos_n = (tbl["pos_nbytes"].to_numpy() if has_pos
              else np.zeros(n, dtype=np.int64))
-    # one fetch per row spanning doc|tf|pos (row-major layout): a single
-    # coalesced range covers everything the scorer needs for that term
-    ends = offs + doc_n + tf_n + np.maximum(pos_n, 0)
+    want_blocks = (want_blocks and "blk_n" in tbl.column_names
+                   and "block_last_doc" not in tbl.column_names)
+    blk_n = (tbl["blk_n"].to_numpy().astype(np.int64) if want_blocks
+             else np.zeros(n, dtype=np.int64))
+    # main range: the doc|tf(|pos) prefix the scorer needs
+    main_ends = offs + doc_n + tf_n + (np.maximum(pos_n, 0)
+                                       if want_positions else 0)
+    # block range: the fixed-width metadata tail
+    blk_starts = offs + doc_n + tf_n + np.maximum(pos_n, 0)
+    blk_ends = blk_starts + 32 * blk_n
     doc_encs: list[bytes | None] = [None] * n
     tf_encs: list[bytes | None] = [None] * n
     pos_encs: list[bytes | None] = [None] * n
+    blk_bufs: list[bytes] = [b""] * n
     for sid in np.unique(segs):
         rows = np.flatnonzero(segs == sid)
         path = blob_path(path_of_segment(int(sid)))
-        chunks = _read_ranges(path, offs[rows], ends[rows])
-        for r, buf in zip(rows, chunks):
+        starts = offs[rows]
+        ends = main_ends[rows]
+        if want_blocks:
+            starts = np.concatenate([starts, blk_starts[rows]])
+            ends = np.concatenate([ends, blk_ends[rows]])
+        chunks = _read_ranges(path, starts, ends)
+        for j, r in enumerate(rows):
+            buf = chunks[j]
             dn, tn = int(doc_n[r]), int(tf_n[r])
             doc_encs[r] = buf[:dn]
             tf_encs[r] = buf[dn:dn + tn]
             if want_positions:
                 pn = int(pos_n[r])
                 pos_encs[r] = buf[dn + tn:dn + tn + pn] if pn >= 0 else None
+            if want_blocks:
+                blk_bufs[r] = chunks[len(rows) + j]
     out = tbl.append_column("doc_ids_enc", pa.array(doc_encs, pa.binary()))
     out = out.append_column("tfs_enc", pa.array(tf_encs, pa.binary()))
     if want_positions:
         out = out.append_column("positions_enc",
                                 pa.array(pos_encs, pa.binary()))
+    if want_blocks:
+        list_offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(blk_n, out=list_offs[1:])
+        for ci, (cname, dt) in enumerate(zip(BLOCK_COLUMNS, _BLOCK_DTYPES)):
+            vals = np.frombuffer(
+                b"".join(buf[ci * 8 * int(k):(ci + 1) * 8 * int(k)]
+                         for buf, k in zip(blk_bufs, blk_n)), dtype=dt)
+            out = out.append_column(cname, pa.ListArray.from_arrays(
+                pa.array(list_offs, pa.int32()), pa.array(vals)))
     return out

@@ -406,7 +406,8 @@ def read_segment_terms(index_dir: str, seg_id: int) -> pa.Table:
     if blobs.has_sidecar(tbl.schema):
         tbl = blobs.materialize_enc(
             tbl, lambda _s: path,
-            want_positions="pos_nbytes" in tbl.column_names)
+            want_positions="pos_nbytes" in tbl.column_names,
+            want_blocks=True)
     order = ["field", "term", "df", "doc_ids_enc", "tfs_enc",
              "block_last_doc", "block_max_impact", "block_doc_byte_off",
              "block_tf_byte_off", "max_impact", "positions_enc"]

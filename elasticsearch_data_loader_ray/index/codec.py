@@ -88,17 +88,24 @@ def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
         if count is not None:
             assert len(vals) == count, (len(vals), count)
         return vals
-    b64 = b.astype(np.uint64)
-    is_end = cont == 0
-    ends = np.flatnonzero(is_end)
+    # mostly-1-byte path: first bytes give every value's low 7 bits; only
+    # values with continuation bytes (typically a handful per run — e.g.
+    # the absolute first doc id of a gap list) loop, vectorized over the
+    # shrinking multi-byte set. O(n + n_multi * maxlen) with no
+    # searchsorted/reduceat over the whole stream.
+    ends = np.flatnonzero(cont == 0)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    idx = np.arange(len(b64), dtype=np.int64)
-    group = np.searchsorted(ends, idx, side="left")
-    shift = ((idx - starts[group]) * 7).astype(np.uint64)
-    shifted = (b64 & np.uint64(0x7F)) << shift
-    vals = np.add.reduceat(shifted, starts)
+    lens = ends - starts + 1
+    vals = b[starts].astype(np.uint64) & np.uint64(0x7F)
+    rest = np.flatnonzero(lens > 1)
+    j = 1
+    while len(rest):
+        vals[rest] |= ((b[starts[rest] + j].astype(np.uint64)
+                        & np.uint64(0x7F)) << np.uint64(7 * j))
+        j += 1
+        rest = rest[lens[rest] > j]
     if count is not None:
         assert len(vals) == count, (len(vals), count)
     return vals
@@ -284,6 +291,7 @@ class BlockedPostings:
         self.tf_offs = tf_offs
         self.n_blocks = len(block_last)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
         self.blocks_decoded = 0
 
     def block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
@@ -315,34 +323,76 @@ class BlockedPostings:
     def lookup(self, doc_id: int) -> int:
         """tf of ``doc_id`` in this posting list, or 0 — decodes only the
         one block that could contain it."""
-        b = int(np.searchsorted(self.block_last, doc_id))
-        if b >= self.n_blocks:
-            return 0
-        ids, tfs = self.block(b)
+        if self._full is not None:
+            ids, tfs = self._full
+        else:
+            b = int(np.searchsorted(self.block_last, doc_id))
+            if b >= self.n_blocks:
+                return 0
+            ids, tfs = self.block(b)
         j = int(np.searchsorted(ids, doc_id))
         if j < len(ids) and int(ids[j]) == doc_id:
             return int(tfs[j])
         return 0
 
+    def decode_full(self) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-list decode in two vectorized passes (cached): block gap
+        streams chain (block b>0's first gap is relative to block b-1's
+        last id), so ONE global cumsum over the concatenated gaps
+        reconstructs absolute ids across every block."""
+        if self._full is None:
+            gaps = varint_decode(np.frombuffer(self.doc_enc, dtype=np.uint8))
+            tfs = varint_decode(np.frombuffer(self.tf_enc, dtype=np.uint8))
+            ids = np.cumsum(gaps.astype(np.int64))
+            self._full = (ids, tfs.astype(np.int64))
+            self.blocks_decoded = self.n_blocks
+        return self._full
+
     def lookup_many(self, doc_ids: np.ndarray) -> np.ndarray:
-        """Vectorized membership+tf for ascending candidate doc ids; decodes
-        only blocks that contain at least one candidate."""
+        """Vectorized membership+tf for ascending candidate doc ids.
+
+        Decodes only blocks containing at least one candidate — unless the
+        candidates hit more than a third of the blocks, where per-block
+        decode overhead exceeds one whole-list decode (the measured
+        pathology: a rare term's candidates spread uniformly touch every
+        common term's block; 17k per-block decodes vs one two-pass bulk
+        decode). Candidates are ascending, so per-block groups are
+        contiguous slices, not O(n) masks."""
         out = np.zeros(len(doc_ids), dtype=np.int64)
         if len(doc_ids) == 0:
             return out
+
+        def _fill(sel: np.ndarray, ids: np.ndarray, tfs: np.ndarray,
+                  cand: np.ndarray) -> None:
+            pos = np.searchsorted(ids, cand)
+            ok = pos < len(ids)
+            pos_c = np.clip(pos, 0, len(ids) - 1)
+            ok &= ids[pos_c] == cand
+            vals = np.zeros(len(cand), dtype=np.int64)
+            vals[ok] = tfs[pos_c][ok]
+            out[sel] = vals
+
+        if self._full is not None:
+            ids, tfs = self._full
+            _fill(slice(None), ids, tfs, doc_ids)
+            return out
         blocks = np.searchsorted(self.block_last, doc_ids)
-        for b in np.unique(blocks):
+        uniq, first = np.unique(blocks, return_index=True)
+        n_needed = int((uniq < self.n_blocks).sum())
+        # absolute floor keeps genuinely sparse probes lazy — bulk decode
+        # only pays off once per-block Python overhead (~30 us x blocks)
+        # beats the two-pass whole-list decode
+        if n_needed > 32 and 3 * n_needed > self.n_blocks:
+            ids, tfs = self.decode_full()
+            _fill(slice(None), ids, tfs, doc_ids)
+            return out
+        bounds = np.r_[first, len(doc_ids)]
+        for i, b in enumerate(uniq):
             if b >= self.n_blocks:
                 continue
-            mask = blocks == b
+            sel = slice(int(bounds[i]), int(bounds[i + 1]))
             ids, tfs = self.block(int(b))
-            pos = np.searchsorted(ids, doc_ids[mask])
-            ok = (pos < len(ids))
-            pos_c = np.clip(pos, 0, len(ids) - 1)
-            ok &= ids[pos_c] == doc_ids[mask]
-            vals = np.zeros(mask.sum(), dtype=np.int64)
-            vals[ok] = tfs[pos_c][ok]
-            out[mask] = vals
+            _fill(sel, ids, tfs, doc_ids[sel])
         return out
 
 
