@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -473,6 +474,9 @@ class LocalSearcher:
         self._blocked_cache: dict[tuple[str, str], list[tuple]] = {}
         self._blocked_cache_cap = 8192
         self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
+        # per-file row-group (field, term) bounds, parsed lazily from
+        # parquet footers once per epoch (see _read_terms_direct)
+        self._rg_index: list[tuple] | None = None
 
     def _read_terms(self, dict_cols: list[str], terms_by_field: dict,
                     positions: bool = False) -> pa.Table:
@@ -489,6 +493,9 @@ class LocalSearcher:
             cols = [*dict_cols, "doc_ids_enc", "tfs_enc"]
             if positions:
                 cols.append("positions_enc")
+            tt = self._read_terms_direct(cols, terms_by_field)
+            if tt is not None:
+                return tt
             return self.term_ds.to_table(columns=cols, filter=filt)
         blocks_from_blob = ("blk_n" in schema.names
                             and any(c in blobs.BLOCK_COLUMNS
@@ -502,10 +509,95 @@ class LocalSearcher:
             cols.append("pos_nbytes")
         elif blocks_from_blob and "pos_nbytes" in schema.names:
             cols.append("pos_nbytes")  # needed to locate the block tail
-        tt = self.term_ds.to_table(columns=cols, filter=filt)
+        tt = self._read_terms_direct(cols, terms_by_field)
+        if tt is None:  # missing row-group stats: dataset filter fallback
+            tt = self.term_ds.to_table(columns=cols, filter=filt)
         return blobs.materialize_enc(
             tt, lambda sid: seg_terms_path(self.index_dir, sid),
             want_positions=positions, want_blocks=blocks_from_blob)
+
+    def _rg_bounds(self) -> list[tuple]:
+        """Per term-file ``(ParquetFile, [(fmin, tmin, fmax, tmax)]
+        per row group)`` — footers parsed ONCE per epoch. Parquet string
+        min/max may be truncated, but truncation keeps them conservative
+        (min a prefix <= true min, max >= true max), so containment tests
+        stay valid."""
+        if self._rg_index is None:
+            import pyarrow.parquet as pq
+            idx = []
+            for path in self.term_files:
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                rg0 = md.row_group(0)
+                ci_of = {rg0.column(ci).path_in_schema: ci
+                         for ci in range(rg0.num_columns)}
+                bounds: list[tuple] | None = []
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    fs = rg.column(ci_of["field"]).statistics
+                    ts = rg.column(ci_of["term"]).statistics
+                    if (fs is None or ts is None or not fs.has_min_max
+                            or not ts.has_min_max):
+                        bounds = None
+                        break
+                    bounds.append((fs.min, ts.min, fs.max, ts.max))
+                idx.append((pf, bounds))
+            self._rg_index = idx
+        return self._rg_index
+
+    def _read_terms_direct(self, cols: list[str], terms_by_field: dict
+                           ) -> pa.Table | None:
+        """Row-group-pruned term-dictionary read: segment term files are
+        sorted by (field, term), so footer min/max statistics locate each
+        looked-up term in 1–2 row groups; only those decode. Replaces the
+        pyarrow dataset filter scan whose per-file evaluation machinery
+        (~1 ms x files x terms) dominated cold dictionary reads at 4M docs.
+        Returns None when any file lacks usable statistics (caller falls
+        back to the dataset filter)."""
+        pairs = sorted((f, t) for f, ts in terms_by_field.items()
+                       for t in ts)
+        rg_index = self._rg_bounds()
+        if any(bounds is None for _pf, bounds in rg_index):
+            return None
+        # filter keys may not be in the projection: read them, filter,
+        # then drop the extras (matches dataset-filter semantics)
+        extra = [c for c in ("field", "term") if c not in cols]
+        term_sets = {f: pa.array(sorted(ts))
+                     for f, ts in terms_by_field.items()}
+
+        def _one(entry) -> pa.Table | None:
+            pf, bounds = entry
+            need = sorted({
+                g for g, (fmin, tmin, fmax, tmax) in enumerate(bounds)
+                if any((fmin, tmin) <= p <= (fmax, tmax) for p in pairs)})
+            if not need:
+                return None
+            # inner use_threads off: per-call pool spin-up costs more than
+            # it saves on ~1000-row groups; parallelism comes from the
+            # cross-file map below
+            t = pf.read_row_groups(need, columns=cols + extra,
+                                   use_threads=False)
+            mask = None
+            for f, vs in term_sets.items():
+                m = pc.and_(pc.equal(t["field"], f),
+                            pc.is_in(t["term"], value_set=vs))
+                mask = m if mask is None else pc.or_(mask, m)
+            t = t.filter(mask)
+            return t.drop_columns(extra) if extra else t
+
+        if len(rg_index) > 8:  # pyarrow reads release the GIL
+            from concurrent.futures import ThreadPoolExecutor
+            if not hasattr(self, "_rg_pool"):
+                self._rg_pool = ThreadPoolExecutor(4)
+            parts = list(self._rg_pool.map(_one, rg_index))
+        else:
+            parts = [_one(e) for e in rg_index]
+        out = [t for t in parts if t is not None]
+        if not out:
+            schema = self.term_ds.schema
+            return pa.table({c: pa.array([], schema.field(c).type)
+                             for c in cols})
+        return pa.concat_tables(out)
 
     def refresh(self) -> bool:
         """Epoch swap: re-resolve the committed segment set and, if it
@@ -894,9 +986,90 @@ class LocalSearcher:
             return alive[ordr].astype(np.int64), sc[ordr]
         raise AssertionError("unreachable: essential set covers all terms")
 
+    def _search_single_term_blockmax(self, field: str, term: str, k: int,
+                                     idf: dict[str, float], dl: np.ndarray,
+                                     avgdl: float
+                                     ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Single-term top-k by block-max upper bound — the degenerate
+        block-max WAND case where the pivot IS the whole query.
+
+        Blocks are visited in descending ``idf * block_max * bscale``
+        order; only blocks whose bound can still reach the running exact
+        k-th score decode (measured at 4M docs: ~k of ~30k blocks survive
+        for a stopword — the decode volume drops from the whole posting
+        list to a handful of 128-posting blocks). Bitwise-identical to the
+        exhaustive path: each score is the same single product, an
+        undecoded block's docs all score strictly below the final k-th
+        (we stop only when ``kth > ub``, and kth never decreases), and the
+        final cut is the same ``lexsort((ids, -sc))[:k]``.
+
+        Returns None (caller falls back) when the index predates block
+        metadata or the bound is too flat to prune (needed blocks exceed a
+        third of the list — per-block decode overhead would beat one bulk
+        decode)."""
+        runs_all = self._load_blocked_runs(field, [term])
+        if runs_all is None or not runs_all.get(term):
+            return None
+        rl = runs_all[term]
+        readers = [r[0] for r in rl]
+        w = float(idf[term]) * self._bscale
+        ubs = np.concatenate([r[1] for r in rl]) * w
+        n_blocks = len(ubs)
+        run_of = np.repeat(np.arange(len(rl)),
+                           [r.n_blocks for r in readers])
+        blk_of = np.concatenate([np.arange(r.n_blocks) for r in readers])
+        order = np.argsort(-ubs, kind="stable")
+        dec0 = sum(r.blocks_decoded for r in readers)
+        cand_ids: list[np.ndarray] = []
+        cand_sc: list[np.ndarray] = []
+        n_cand = 0
+        kth = -np.inf
+        i = 0
+        chunk = max(16, k // 8)
+        while i < n_blocks:
+            if kth > ubs[order[i]]:
+                break
+            for bi in order[i:i + chunk]:
+                ids, tfs = readers[run_of[bi]].block(int(blk_of[bi]))
+                if len(self._deleted):
+                    keepm = _drop_deleted(self._deleted, ids)
+                    ids, tfs = ids[keepm], tfs[keepm]
+                if not len(ids):
+                    continue
+                cand_ids.append(ids)
+                cand_sc.append(idf[term] * codec.bm25_tf_impact(
+                    tfs.astype(np.float64), dl[ids], avgdl))
+                n_cand += len(ids)
+            i += chunk
+            if n_cand >= k:
+                sc = np.concatenate(cand_sc)
+                kth = float(np.partition(sc, -k)[-k])
+                if i < n_blocks and kth <= ubs[order[i]]:
+                    # flat-bound bail: if the blocks still admissible under
+                    # the current bound exceed a third of the list, chunked
+                    # decode loses to one bulk decode — let the exhaustive
+                    # path take it
+                    if int((ubs >= kth).sum()) > n_blocks // 3:
+                        return None
+        self.last_block_stats = (
+            sum(r.blocks_decoded for r in readers) - dec0, n_blocks)
+        if not cand_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        loc = np.concatenate(cand_ids)
+        sc = np.concatenate(cand_sc)
+        if len(loc) > k:
+            kthf = np.partition(sc, -k)[-k]
+            keep = sc >= kthf
+            loc, sc = loc[keep], sc[keep]
+        ordr = np.lexsort((loc, -sc))[:k]
+        return loc[ordr].astype(np.int64), sc[ordr]
+
     # fulldecode accumulation-layout gate (module-level so tests can force
     # either path; both are bitwise-identical)
     _DENSE_MIN_POSTINGS = 1 << 19
+    # single-term block-max gate: below this df one bulk decode beats
+    # per-block ranked decode (class attr so tests can force the path)
+    _SINGLE_TERM_BLOCKMAX_MIN_DF = 100_000
 
     def _search_or_fulldecode(self, field: str, terms: list[str], k: int,
                               idf: dict[str, float], dl: np.ndarray,
@@ -979,10 +1152,15 @@ class LocalSearcher:
         edges = np.arange(span_lo, span_hi + W, W, dtype=np.int64)
         edges[-1] = span_hi
         n_win = len(edges) - 1
-        flat: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+        # contributions hoisted out of the window loop: ONE vectorized
+        # dl-gather + BM25 kernel per run (vs one per run x window), then
+        # the loop only scatter-adds precomputed slices. Values are
+        # bitwise-unchanged (elementwise kernel, slicing commutes).
+        flat: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for t in terms:
             for ids, tfs in by_term.get(t, []):
-                flat.append((t, ids, tfs, np.searchsorted(ids, edges)))
+                contrib = idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
+                flat.append((ids, contrib, np.searchsorted(ids, edges)))
         buf = np.empty(W, dtype=np.float64)
         out_loc: list[np.ndarray] = []
         out_sc: list[np.ndarray] = []
@@ -990,16 +1168,14 @@ class LocalSearcher:
             w_lo = int(edges[w])
             span = int(edges[w + 1]) - w_lo
             touched = False
-            for t, ids, tfs, splits in flat:
+            for ids, contrib, splits in flat:
                 a, b = int(splits[w]), int(splits[w + 1])
                 if a == b:
                     continue
                 if not touched:
                     buf[:span] = 0.0
                     touched = True
-                sl = ids[a:b]
-                buf[sl - w_lo] += idf[t] * codec.bm25_tf_impact(
-                    tfs[a:b], dl[sl], avgdl)
+                buf[ids[a:b] - w_lo] += contrib[a:b]
             if not touched:
                 continue
             nz = np.flatnonzero(buf[:span] > 0.0)
@@ -1163,6 +1339,13 @@ class LocalSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         dl = self._dl_for(field)
         avgdl = _avgdl(self.stats, field)
+        if (or_strategy in ("auto", "blockmax") and len(terms) == 1
+                and self._df_cache.get((field, terms[0]), 0)
+                > self._SINGLE_TERM_BLOCKMAX_MIN_DF):
+            res = self._search_single_term_blockmax(
+                field, terms[0], k, idf, dl, avgdl)
+            if res is not None:
+                return res
         use_blockmax = or_strategy == "blockmax"
         if or_strategy == "auto" and len(terms) > 1:
             # df is already hot: the _idf call above filled _df_cache

@@ -111,3 +111,33 @@ def test_blocked_runs_cached_across_queries(index_dir):
     ids2, sc2 = lo.search(q, k=10, or_strategy="exact")
     assert ids1.tolist() == ids2.tolist()
     assert sc1.tolist() == sc2.tolist()
+
+
+def test_single_term_blockmax_bitwise_parity(index_dir, monkeypatch):
+    """Single-term top-k via ranked block decode (the degenerate WAND
+    case, normally gated to df > 100k) must be bitwise-identical to the
+    exhaustive single-term scorer and must actually skip blocks for a
+    head term where k << df."""
+    lo = LocalSearcher(index_dir)
+    monkeypatch.setattr(LocalSearcher, "_SINGLE_TERM_BLOCKMAX_MIN_DF", 0)
+    for term, k in [("the", 5), ("the", 50), ("of", 10),
+                    ("w2000", 5), ("w0042", 3)]:
+        ids_e, sc_e = lo.search(term, k=k, or_strategy="exact")
+        ids_b, sc_b = lo.search(term, k=k, or_strategy="auto")
+        assert ids_e.tolist() == ids_b.tolist(), term
+        assert sc_e.tolist() == sc_b.tolist(), term  # bitwise
+    # head term, tiny k: pruning must engage (most blocks undecoded)
+    lo2 = LocalSearcher(index_dir)
+    lo2.search("the", k=5, or_strategy="auto")
+    decoded, total = lo2.last_block_stats
+    assert total > 4
+    assert decoded < total, (decoded, total)
+
+
+def test_single_term_blockmax_k_exceeds_df(index_dir, monkeypatch):
+    monkeypatch.setattr(LocalSearcher, "_SINGLE_TERM_BLOCKMAX_MIN_DF", 0)
+    lo = LocalSearcher(index_dir)
+    ids_e, sc_e = lo.search("w2000", k=10_000, or_strategy="exact")
+    ids_b, sc_b = lo.search("w2000", k=10_000, or_strategy="auto")
+    assert ids_e.tolist() == ids_b.tolist()
+    assert sc_e.tolist() == sc_b.tolist()
