@@ -186,6 +186,17 @@ def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]
     qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
     out = []
     for q in qrows:
+        if q.get("fields"):  # multi_match: per-field analyzed term lists
+            fields = tuple(q["fields"])
+            combine = q.get("multi_type", "most_fields")
+            if combine not in ("most_fields", "best_fields"):
+                raise ValueError(f"unknown multi_type {combine!r}")
+            terms_by_field = {
+                f: query_terms(q["query"], _field_analyzer(stats, f))
+                for f in fields}
+            out.append((int(q["query_id"]), fields, terms_by_field,
+                        int(q.get("k", 10)), f"multi:{combine}"))
+            continue
         field = q.get("field") or DEFAULT_FIELD
         mode = q.get("mode", "or")
         if mode == "phrase":
@@ -217,8 +228,11 @@ class SegmentSearcher:
             _visible_seg_ids(index_dir, stats)[1], stats)
         self.by_field: dict[str, list[str]] = {}
         for _qid, field, terms, _k, _m in self.queries:
-            got = self.by_field.setdefault(field, [])
-            got.extend(t for t in terms if (field, t) in self.idf)
+            items = (terms.items() if isinstance(terms, dict)
+                     else [(field, terms)])
+            for f, ts in items:
+                got = self.by_field.setdefault(f, [])
+                got.extend(t for t in ts if (f, t) in self.idf)
         # drop fields with no surviving terms: their doc_len_<field> column
         # may not exist and they contribute nothing
         self.by_field = {f: sorted(set(ts))
@@ -395,6 +409,54 @@ class SegmentSearcher:
         order = np.lexsort((loc, -sc))[:k]
         return (loc[order] + base).astype(np.int64), sc[order]
 
+    def _score_multi(self, fields: tuple, terms_by_field: dict, k: int,
+                     combine: str, base: int, n: int,
+                     dl_by_field: dict[str, np.ndarray],
+                     postings: dict) -> tuple[np.ndarray, np.ndarray]:
+        """multi_match semantics per segment (ES multi_match analogue).
+
+        ``most_fields``: combined score = SUM over fields of that field's
+        BM25 score (its own analyzer terms, df, dl and avgdl; idf over the
+        global doc count — the engine's single-field convention).
+        ``best_fields``: MAX over fields (ES dis_max with tie_breaker=0).
+        Accumulation is (field, term)-major over ascending doc ids — the
+        same per-doc addition order as LocalSearcher.search_multi, so both
+        paths are bitwise-identical."""
+        scores = np.zeros(n, dtype=np.float64)
+        touched = np.zeros(n, dtype=bool)
+        fsc = scores if combine == "most_fields" else np.zeros(n)
+        for field in fields:
+            if field not in self.by_field or field not in self.avgdl:
+                continue
+            dlf = dl_by_field.get(field)
+            if dlf is None:
+                continue
+            avgdl = self.avgdl[field]
+            if combine == "best_fields":
+                fsc[:] = 0.0
+            for t in terms_by_field.get(field, ()):
+                kk = (field, t)
+                if kk not in postings or kk not in self.idf:
+                    continue
+                ids, tfs, _mi = postings[kk]
+                loc = ids - base
+                fsc[loc] += self.idf[kk] * codec.bm25_tf_impact(
+                    tfs, dlf[loc], avgdl)
+                touched[loc] = True
+            if combine == "best_fields":
+                np.maximum(scores, fsc, out=scores)
+        loc = np.flatnonzero(touched)
+        sc = scores[loc]
+        if len(self._deleted):
+            keepd = _drop_deleted(self._deleted, loc + base)
+            loc, sc = loc[keepd], sc[keepd]
+        if len(loc) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            loc, sc = loc[keep], sc[keep]
+        order = np.lexsort((loc, -sc))[:k]
+        return (loc[order] + base).astype(np.int64), sc[order]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_d, out_s = [], [], []
         for seg_id in batch["segment_id"].to_pylist():
@@ -403,6 +465,16 @@ class SegmentSearcher:
                 continue
             base, n, dl, postings, positions = loaded
             for qid, field, terms, k, mode in self.queries:
+                if mode.startswith("multi:"):
+                    if not any(f in self.by_field for f in field):
+                        continue
+                    ids, sc = self._score_multi(
+                        field, terms, int(k), mode.split(":", 1)[1],
+                        base, n, dl, postings)
+                    out_q.extend([qid] * len(ids))
+                    out_d.extend(ids.tolist())
+                    out_s.extend(sc.tolist())
+                    continue
                 if field not in self.by_field:  # no indexed terms: no hits
                     continue
                 if mode == "and":
@@ -1363,6 +1435,61 @@ class LocalSearcher:
             return self._search_or_blockmax(field, terms, k, idf, dl, avgdl)
         return self._search_or_fulldecode(field, terms, k, idf, dl, avgdl)
 
+    def search_multi(self, query: str, k: int = 10,
+                     fields: tuple = (DEFAULT_FIELD,),
+                     combine: str = "most_fields"
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """ES multi_match analogue across indexed fields.
+
+        ``most_fields``: per-field BM25 scores (each field's own analyzer,
+        df, dl, avgdl; idf over the global doc count) SUMMED; a doc
+        matching in any field is a candidate. ``best_fields``: the MAX
+        per-field score (dis_max, tie_breaker=0). Tie-break (score desc,
+        doc_id asc). Accumulation is (field, term)-major over ascending
+        doc ids — bitwise-identical to the distributed SegmentSearcher
+        multi path (same per-doc addition order)."""
+        if combine not in ("most_fields", "best_fields"):
+            raise ValueError(f"unknown multi_type {combine!r}")
+        self._maybe_auto_refresh()
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if self.term_ds is None:
+            return empty
+        field_runs = []  # (field, terms, by_term, dl, avgdl, idf)
+        for f in fields:
+            all_terms = query_terms(query, _field_analyzer(self.stats, f))
+            idf = self._idf(f, all_terms)
+            terms = [t for t in all_terms if t in idf]
+            if not terms:
+                continue
+            field_runs.append((f, terms, self._postings_for(f, terms),
+                               self._dl_for(f), _avgdl(self.stats, f), idf))
+        runs = [ids for _f, terms, bt, _dl, _ad, _idf in field_runs
+                for t in terms for ids, _tfs in bt.get(t, [])]
+        if not runs:
+            return empty
+        loc = np.unique(np.concatenate(runs))
+        sc = np.zeros(len(loc), dtype=np.float64)
+        fsc = sc if combine == "most_fields" else np.zeros(len(loc))
+        for f, terms, by_term, dl, avgdl, idf in field_runs:
+            if combine == "best_fields":
+                fsc[:] = 0.0
+            for t in terms:  # (field, term)-major accumulation order
+                for ids, tfs in by_term.get(t, []):
+                    pos = np.searchsorted(loc, ids)
+                    fsc[pos] += idf[t] * codec.bm25_tf_impact(
+                        tfs, dl[ids], avgdl)
+            if combine == "best_fields":
+                np.maximum(sc, fsc, out=sc)
+        if len(self._deleted):
+            keep = _drop_deleted(self._deleted, loc)
+            loc, sc = loc[keep], sc[keep]
+        if len(loc) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            loc, sc = loc[keep], sc[keep]
+        order = np.lexsort((loc, -sc))[:k]
+        return loc[order].astype(np.int64), sc[order]
+
 
 def _phrase_freq(seq_positions: list[np.ndarray]) -> int:
     """Number of phrase occurrences given per-sequence-term position arrays
@@ -1474,9 +1601,14 @@ def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
     searcher = searcher or LocalSearcher(index_dir)
     out_q, out_r, out_d, out_s = [], [], [], []
     for q in qrows:
-        ids, sc = searcher.search(q["query"], int(q.get("k", 10)),
-                                  q.get("field") or DEFAULT_FIELD,
-                                  q.get("mode", "or"))
+        if q.get("fields"):
+            ids, sc = searcher.search_multi(
+                q["query"], int(q.get("k", 10)), tuple(q["fields"]),
+                q.get("multi_type", "most_fields"))
+        else:
+            ids, sc = searcher.search(q["query"], int(q.get("k", 10)),
+                                      q.get("field") or DEFAULT_FIELD,
+                                      q.get("mode", "or"))
         for r, (i, s) in enumerate(zip(ids, sc), start=1):
             out_q.append(int(q["query_id"])); out_r.append(r)
             out_d.append(int(i)); out_s.append(float(s))
@@ -1506,7 +1638,11 @@ def search(index_dir: str, queries: pa.Table | list[dict],
                     "BuildConfig(index_positions=True)")
     by_field: dict[str, list[str]] = {}
     for _qid, field, terms, _k, _m in prepared:
-        by_field.setdefault(field, []).extend(terms)
+        if isinstance(terms, dict):  # multi_match: {field: [terms]}
+            for f, ts in terms.items():
+                by_field.setdefault(f, []).extend(ts)
+        else:
+            by_field.setdefault(field, []).extend(terms)
     by_field = {f: sorted(set(ts)) for f, ts in by_field.items()}
     idf, _dfs, _n = load_global_idf(index_dir, by_field)
     avgdl_by_field = {f: _avgdl(stats, f) for f in by_field}

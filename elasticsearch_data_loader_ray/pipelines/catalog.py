@@ -1203,6 +1203,130 @@ def _sql_bm25_and_topk() -> str:
     )
 
 
+DOC_MULTI_QUERIES = ["query scan", "the fast join", "customer order line",
+                     "slow filter the data", "hash part value"]
+
+
+def _docs_to_corpus_mf(t: pa.Table) -> pa.Table:
+    """Corpus schema + a derived ``title`` column: the doc's first 8
+    standard-analyzer tokens joined by spaces (a deterministic stand-in
+    for a real title field; re-analyzing with 'standard' reproduces
+    exactly those tokens). Vectorized: one batch tokenize, ordinal mask,
+    Arrow list binary_join — no per-row Python."""
+    base = _docs_to_corpus(t)
+    doc_idx, tokens, dl = an.standard_tokenize_batch(base["text"])
+    dl64 = dl.astype(np.int64)
+    starts = np.r_[0, np.cumsum(dl64)].astype(np.int64)
+    ordinal = np.arange(len(doc_idx), dtype=np.int64) - starts[doc_idx]
+    keep = ordinal < 8
+    offs = np.r_[0, np.cumsum(np.minimum(dl64, 8))].astype(np.int32)
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    kept = tokens.filter(pa.array(keep)) if len(doc_idx) else tokens
+    lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                   pc.cast(kept, pa.string()))
+    title = pc.binary_join(lst, " ")
+    return base.append_column("title", pc.cast(title, pa.large_string()))
+
+
+def _ensure_mf_doc_index(sf_dir: str) -> str:
+    """Multi-field variant of the cached documents index: main ``text``
+    field plus a ``title`` field (first 8 tokens, standard analyzer) for
+    multi_match queries."""
+    tag = _code_fingerprint()
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/edlr_cache/mf_docs_{key}"
+    marker = os.path.join(idx, "_CATALOG_OK")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == tag:
+                return idx
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    corpus = ds.map_batches(_docs_to_corpus_mf, batch_format="pyarrow")
+    build_index_from_corpus(
+        corpus, idx, BuildConfig(docs_per_segment=2000,
+                                 fields=(("title", "title", "standard"),)))
+    with open(marker, "w") as f:
+        f.write(tag)
+    return idx
+
+
+def q_bm25_multi_topk(sf_dir: str):
+    """multi_match (ES most_fields analogue): BM25 over the main text
+    field AND a derived title field (first 8 tokens), per-field df/avgdl,
+    combined score = sum of per-field scores — title hits effectively
+    double-weight lead tokens. Distributed segment-parallel path."""
+    idx = _ensure_mf_doc_index(sf_dir)
+    qs = [{"query_id": i, "query": q, "k": DOC_K + 20,
+           "fields": ["text", "title"], "multi_type": "most_fields"}
+          for i, q in enumerate(DOC_MULTI_QUERIES)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_bm25_multi_topk() -> str:
+    from ..index.search import query_terms
+
+    values = []
+    for qid, q in enumerate(DOC_MULTI_QUERIES):
+        for t in query_terms(q):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values) if values else "(NULL, NULL)"
+    k1, b = codec.BM25_K1, codec.BM25_B
+
+    def scored(tf: str, df: str, dl: str, avgdl_expr: str) -> str:
+        return (
+            f"SELECT q.query_id, {tf}.doc_id, "
+            "sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * "
+            f"{tf}.tf * {k1 + 1.0} / ({tf}.tf + {k1} * "
+            f"(1 - {b} + {b} * {dl}.dl / {avgdl_expr})))"
+            " AS score "
+            f"FROM q JOIN {tf} ON {tf}.term = q.term "
+            f"JOIN {df} d ON d.term = q.term "
+            f"JOIN {dl} ON {dl}.doc_id = {tf}.doc_id "
+            "CROSS JOIN stats s GROUP BY 1, 2")
+
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, '{TOKEN_RE_SQL}')) "
+        "AS term FROM docs), "
+        "ttoks AS (SELECT doc_id, unnest(list_slice("
+        f"regexp_extract_all(t, '{TOKEN_RE_SQL}'), 1, 8)) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d LEFT JOIN "
+        "(SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c USING (doc_id)), "
+        "tdl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d LEFT JOIN "
+        "(SELECT doc_id, count(*) AS cnt FROM ttoks GROUP BY 1) c USING (doc_id)), "
+        # idf n is the GLOBAL doc count for every field (engine convention);
+        # avgdl is per-field over all docs
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl, "
+        "(SELECT avg(dl)::DOUBLE FROM tdl) AS tavgdl FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        "tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        f"sc_text AS ({scored('tf', 'df', 'dl', 's.avgdl')}), "
+        f"sc_title AS ({scored('ttf', 'tdf', 'tdl', 's.tavgdl')}), "
+        "combined AS (SELECT query_id, doc_id, sum(score) AS score FROM "
+        "(SELECT * FROM sc_text UNION ALL SELECT * FROM sc_title) "
+        "GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM combined) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 DOC_PHRASES = ["the data", "data search", "query scan", "the the",
                "zzq missing"]
 
@@ -2117,6 +2241,7 @@ def queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
+        "bm25_multi_topk": q_bm25_multi_topk,
         "phrase_match": q_phrase_match,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -2168,6 +2293,7 @@ def oracle_sql() -> dict:
         # the FULL-corpus BM25 — the same SQL is the oracle by construction
         "incremental_append": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
+        "bm25_multi_topk": _sql_bm25_multi_topk(),
         "phrase_match": _sql_phrase_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,

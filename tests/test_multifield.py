@@ -98,3 +98,60 @@ def test_default_field_unaffected(multi_index):
     queries = fixtures.generate_queries()
     res = search(idx, queries).to_pandas()
     assert len(res) > 0  # plain text-field search still works
+
+
+def test_multi_match_most_fields_parity_and_semantics(multi_index):
+    """multi_match most_fields: distributed vs local bitwise parity, and
+    combined score == sum of the per-field single-field scores for docs
+    present in both fields' result sets."""
+    idx, _ = multi_index
+    q = [{"query_id": 0, "query": "the fast data", "k": 400,
+          "fields": ["text", "text_unique"]}]
+    dist = search(idx, q).to_pandas()
+    local = search_inprocess(idx, q).to_pandas()
+    assert len(dist) > 0
+    assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+    assert dist["score"].tolist() == local["score"].tolist()  # bitwise
+    # semantics: sum of the two per-field searches (k large enough to
+    # cover every matching doc)
+    per = {}
+    for f in ["text", "text_unique"]:
+        r = search_inprocess(
+            idx, [{"query_id": 0, "query": "the fast data", "k": 10**6,
+                   "field": f}]).to_pandas()
+        per[f] = dict(zip(r["doc_id"], r["score"]))
+    for d, s in zip(dist["doc_id"], dist["score"]):
+        want = per["text"].get(d, 0.0) + per["text_unique"].get(d, 0.0)
+        assert abs(s - want) < 1e-9, (d, s, want)
+
+
+def test_multi_match_best_fields_parity_and_semantics(multi_index):
+    idx, _ = multi_index
+    q = [{"query_id": 0, "query": "the fast data", "k": 400,
+          "fields": ["text", "text_unique"], "multi_type": "best_fields"}]
+    dist = search(idx, q).to_pandas()
+    local = search_inprocess(idx, q).to_pandas()
+    assert len(dist) > 0
+    assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+    assert dist["score"].tolist() == local["score"].tolist()
+    per = {}
+    for f in ["text", "text_unique"]:
+        r = search_inprocess(
+            idx, [{"query_id": 0, "query": "the fast data", "k": 10**6,
+                   "field": f}]).to_pandas()
+        per[f] = dict(zip(r["doc_id"], r["score"]))
+    for d, s in zip(dist["doc_id"], dist["score"]):
+        want = max(per["text"].get(d, 0.0), per["text_unique"].get(d, 0.0))
+        assert abs(s - want) < 1e-12, (d, s, want)
+
+
+def test_multi_match_missing_field_and_bad_type(multi_index):
+    idx, _ = multi_index
+    # a field with no indexed terms for the query contributes nothing
+    r = search_inprocess(idx, [{"query_id": 0, "query": "zzqnowhere",
+                                "k": 5, "fields": ["text", "text_unique"]}])
+    assert r.num_rows == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search(idx, [{"query_id": 0, "query": "the", "k": 5,
+                      "fields": ["text"], "multi_type": "bogus"}])
