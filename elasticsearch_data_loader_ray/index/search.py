@@ -545,6 +545,16 @@ class LocalSearcher:
         # parquet read AND re-decoding hot blocks
         self._blocked_cache: dict[tuple[str, str], list[tuple]] = {}
         self._blocked_cache_cap = 8192
+        # impact cache: per-(field, term) BM25 contribution arrays
+        # (idf * tf-impact per posting) — query-INDEPENDENT, so warm
+        # hot-term OR queries reduce to scatter-add + top-k (the dl
+        # gather + kernel were ~half the warm cost for stopword queries).
+        # Byte-budgeted LRU; idf/dl/avgdl are fixed per epoch, so entries
+        # never go stale within a bind.
+        from collections import OrderedDict
+        self._contrib_cache: "OrderedDict[tuple, list[np.ndarray]]" = \
+            OrderedDict()
+        self._contrib_cache_bytes = 0
         self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
         # per-file row-group (field, term) bounds, parsed lazily from
         # parquet footers once per epoch (see _read_terms_direct)
@@ -1172,19 +1182,20 @@ class LocalSearcher:
         total = sum(len(r) for r in runs)
         span_lo = min(int(r[0]) for r in runs)
         span_hi = max(int(r[-1]) for r in runs) + 1
+        contribs = self._contribs_for(field, terms, by_term, idf, dl, avgdl)
         if (total >= self._DENSE_MIN_POSTINGS
                 and total * 16 >= span_hi - span_lo):
             loc, sc = self._accumulate_windowed(
-                terms, by_term, idf, dl, avgdl, span_lo, span_hi,
+                terms, by_term, contribs, span_lo, span_hi,
                 k, self._deleted)
         else:
             loc = np.unique(np.concatenate(runs))
             sc = np.zeros(len(loc), dtype=np.float64)
             for t in terms:  # lexicographic accumulation order
-                for ids, tfs in by_term.get(t, []):
+                for (ids, _tfs), contrib in zip(by_term.get(t, []),
+                                                contribs.get(t, [])):
                     pos = np.searchsorted(loc, ids)
-                    sc[pos] += idf[t] * codec.bm25_tf_impact(
-                        tfs, dl[ids], avgdl)
+                    sc[pos] += contrib
         if len(self._deleted):  # upsert tombstones: drop before top-k
             keep = _drop_deleted(self._deleted, loc)
             loc, sc = loc[keep], sc[keep]
@@ -1197,8 +1208,7 @@ class LocalSearcher:
 
     @staticmethod
     def _accumulate_windowed(terms: list[str], by_term: dict,
-                             idf: dict[str, float], dl: np.ndarray,
-                             avgdl: float, span_lo: int, span_hi: int,
+                             contribs: dict, span_lo: int, span_hi: int,
                              k: int, deleted: np.ndarray
                              ) -> tuple[np.ndarray, np.ndarray]:
         """Dense scatter-add accumulation over fixed doc-id windows.
@@ -1224,14 +1234,13 @@ class LocalSearcher:
         edges = np.arange(span_lo, span_hi + W, W, dtype=np.int64)
         edges[-1] = span_hi
         n_win = len(edges) - 1
-        # contributions hoisted out of the window loop: ONE vectorized
-        # dl-gather + BM25 kernel per run (vs one per run x window), then
-        # the loop only scatter-adds precomputed slices. Values are
+        # contributions precomputed (and impact-cached) by the caller:
+        # the window loop only scatter-adds precomputed slices. Values are
         # bitwise-unchanged (elementwise kernel, slicing commutes).
         flat: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for t in terms:
-            for ids, tfs in by_term.get(t, []):
-                contrib = idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
+            for (ids, _tfs), contrib in zip(by_term.get(t, []),
+                                            contribs.get(t, [])):
                 flat.append((ids, contrib, np.searchsorted(ids, edges)))
         buf = np.empty(W, dtype=np.float64)
         out_loc: list[np.ndarray] = []
@@ -1290,6 +1299,38 @@ class LocalSearcher:
                     self._postings_cache.pop(next(iter(self._postings_cache)))
                 self._postings_cache[(field, t)] = by_term.get(t, [])
         return by_term
+
+    # impact-cache byte budget (class attr so tests can shrink it)
+    _CONTRIB_CACHE_CAP = int(os.environ.get("EDLR_IMPACT_CACHE_MB",
+                                            "256")) << 20
+
+    def _contribs_for(self, field: str, terms: list[str], by_term: dict,
+                      idf: dict[str, float], dl: np.ndarray, avgdl: float
+                      ) -> dict[str, list[np.ndarray]]:
+        """Per-run BM25 contribution arrays (``idf[t] * tf_impact``),
+        parallel to ``by_term``'s runs, through the byte-budgeted LRU.
+        Values are exactly what the inline computation produced — caching
+        changes nothing bitwise."""
+        out: dict[str, list[np.ndarray]] = {}
+        for t in terms:
+            key = (field, t)
+            got = self._contrib_cache.get(key)
+            if got is None:
+                got = [idf[t] * codec.bm25_tf_impact(tfs, dl[ids], avgdl)
+                       for ids, tfs in by_term.get(t, [])]
+                nb = sum(c.nbytes for c in got)
+                if nb <= self._CONTRIB_CACHE_CAP:
+                    self._contrib_cache[key] = got
+                    self._contrib_cache_bytes += nb
+                    while (self._contrib_cache_bytes
+                           > self._CONTRIB_CACHE_CAP):
+                        _k, v = self._contrib_cache.popitem(last=False)
+                        self._contrib_cache_bytes -= sum(c.nbytes
+                                                         for c in v)
+            else:
+                self._contrib_cache.move_to_end(key)
+            out[t] = got
+        return out
 
     def _search_and_fulldecode(self, field: str, terms: list[str], k: int,
                                idf: dict[str, float], dl: np.ndarray,
@@ -1473,11 +1514,12 @@ class LocalSearcher:
         for f, terms, by_term, dl, avgdl, idf in field_runs:
             if combine == "best_fields":
                 fsc[:] = 0.0
+            contribs = self._contribs_for(f, terms, by_term, idf, dl, avgdl)
             for t in terms:  # (field, term)-major accumulation order
-                for ids, tfs in by_term.get(t, []):
+                for (ids, _tfs), contrib in zip(by_term.get(t, []),
+                                                contribs.get(t, [])):
                     pos = np.searchsorted(loc, ids)
-                    fsc[pos] += idf[t] * codec.bm25_tf_impact(
-                        tfs, dl[ids], avgdl)
+                    fsc[pos] += contrib
             if combine == "best_fields":
                 np.maximum(sc, fsc, out=sc)
         if len(self._deleted):

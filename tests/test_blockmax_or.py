@@ -141,3 +141,30 @@ def test_single_term_blockmax_k_exceeds_df(index_dir, monkeypatch):
     ids_b, sc_b = lo.search("w2000", k=10_000, or_strategy="auto")
     assert ids_e.tolist() == ids_b.tolist()
     assert sc_e.tolist() == sc_b.tolist()
+
+
+def test_impact_cache_bounded_and_bitwise(index_dir, monkeypatch):
+    """The per-(field, term) impact cache must not change scores, and its
+    byte budget must hold under eviction pressure."""
+    lo = LocalSearcher(index_dir)
+    baseline = {}
+    for q in ["the data", "the and of to a in", "w2000"]:
+        ids, sc = lo.search(q, k=10, or_strategy="exact")
+        baseline[q] = (ids.tolist(), sc.tolist())
+    # tiny budget: every lookup evicts; results must stay bitwise-equal
+    monkeypatch.setattr(LocalSearcher, "_CONTRIB_CACHE_CAP", 4096)
+    lo2 = LocalSearcher(index_dir)
+    for _ in range(2):
+        for q, (ids_w, sc_w) in baseline.items():
+            ids, sc = lo2.search(q, k=10, or_strategy="exact")
+            assert ids.tolist() == ids_w
+            assert sc.tolist() == sc_w
+    assert lo2._contrib_cache_bytes <= 4096
+    # warm cached path (default budget) also bitwise
+    lo3 = LocalSearcher(index_dir)
+    for q, (ids_w, sc_w) in baseline.items():
+        lo3.search(q, k=10, or_strategy="exact")
+        ids, sc = lo3.search(q, k=10, or_strategy="exact")
+        assert ids.tolist() == ids_w
+        assert sc.tolist() == sc_w
+    assert lo3._contrib_cache_bytes > 0
