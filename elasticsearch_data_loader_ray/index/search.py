@@ -182,18 +182,27 @@ def load_global_idf(index_dir: str,
     return idf, dfs, n_docs
 
 
+def _parse_boosted_fields(fields) -> tuple:
+    """ES ``"name^boost"`` field syntax -> ((name, boost), ...)."""
+    out = []
+    for f in fields:
+        name, _, bs = str(f).partition("^")
+        out.append((name, float(bs) if bs else 1.0))
+    return tuple(out)
+
+
 def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]:
     qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
     out = []
     for q in qrows:
         if q.get("fields"):  # multi_match: per-field analyzed term lists
-            fields = tuple(q["fields"])
+            fields = _parse_boosted_fields(q["fields"])
             combine = q.get("multi_type", "most_fields")
             if combine not in ("most_fields", "best_fields"):
                 raise ValueError(f"unknown multi_type {combine!r}")
             terms_by_field = {
                 f: query_terms(q["query"], _field_analyzer(stats, f))
-                for f in fields}
+                for f, _b in fields}
             out.append((int(q["query_id"]), fields, terms_by_field,
                         int(q.get("k", 10)), f"multi:{combine}"))
             continue
@@ -416,23 +425,27 @@ class SegmentSearcher:
         """multi_match semantics per segment (ES multi_match analogue).
 
         ``most_fields``: combined score = SUM over fields of that field's
-        BM25 score (its own analyzer terms, df, dl and avgdl; idf over the
-        global doc count — the engine's single-field convention).
-        ``best_fields``: MAX over fields (ES dis_max with tie_breaker=0).
-        Accumulation is (field, term)-major over ascending doc ids — the
-        same per-doc addition order as LocalSearcher.search_multi, so both
-        paths are bitwise-identical."""
+        (boost x) BM25 score (its own analyzer terms, df, dl and avgdl;
+        idf over the global doc count — the engine's single-field
+        convention). ``best_fields``: MAX over boosted field scores (ES
+        dis_max with tie_breaker=0). ``fields`` is ((name, boost), ...)
+        from the ES ``"name^boost"`` syntax. Accumulation is (field,
+        term)-major over ascending doc ids — the same per-doc addition
+        order as LocalSearcher.search_multi, so both paths are
+        bitwise-identical."""
         scores = np.zeros(n, dtype=np.float64)
         touched = np.zeros(n, dtype=bool)
-        fsc = scores if combine == "most_fields" else np.zeros(n)
-        for field in fields:
+        plain_sum = (combine == "most_fields"
+                     and all(b == 1.0 for _f, b in fields))
+        fsc = scores if plain_sum else np.zeros(n)
+        for field, boost in fields:
             if field not in self.by_field or field not in self.avgdl:
                 continue
             dlf = dl_by_field.get(field)
             if dlf is None:
                 continue
             avgdl = self.avgdl[field]
-            if combine == "best_fields":
+            if not plain_sum:
                 fsc[:] = 0.0
             for t in terms_by_field.get(field, ()):
                 kk = (field, t)
@@ -443,8 +456,11 @@ class SegmentSearcher:
                 fsc[loc] += self.idf[kk] * codec.bm25_tf_impact(
                     tfs, dlf[loc], avgdl)
                 touched[loc] = True
-            if combine == "best_fields":
-                np.maximum(scores, fsc, out=scores)
+            if not plain_sum:
+                if combine == "best_fields":
+                    np.maximum(scores, boost * fsc, out=scores)
+                else:
+                    scores += boost * fsc
         loc = np.flatnonzero(touched)
         sc = scores[loc]
         if len(self._deleted):
@@ -466,7 +482,7 @@ class SegmentSearcher:
             base, n, dl, postings, positions = loaded
             for qid, field, terms, k, mode in self.queries:
                 if mode.startswith("multi:"):
-                    if not any(f in self.by_field for f in field):
+                    if not any(f in self.by_field for f, _b in field):
                         continue
                     ids, sc = self._score_multi(
                         field, terms, int(k), mode.split(":", 1)[1],
@@ -1482,37 +1498,41 @@ class LocalSearcher:
                      ) -> tuple[np.ndarray, np.ndarray]:
         """ES multi_match analogue across indexed fields.
 
-        ``most_fields``: per-field BM25 scores (each field's own analyzer,
-        df, dl, avgdl; idf over the global doc count) SUMMED; a doc
-        matching in any field is a candidate. ``best_fields``: the MAX
-        per-field score (dis_max, tie_breaker=0). Tie-break (score desc,
-        doc_id asc). Accumulation is (field, term)-major over ascending
-        doc ids — bitwise-identical to the distributed SegmentSearcher
-        multi path (same per-doc addition order)."""
+        ``most_fields``: per-field (boost x) BM25 scores (each field's own
+        analyzer, df, dl, avgdl; idf over the global doc count) SUMMED; a
+        doc matching in any field is a candidate. ``best_fields``: the MAX
+        boosted per-field score (dis_max, tie_breaker=0). ``fields``
+        entries accept the ES ``"name^boost"`` syntax. Tie-break (score
+        desc, doc_id asc). Accumulation is (field, term)-major over
+        ascending doc ids — bitwise-identical to the distributed
+        SegmentSearcher multi path (same per-doc addition order)."""
         if combine not in ("most_fields", "best_fields"):
             raise ValueError(f"unknown multi_type {combine!r}")
         self._maybe_auto_refresh()
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if self.term_ds is None:
             return empty
-        field_runs = []  # (field, terms, by_term, dl, avgdl, idf)
-        for f in fields:
+        parsed = _parse_boosted_fields(fields)
+        field_runs = []  # (field, boost, terms, by_term, dl, avgdl, idf)
+        for f, boost in parsed:
             all_terms = query_terms(query, _field_analyzer(self.stats, f))
             idf = self._idf(f, all_terms)
             terms = [t for t in all_terms if t in idf]
             if not terms:
                 continue
-            field_runs.append((f, terms, self._postings_for(f, terms),
+            field_runs.append((f, boost, terms, self._postings_for(f, terms),
                                self._dl_for(f), _avgdl(self.stats, f), idf))
-        runs = [ids for _f, terms, bt, _dl, _ad, _idf in field_runs
+        runs = [ids for _f, _b, terms, bt, _dl, _ad, _idf in field_runs
                 for t in terms for ids, _tfs in bt.get(t, [])]
         if not runs:
             return empty
+        plain_sum = (combine == "most_fields"
+                     and all(b == 1.0 for _f, b in parsed))
         loc = np.unique(np.concatenate(runs))
         sc = np.zeros(len(loc), dtype=np.float64)
-        fsc = sc if combine == "most_fields" else np.zeros(len(loc))
-        for f, terms, by_term, dl, avgdl, idf in field_runs:
-            if combine == "best_fields":
+        fsc = sc if plain_sum else np.zeros(len(loc))
+        for f, boost, terms, by_term, dl, avgdl, idf in field_runs:
+            if not plain_sum:
                 fsc[:] = 0.0
             contribs = self._contribs_for(f, terms, by_term, idf, dl, avgdl)
             for t in terms:  # (field, term)-major accumulation order
@@ -1520,8 +1540,11 @@ class LocalSearcher:
                                                 contribs.get(t, [])):
                     pos = np.searchsorted(loc, ids)
                     fsc[pos] += contrib
-            if combine == "best_fields":
-                np.maximum(sc, fsc, out=sc)
+            if not plain_sum:
+                if combine == "best_fields":
+                    np.maximum(sc, boost * fsc, out=sc)
+                else:
+                    sc += boost * fsc
         if len(self._deleted):
             keep = _drop_deleted(self._deleted, loc)
             loc, sc = loc[keep], sc[keep]

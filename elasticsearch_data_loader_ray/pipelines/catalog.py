@@ -1272,20 +1272,27 @@ def q_bm25_multi_topk(sf_dir: str):
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
-def _sql_bm25_multi_topk() -> str:
+def _sql_multi_field(queries: list[str], agg: str,
+                     boost_text: float = 1.0,
+                     boost_title: float = 1.0) -> str:
+    """Shared multi_match oracle: per-field BM25 (text + first-8-token
+    title), per-field boost applied to the FIELD SUM (engine order:
+    ``boost * fsc``), combined by ``agg`` ('sum' = most_fields, 'max' =
+    best_fields / dis_max)."""
     from ..index.search import query_terms
 
     values = []
-    for qid, q in enumerate(DOC_MULTI_QUERIES):
+    for qid, q in enumerate(queries):
         for t in query_terms(q):
             values.append(f"({qid}, '{t}')")
     vals = ", ".join(values) if values else "(NULL, NULL)"
     k1, b = codec.BM25_K1, codec.BM25_B
 
-    def scored(tf: str, df: str, dl: str, avgdl_expr: str) -> str:
+    def scored(tf: str, df: str, dl: str, avgdl_expr: str,
+               boost: float) -> str:
         return (
             f"SELECT q.query_id, {tf}.doc_id, "
-            "sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * "
+            f"{boost!r} * sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * "
             f"{tf}.tf * {k1 + 1.0} / ({tf}.tf + {k1} * "
             f"(1 - {b} + {b} * {dl}.dl / {avgdl_expr})))"
             " AS score "
@@ -1314,9 +1321,9 @@ def _sql_bm25_multi_topk() -> str:
         "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
         "tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1), "
         f"q(query_id, term) AS (VALUES {vals}), "
-        f"sc_text AS ({scored('tf', 'df', 'dl', 's.avgdl')}), "
-        f"sc_title AS ({scored('ttf', 'tdf', 'tdl', 's.tavgdl')}), "
-        "combined AS (SELECT query_id, doc_id, sum(score) AS score FROM "
+        f"sc_text AS ({scored('tf', 'df', 'dl', 's.avgdl', boost_text)}), "
+        f"sc_title AS ({scored('ttf', 'tdf', 'tdl', 's.tavgdl', boost_title)}), "
+        f"combined AS (SELECT query_id, doc_id, {agg}(score) AS score FROM "
         "(SELECT * FROM sc_text UNION ALL SELECT * FROM sc_title) "
         "GROUP BY 1, 2) "
         "SELECT query_id, rank, doc_id, score FROM ("
@@ -1325,6 +1332,38 @@ def _sql_bm25_multi_topk() -> str:
         "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM combined) "
         f"WHERE rank <= {DOC_K}"
     )
+
+
+def _sql_bm25_multi_topk() -> str:
+    return _sql_multi_field(DOC_MULTI_QUERIES, "sum")
+
+
+DOC_DISMAX_QUERIES = ["query scan", "the fast join", "slow filter the data",
+                      "hash part value", "data page"]
+
+
+def q_bm25_dismax_topk(sf_dir: str):
+    """multi_match best_fields with a field boost (ES dis_max analogue,
+    ``fields=["text", "title^2"]``): combined score = max(text score,
+    2 x title score) — boosted-title docs win when their lead tokens
+    match. Distributed segment-parallel path."""
+    idx = _ensure_mf_doc_index(sf_dir)
+    qs = [{"query_id": i, "query": q, "k": DOC_K + 20,
+           "fields": ["text", "title^2"], "multi_type": "best_fields"}
+          for i, q in enumerate(DOC_DISMAX_QUERIES)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_bm25_dismax_topk() -> str:
+    return _sql_multi_field(DOC_DISMAX_QUERIES, "max",
+                            boost_text=1.0, boost_title=2.0)
 
 
 DOC_PHRASES = ["the data", "data search", "query scan", "the the",
@@ -2242,6 +2281,7 @@ def queries() -> dict:
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
+        "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -2294,6 +2334,7 @@ def oracle_sql() -> dict:
         "incremental_append": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),
+        "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,

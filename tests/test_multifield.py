@@ -155,3 +155,29 @@ def test_multi_match_missing_field_and_bad_type(multi_index):
     with _pt.raises(ValueError):
         search(idx, [{"query_id": 0, "query": "the", "k": 5,
                       "fields": ["text"], "multi_type": "bogus"}])
+
+
+def test_multi_match_field_boost(multi_index):
+    """ES 'name^boost' syntax: boosted most_fields = sum(boost_f *
+    field_score_f); boosted best_fields = max(boost_f * field_score_f);
+    local and distributed paths bitwise-identical."""
+    idx, _ = multi_index
+    per = {}
+    for f in ["text", "text_unique"]:
+        r = search_inprocess(
+            idx, [{"query_id": 0, "query": "the fast data", "k": 10**6,
+                   "field": f}]).to_pandas()
+        per[f] = dict(zip(r["doc_id"], r["score"]))
+    for mtype, comb in [("most_fields", lambda a, b: a + 3.0 * b),
+                        ("best_fields", lambda a, b: max(a, 3.0 * b))]:
+        q = [{"query_id": 0, "query": "the fast data", "k": 400,
+              "fields": ["text", "text_unique^3"], "multi_type": mtype}]
+        dist = search(idx, q).to_pandas()
+        local = search_inprocess(idx, q).to_pandas()
+        assert len(dist) > 0
+        assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+        assert dist["score"].tolist() == local["score"].tolist()
+        for d, s in zip(dist["doc_id"], dist["score"]):
+            want = comb(per["text"].get(d, 0.0),
+                        per["text_unique"].get(d, 0.0))
+            assert abs(s - want) < 1e-9, (mtype, d, s, want)
