@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("input")
     ap.add_argument("index_dir")
     ap.add_argument("--docs-per-segment", type=int, default=None)
+    ap.add_argument("--compact-to", type=int, default=None,
+                    help="after the append commits, merge down to at most "
+                         "N segments (auto merge policy)")
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
@@ -101,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
 
             stats = append_index(args.input, args.index_dir,
                                  BuildConfig(
-                                     docs_per_segment=args.docs_per_segment))
+                                     docs_per_segment=args.docs_per_segment,
+                                     auto_compact_segments=args.compact_to))
             print(json.dumps({k: stats.get(k) for k in
                               ("n_docs", "n_segments", "n_postings",
                                "n_deleted", "generations", "phase_secs")}))

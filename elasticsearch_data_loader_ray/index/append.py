@@ -298,4 +298,13 @@ def _run_append(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
         }],
     })
     timings["finalize"] = round(time.perf_counter() - t0, 3)
+    if cfg.auto_compact_segments is not None:
+        committed_now = mf.committed_segments(index_dir)
+        if len(committed_now) > cfg.auto_compact_segments:
+            from .merge import compact_to
+
+            t0 = time.perf_counter()
+            survivors = compact_to(index_dir, cfg.auto_compact_segments, cfg)
+            timings["compact"] = round(time.perf_counter() - t0, 3)
+            out["n_segments"] = len(survivors)
     return out

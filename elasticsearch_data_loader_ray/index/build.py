@@ -117,6 +117,11 @@ class BuildConfig:
     # strictly more useful for web crawls; True fails the build with
     # example urls before any segment is committed.
     strict_duplicates: bool = False
+    # serving-side merge policy (simplified Lucene tiered merge): when set,
+    # append runs compact_to(index_dir, N) after committing its generation
+    # so repeated incremental batches can't grow segment fan-out unbounded
+    # (~1 ms cold-query cost per segment file). None = manual `compact`.
+    auto_compact_segments: int | None = None
 
 
 class DuplicateUrlError(ValueError):

@@ -954,7 +954,7 @@ def _docs_to_corpus(t: pa.Table) -> pa.Table:
     of the fixture tables)."""
     keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
     t = t.filter(keep)
-    urls = pa.array([f"{i:015d}" for i in t["doc_id"].to_pylist()], pa.string())
+    urls = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 15, "0")
     n = t.num_rows
     return pa.table({
         "url": urls,

@@ -159,3 +159,32 @@ def test_invisible_segment_sweep_and_gating(tmp_path):
     swept = sweep_invisible_segments(idx, 30)
     assert swept == [fake_id]
     assert fake_id not in mf.committed_segments(idx)
+
+
+def test_append_auto_compact_bounds_segments(tmp_path):
+    """auto_compact_segments: after append the committed segment count is
+    bounded and search results stay identical to the uncompacted index
+    (tombstoned upserts must survive the merge)."""
+    t = fixtures.generate_webtext(900)
+    a, b = t.slice(0, 600), t.slice(600)
+    for name, part in [("a", a), ("b", b)]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(part, str(d / "p.parquet"))
+    cfg_plain = BuildConfig(docs_per_segment=100)
+    cfg_auto = BuildConfig(docs_per_segment=100, auto_compact_segments=4)
+    idx1, idx2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(str(tmp_path / "a"), idx1, cfg_plain)
+    append_index(str(tmp_path / "b"), idx1, cfg_plain)
+    build_index(str(tmp_path / "a"), idx2, cfg_plain)
+    out = append_index(str(tmp_path / "b"), idx2, cfg_auto)
+    segs = sorted(mf.committed_segments(idx2))
+    assert len(segs) <= 4
+    assert out["n_segments"] == len(segs)
+    u1, u2 = _url_of(idx1), _url_of(idx2)
+    s1, s2 = LocalSearcher(idx1), LocalSearcher(idx2)
+    for q in ["the data", "query scan", "w0042", "fast join table"]:
+        ids1, sc1 = s1.search(q, k=20)
+        ids2, sc2 = s2.search(q, k=20)
+        assert [u1[int(i)] for i in ids1] == [u2[int(i)] for i in ids2], q
+        assert sc1.tolist() == sc2.tolist(), q
