@@ -191,10 +191,100 @@ def _parse_boosted_fields(fields) -> tuple:
     return tuple(out)
 
 
+def _in_sorted(sorted_ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Boolean membership mask of ``vals`` in an ascending-sorted array."""
+    if len(sorted_ids) == 0 or len(vals) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(sorted_ids, vals)
+    np.minimum(pos, len(sorted_ids) - 1, out=pos)
+    return sorted_ids[pos] == vals
+
+
+def _range_dl_field(rf: str) -> str:
+    """Range-filter field name -> the indexed field whose per-doc token
+    count backs it. ``word_count`` is the ES ``token_count`` sub-field the
+    reference declares on the name field (search_scheme.json:171-174); it
+    equals the default field's doc length under its analyzer."""
+    return DEFAULT_FIELD if rf == "word_count" else rf
+
+
+def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
+    """Normalize an ES ``bool`` query body into analyzed term lists.
+
+    Clause semantics (ES bool query / Lucene BooleanQuery, coord-free):
+
+    * ``must``: list of match-query strings; every clause must match (>=1
+      of its analyzed terms present) and contributes its matching terms'
+      BM25 sum to the score.
+    * ``should``: optional match clauses; matching ones add to the score.
+      At least ``minimum_should_match`` must match — ES default 1 when the
+      query has no must/filter context, else 0.
+    * ``must_not``: match clauses; a doc containing ANY of their terms is
+      excluded. Never scored.
+    * ``filter``: non-scoring required context. Supported shapes:
+      ``{"term": {"field": f, "value": tok}}`` — raw (unanalyzed) token
+      present in field ``f`` (defaults to the query field), and
+      ``{"range": {"field": "word_count", "gte": x, "lte": y}}`` — per-doc
+      token count bounds (both ends optional).
+
+    The returned spec carries per-clause term lists (``query_terms``
+    order: deduped, sorted — fixes float accumulation order) plus a
+    ``load`` map of every (field -> terms) the index must fetch, so both
+    serving paths read postings once and score identically."""
+    must = [query_terms(s, analyzer) for s in bq.get("must", ())]
+    should = [query_terms(s, analyzer) for s in bq.get("should", ())]
+    must_not = [query_terms(s, analyzer) for s in bq.get("must_not", ())]
+    filter_terms: list[tuple[str, str]] = []
+    range_dl: list[tuple[str, float, float]] = []
+    for flt in bq.get("filter", ()):
+        if "term" in flt:
+            f = flt["term"].get("field", field)
+            filter_terms.append((f, str(flt["term"]["value"])))
+        elif "range" in flt:
+            r = dict(flt["range"])
+            range_dl.append((str(r.get("field", "word_count")),
+                             float(r.get("gte", float("-inf"))),
+                             float(r.get("lte", float("inf")))))
+        else:
+            raise ValueError(f"unsupported bool filter clause {flt!r}")
+    msm = bq.get("minimum_should_match")
+    if msm is None:
+        msm = 0 if (must or filter_terms or range_dl) else 1
+    load: dict[str, list[str]] = {
+        field: sorted({t for cl in (*must, *should, *must_not) for t in cl})}
+    for f, t in filter_terms:
+        load.setdefault(f, []).append(t)
+    load = {f: sorted(set(ts)) for f, ts in load.items() if ts}
+    return {"field": field, "must": must, "should": should,
+            "must_not": must_not, "filter_terms": filter_terms,
+            "range_dl": range_dl, "msm": int(msm), "load": load}
+
+
+def _bool_clause_ids(clause_terms, runs_of) -> np.ndarray:
+    """Sorted unique doc ids matching any of a clause's terms, given a
+    ``term -> [(ids, tfs), ...]`` runs lookup."""
+    runs = [ids for t in clause_terms for ids, _tfs in runs_of(t)]
+    if not runs:
+        return np.empty(0, np.int64)
+    if len(runs) == 1:
+        return runs[0]
+    return np.unique(np.concatenate(runs))
+
+
 def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]:
     qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
     out = []
     for q in qrows:
+        if q.get("bool") is not None:  # ES bool query body (dict or JSON)
+            bq = q["bool"]
+            if isinstance(bq, str):
+                import json as _json
+                bq = _json.loads(bq)
+            field = q.get("field") or DEFAULT_FIELD
+            spec = prepare_bool_spec(bq, field, _field_analyzer(stats, field))
+            out.append((int(q["query_id"]), field, spec,
+                        int(q.get("k", 10)), "bool"))
+            continue
         if q.get("fields"):  # multi_match: per-field analyzed term lists
             fields = _parse_boosted_fields(q["fields"])
             combine = q.get("multi_type", "most_fields")
@@ -236,7 +326,19 @@ class SegmentSearcher:
         self._bscale = _bound_scale(
             _visible_seg_ids(index_dir, stats)[1], stats)
         self.by_field: dict[str, list[str]] = {}
+        self._extra_dl: set[str] = set()
+        self._rangeonly_bool = False
         for _qid, field, terms, _k, _m in self.queries:
+            if _m == "bool":
+                # bool specs load every clause term (filter/must_not terms
+                # included — they gate matching even without an idf entry)
+                for f, ts in terms["load"].items():
+                    self.by_field.setdefault(f, []).extend(ts)
+                for rf, _lo, _hi in terms["range_dl"]:
+                    self._extra_dl.add(_range_dl_field(rf))
+                if not terms["load"]:
+                    self._rangeonly_bool = True
+                continue
             items = (terms.items() if isinstance(terms, dict)
                      else [(field, terms)])
             for f, ts in items:
@@ -250,7 +352,20 @@ class SegmentSearcher:
     def _load_segment(self, seg_id: int):
         filters = _term_filters(self.by_field)
         if filters is None:
-            return None
+            if not self._rangeonly_bool:
+                return None
+            # a term-less (range-filter-only) bool query still needs the
+            # segment's doc range + doc lengths
+            docs = pq.read_table(
+                seg_docs_path(self.index_dir, seg_id),
+                columns=["doc_id", *sorted({_dl_column(f)
+                                            for f in self._extra_dl})])
+            if docs.num_rows == 0:
+                return None
+            base = int(docs["doc_id"][0].as_py())
+            dl = {f: docs[_dl_column(f)].to_numpy().astype(np.float64)
+                  for f in self._extra_dl}
+            return base, docs.num_rows, dl, {}, {}
         path = seg_terms_path(self.index_dir, seg_id)
         need_positions = any(m == "phrase" for *_rest, m in self.queries)
         schema = pq.read_schema(path)
@@ -268,14 +383,15 @@ class SegmentSearcher:
             if need_positions:
                 cols.append("positions_enc")
             tt = pq.read_table(path, columns=cols, filters=filters)
-        dl_cols = sorted({_dl_column(f) for f in self.by_field})
+        dl_fields = set(self.by_field) | self._extra_dl
+        dl_cols = sorted({_dl_column(f) for f in dl_fields})
         docs = pq.read_table(seg_docs_path(self.index_dir, seg_id),
                              columns=["doc_id", *dl_cols])
         if docs.num_rows == 0:
             return None
         base = int(docs["doc_id"][0].as_py())
         dl = {f: docs[_dl_column(f)].to_numpy().astype(np.float64)
-              for f in self.by_field}
+              for f in dl_fields}
         postings: dict[tuple[str, str], tuple] = {}
         positions: dict[tuple[str, str], dict[int, np.ndarray]] = {}
         for i in range(tt.num_rows):
@@ -473,6 +589,92 @@ class SegmentSearcher:
         order = np.lexsort((loc, -sc))[:k]
         return (loc[order] + base).astype(np.int64), sc[order]
 
+    def _score_bool(self, spec: dict, k: int, base: int, n: int,
+                    dl_by_field: dict[str, np.ndarray],
+                    postings: dict) -> tuple[np.ndarray, np.ndarray]:
+        """ES bool query per segment (see ``prepare_bool_spec`` for the
+        clause semantics). Segments hold disjoint doc ranges and every
+        posting of a doc lives in its segment, so must/filter/must_not
+        resolution within the segment is globally exact. Accumulation is
+        clause-major, term order as analyzed — the same per-doc addition
+        order as ``LocalSearcher.search_bool`` (bitwise-identical)."""
+        field = spec["field"]
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+        def runs_of(f):
+            return lambda t: ([postings[(f, t)][:2]]
+                              if (f, t) in postings else [])
+
+        score_runs = runs_of(field)
+        # candidate doc ids (absolute)
+        if spec["must"]:
+            cand = None
+            for cl in spec["must"]:
+                ids = _bool_clause_ids(cl, score_runs)
+                cand = ids if cand is None else np.intersect1d(
+                    cand, ids, assume_unique=True)
+                if len(cand) == 0:
+                    return empty
+        elif spec["should"]:
+            cand = _bool_clause_ids(
+                [t for cl in spec["should"] for t in cl], score_runs)
+        elif spec["filter_terms"]:
+            cand = None
+        else:  # range-only: every doc in the segment
+            cand = np.arange(base, base + n, dtype=np.int64)
+        for f, t in spec["filter_terms"]:
+            ids = _bool_clause_ids([t], runs_of(f))
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        if cand is None or len(cand) == 0:
+            return empty
+        for rf, lo, hi in spec["range_dl"]:
+            dlf = dl_by_field.get(_range_dl_field(rf))
+            if dlf is None:
+                return empty
+            v = dlf[cand - base]
+            cand = cand[(v >= lo) & (v <= hi)]
+            if len(cand) == 0:
+                return empty
+        for cl in spec["must_not"]:
+            nids = _bool_clause_ids(cl, score_runs)
+            if len(nids):
+                cand = cand[~_in_sorted(nids, cand)]
+                if len(cand) == 0:
+                    return empty
+        if spec["msm"] > 0 and spec["should"]:
+            cnt = np.zeros(len(cand), np.int64)
+            for cl in spec["should"]:
+                cnt += _in_sorted(_bool_clause_ids(cl, score_runs), cand)
+            cand = cand[cnt >= spec["msm"]]
+            if len(cand) == 0:
+                return empty
+        if len(self._deleted):
+            cand = cand[_drop_deleted(self._deleted, cand)]
+            if len(cand) == 0:
+                return empty
+        scores = np.zeros(len(cand), dtype=np.float64)
+        dlf = dl_by_field.get(field)
+        avgdl = self.avgdl.get(field)
+        for cl in (*spec["must"], *spec["should"]):
+            for t in cl:
+                kk = (field, t)
+                if kk not in postings or kk not in self.idf:
+                    continue
+                ids, tfs, _mi = postings[kk]
+                hit = _in_sorted(ids, cand)
+                pos = np.searchsorted(ids, cand[hit])
+                scores[hit] += self.idf[kk] * codec.bm25_tf_impact(
+                    tfs[pos], dlf[cand[hit] - base], avgdl)
+        if len(cand) > k:
+            kth = np.partition(scores, -k)[-k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        return cand[order].astype(np.int64), scores[order]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_d, out_s = [], [], []
         for seg_id in batch["segment_id"].to_pylist():
@@ -481,6 +683,13 @@ class SegmentSearcher:
                 continue
             base, n, dl, postings, positions = loaded
             for qid, field, terms, k, mode in self.queries:
+                if mode == "bool":
+                    ids, sc = self._score_bool(terms, int(k), base, n,
+                                               dl, postings)
+                    out_q.extend([qid] * len(ids))
+                    out_d.extend(ids.tolist())
+                    out_s.extend(sc.tolist())
+                    continue
                 if mode.startswith("multi:"):
                     if not any(f in self.by_field for f, _b in field):
                         continue
@@ -1442,6 +1651,102 @@ class LocalSearcher:
             ids, sc = ids[keep], sc[keep]
         return ids[:k], sc[:k]
 
+    def search_bool(self, bq: dict, k: int = 10,
+                    field: str = DEFAULT_FIELD
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``bool`` query analogue — see ``prepare_bool_spec`` for the
+        clause semantics (must / should / must_not / filter term + range,
+        ``minimum_should_match``). Score = sum of BM25 contributions of
+        every matching must/should clause term (clause-major, analyzed
+        term order) — bitwise-identical to the distributed
+        ``SegmentSearcher._score_bool`` path."""
+        self._maybe_auto_refresh()
+        spec = prepare_bool_spec(bq, field,
+                                 _field_analyzer(self.stats, field))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if self.n_docs == 0:
+            return empty
+        sc_terms = sorted({t for cl in (*spec["must"], *spec["should"])
+                           for t in cl})
+        idf = self._idf(field, sc_terms)
+        by_term = (self._postings_for(
+            field, [t for t in sc_terms if t in idf])
+            if self.term_ds is not None else {})
+        mn_terms = sorted({t for cl in spec["must_not"] for t in cl})
+        mn_by = (self._postings_for(field, mn_terms)
+                 if mn_terms and self.term_ds is not None else {})
+
+        def score_runs(t):
+            return by_term.get(t, [])
+
+        if spec["must"]:
+            cand = None
+            for cl in spec["must"]:
+                ids = _bool_clause_ids(cl, score_runs)
+                cand = ids if cand is None else np.intersect1d(
+                    cand, ids, assume_unique=True)
+                if len(cand) == 0:
+                    return empty
+        elif spec["should"]:
+            cand = _bool_clause_ids(
+                [t for cl in spec["should"] for t in cl], score_runs)
+        elif spec["filter_terms"]:
+            cand = None
+        else:  # range-only filter context: every doc
+            cand = np.arange(self.n_docs, dtype=np.int64)
+        for f, t in spec["filter_terms"]:
+            fb = (self._postings_for(f, [t])
+                  if self.term_ds is not None else {})
+            ids = _bool_clause_ids([t], lambda tt: fb.get(tt, []))
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        if cand is None or len(cand) == 0:
+            return empty
+        for rf, lo, hi in spec["range_dl"]:
+            v = self._dl_for(_range_dl_field(rf))[cand]
+            cand = cand[(v >= lo) & (v <= hi)]
+            if len(cand) == 0:
+                return empty
+        for cl in spec["must_not"]:
+            nids = _bool_clause_ids(cl, lambda t: mn_by.get(t, []))
+            if len(nids):
+                cand = cand[~_in_sorted(nids, cand)]
+                if len(cand) == 0:
+                    return empty
+        if spec["msm"] > 0 and spec["should"]:
+            cnt = np.zeros(len(cand), np.int64)
+            for cl in spec["should"]:
+                cnt += _in_sorted(_bool_clause_ids(cl, score_runs), cand)
+            cand = cand[cnt >= spec["msm"]]
+            if len(cand) == 0:
+                return empty
+        if len(self._deleted):
+            cand = cand[_drop_deleted(self._deleted, cand)]
+            if len(cand) == 0:
+                return empty
+        scores = np.zeros(len(cand), dtype=np.float64)
+        live = [t for t in sc_terms if t in idf]
+        contribs = self._contribs_for(field, live, by_term, idf,
+                                      self._dl_for(field),
+                                      _avgdl(self.stats, field))
+        for cl in (*spec["must"], *spec["should"]):
+            for t in cl:
+                if t not in idf:
+                    continue
+                for (ids, _tfs), contrib in zip(by_term.get(t, []),
+                                                contribs.get(t, [])):
+                    hit = _in_sorted(ids, cand)
+                    pos = np.searchsorted(ids, cand[hit])
+                    scores[hit] += contrib[pos]
+        if len(cand) > k:
+            kth = np.partition(scores, -k)[-k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        return cand[order].astype(np.int64), scores[order]
+
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD,
                mode: str = "or",
@@ -1666,7 +1971,14 @@ def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
     searcher = searcher or LocalSearcher(index_dir)
     out_q, out_r, out_d, out_s = [], [], [], []
     for q in qrows:
-        if q.get("fields"):
+        if q.get("bool") is not None:
+            bq = q["bool"]
+            if isinstance(bq, str):
+                import json as _json
+                bq = _json.loads(bq)
+            ids, sc = searcher.search_bool(
+                bq, int(q.get("k", 10)), q.get("field") or DEFAULT_FIELD)
+        elif q.get("fields"):
             ids, sc = searcher.search_multi(
                 q["query"], int(q.get("k", 10)), tuple(q["fields"]),
                 q.get("multi_type", "most_fields"))
@@ -1702,8 +2014,14 @@ def search(index_dir: str, queries: pa.Table | list[dict],
                     "phrase queries require an index built with "
                     "BuildConfig(index_positions=True)")
     by_field: dict[str, list[str]] = {}
+    has_bool = False
     for _qid, field, terms, _k, _m in prepared:
-        if isinstance(terms, dict):  # multi_match: {field: [terms]}
+        if _m == "bool":
+            has_bool = True
+            for f, ts in terms["load"].items():
+                by_field.setdefault(f, []).extend(ts)
+            by_field.setdefault(field, [])  # avgdl for the scored field
+        elif isinstance(terms, dict):  # multi_match: {field: [terms]}
             for f, ts in terms.items():
                 by_field.setdefault(f, []).extend(ts)
         else:
@@ -1716,7 +2034,7 @@ def search(index_dir: str, queries: pa.Table | list[dict],
         {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
          "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
     )
-    if not seg_ids or not idf:
+    if not seg_ids or (not idf and not has_bool):
         return empty
 
     prepared_ref = ray.put(prepared)

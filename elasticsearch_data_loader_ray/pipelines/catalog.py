@@ -1203,6 +1203,113 @@ def _sql_bm25_and_topk() -> str:
     )
 
 
+DOC_BOOL_QUERIES = [
+    {"must": ["data query"], "should": ["fast", "scan table"],
+     "must_not": ["slow"]},
+    {"must": ["the"], "filter": [{"range": {"gte": 30, "lte": 70}}]},
+    {"should": ["query scan", "hash join"], "minimum_should_match": 2},
+    {"must": ["data"], "filter": [{"term": {"value": "table"}}]},
+    {"must": ["table part value"], "must_not": ["stream", "window agg"]},
+    {"filter": [{"term": {"value": "spark"}},
+                {"range": {"gte": 20, "lte": 60}}]},
+]
+
+
+def q_bm25_bool_topk(sf_dir: str):
+    """ES bool queries over the documents index: must / should / must_not
+    match clauses, non-scoring filter context (raw term + word_count
+    range) and minimum_should_match — distributed segment-parallel path
+    (see ``prepare_bool_spec`` for the clause contract)."""
+    idx = _ensure_doc_index(sf_dir)
+    qs = [{"query_id": i, "bool": bq, "k": DOC_K + 20}
+          for i, bq in enumerate(DOC_BOOL_QUERIES)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_bm25_bool_topk() -> str:
+    from ..index.search import query_terms
+
+    crows, rrows, mrows = [], [], []
+    for qid, bq in enumerate(DOC_BOOL_QUERIES):
+        cid = 0
+        for kind in ("must", "should", "must_not"):
+            for s in bq.get(kind, ()):
+                for t in query_terms(s):
+                    crows.append(f"({qid}, '{kind}', {cid}, '{t}')")
+                cid += 1
+        lo, hi = -1e18, 1e18
+        for flt in bq.get("filter", ()):
+            if "term" in flt:
+                crows.append(
+                    f"({qid}, 'filter', {cid}, '{flt['term']['value']}')")
+                cid += 1
+            else:
+                r = flt["range"]
+                lo = max(lo, float(r.get("gte", -1e18)))
+                hi = min(hi, float(r.get("lte", 1e18)))
+        rrows.append(f"({qid}, {lo}, {hi})")
+        msm = bq.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (bq.get("must") or bq.get("filter")) else 1
+        mrows.append(f"({qid}, {msm})")
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"c(query_id, kind, cid, term) AS (VALUES {', '.join(crows)}), "
+        f"rng(query_id, lo, hi) AS (VALUES {', '.join(rrows)}), "
+        f"msm(query_id, m) AS (VALUES {', '.join(mrows)}), "
+        "cm AS (SELECT DISTINCT c.query_id, c.kind, c.cid, tf.doc_id "
+        "FROM c JOIN tf ON tf.term = c.term), "
+        "agg AS (SELECT query_id, doc_id, "
+        "count(DISTINCT CASE WHEN kind = 'must' THEN cid END) AS nm, "
+        "count(DISTINCT CASE WHEN kind = 'should' THEN cid END) AS ns, "
+        "count(DISTINCT CASE WHEN kind = 'filter' THEN cid END) AS nf, "
+        "count(DISTINCT CASE WHEN kind = 'must_not' THEN cid END) AS nn "
+        "FROM cm GROUP BY 1, 2), "
+        "req AS (SELECT query_id, "
+        "count(DISTINCT CASE WHEN kind = 'must' THEN cid END) AS rm, "
+        "count(DISTINCT CASE WHEN kind = 'filter' THEN cid END) AS rf "
+        "FROM c GROUP BY 1), "
+        "elig AS (SELECT a.query_id, a.doc_id FROM agg a "
+        "JOIN req USING (query_id) JOIN msm USING (query_id) "
+        "JOIN rng USING (query_id) JOIN dl ON dl.doc_id = a.doc_id "
+        "WHERE a.nm = req.rm AND a.nf = req.rf AND a.nn = 0 "
+        "AND a.ns >= msm.m AND dl.dl >= rng.lo AND dl.dl <= rng.hi), "
+        "scored AS (SELECT c.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / "
+        "s.avgdl))) AS score "
+        "FROM c JOIN tf ON tf.term = c.term JOIN df ON df.term = c.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        "WHERE c.kind IN ('must', 'should') GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT e.query_id, e.doc_id, "
+        "round(coalesce(sc.score, 0), 6) AS score, "
+        "row_number() OVER (PARTITION BY e.query_id "
+        "ORDER BY round(coalesce(sc.score, 0), 6) DESC, e.doc_id ASC) "
+        "AS rank FROM elig e LEFT JOIN scored sc "
+        "ON sc.query_id = e.query_id AND sc.doc_id = e.doc_id) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 DOC_MULTI_QUERIES = ["query scan", "the fast join", "customer order line",
                      "slow filter the data", "hash part value"]
 
@@ -2280,6 +2387,7 @@ def queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
+        "bm25_bool_topk": q_bm25_bool_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
@@ -2333,6 +2441,7 @@ def oracle_sql() -> dict:
         # the FULL-corpus BM25 — the same SQL is the oracle by construction
         "incremental_append": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
+        "bm25_bool_topk": _sql_bm25_bool_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),

@@ -1,0 +1,187 @@
+"""ES bool query (must / should / must_not / filter / minimum_should_match).
+
+Semantics vs a brute-force in-test oracle over the raw texts, and bitwise
+parity between the LocalSearcher and the distributed SegmentSearcher paths.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from elasticsearch_data_loader_ray.functions.analyzers import (
+    analyze,
+    token_count_batch,
+)
+from elasticsearch_data_loader_ray.index import codec
+from elasticsearch_data_loader_ray.index.build import (
+    BuildConfig,
+    build_index_from_corpus,
+)
+from elasticsearch_data_loader_ray.index.search import (
+    LocalSearcher,
+    search,
+    search_inprocess,
+)
+
+VOCAB = ["data", "query", "scan", "table", "fast", "slow", "join",
+         "hash", "part", "value", "the", "index", "merge"]
+
+
+def _texts(n: int = 400) -> list[str]:
+    rng = np.random.default_rng(7)
+    return [" ".join(rng.choice(VOCAB, rng.integers(4, 40)))
+            for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def bool_index(tmp_path_factory):
+    texts = _texts()
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("bool_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=64))
+    return idx, texts
+
+
+def brute_bool(texts: list[str], bq: dict, k: int = 10):
+    """Independent per-doc reference implementation of the bool contract."""
+    toks = [analyze("standard", t) for t in texts]
+    tfs = [Counter(tk) for tk in toks]
+    dl = np.array([len(tk) for tk in toks], dtype=np.float64)
+    avgdl = float(dl.sum() / len(dl))
+    df = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    n = len(texts)
+
+    def clause(s):
+        return sorted(set(analyze("standard", s)))
+
+    must = [clause(s) for s in bq.get("must", ())]
+    should = [clause(s) for s in bq.get("should", ())]
+    must_not = [clause(s) for s in bq.get("must_not", ())]
+    filters = list(bq.get("filter", ()))
+    msm = bq.get("minimum_should_match")
+    if msm is None:
+        msm = 0 if (must or filters) else 1
+
+    def matches(d, cl):
+        return any(t in tfs[d] for t in cl)
+
+    hits = []
+    for d in range(n):
+        if any(not matches(d, cl) for cl in must):
+            continue
+        if any(matches(d, cl) for cl in must_not):
+            continue
+        ok = True
+        for flt in filters:
+            if "term" in flt:
+                ok &= flt["term"]["value"] in tfs[d]
+            else:
+                r = flt["range"]
+                ok &= (r.get("gte", -1e18) <= dl[d] <= r.get("lte", 1e18))
+        if not ok:
+            continue
+        if should and sum(matches(d, cl) for cl in should) < msm:
+            continue
+        if not must and not should and not filters:
+            continue
+        s = 0.0
+        for cl in (*must, *should):
+            for t in cl:
+                if t in tfs[d]:
+                    s += float(codec.bm25_idf(df[t], n)) * float(
+                        codec.bm25_tf_impact(
+                            np.array([tfs[d][t]], np.float64),
+                            np.array([dl[d]]), avgdl)[0])
+        hits.append((d, s))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    ids = np.array([h[0] for h in hits[:k]], np.int64)
+    sc = np.array([h[1] for h in hits[:k]], np.float64)
+    return ids, sc
+
+
+BOOL_CASES = [
+    {"must": ["data query"], "should": ["fast", "scan table"],
+     "must_not": ["slow"]},
+    {"must": ["the"],
+     "filter": [{"range": {"field": "word_count", "gte": 10, "lte": 25}}]},
+    {"should": ["query scan", "hash join"], "minimum_should_match": 2},
+    {"must": ["data"], "filter": [{"term": {"value": "table"}}]},
+    {"must": ["value part"], "must_not": ["merge", "index the"]},
+    {"should": ["fast value"]},  # default msm = 1 (no must/filter)
+    {"must": ["data", "query", "the"],
+     "filter": [{"term": {"value": "join"}},
+                {"range": {"gte": 8}}]},
+]
+
+
+def test_bool_matches_brute_force(bool_index):
+    idx, texts = bool_index
+    ls = LocalSearcher(idx)
+    for bq in BOOL_CASES:
+        ids, sc = ls.search_bool(bq, k=12)
+        want_ids, want_sc = brute_bool(texts, bq, k=12)
+        assert ids.tolist() == want_ids.tolist(), bq
+        np.testing.assert_allclose(sc, want_sc, rtol=1e-9)
+
+
+def test_bool_local_vs_distributed_bitwise(bool_index):
+    idx, _texts_ = bool_index
+    qs = [{"query_id": i, "bool": bq, "k": 12}
+          for i, bq in enumerate(BOOL_CASES)]
+    dist = search(idx, qs).to_pandas()
+    local = search_inprocess(idx, qs).to_pandas()
+    assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+    assert dist["score"].tolist() == local["score"].tolist()  # bitwise
+
+
+def test_bool_unmatchable_must_is_empty(bool_index):
+    idx, _ = bool_index
+    ls = LocalSearcher(idx)
+    ids, sc = ls.search_bool({"must": ["zzzmissing"]})
+    assert len(ids) == 0
+    ids, _sc = ls.search_bool({"must": ["data"],
+                               "filter": [{"term": {"value": "zzzgone"}}]})
+    assert len(ids) == 0
+
+
+def test_bool_range_only_constant_score(bool_index):
+    idx, texts = bool_index
+    ls = LocalSearcher(idx)
+    bq = {"filter": [{"range": {"gte": 30}}]}
+    ids, sc = ls.search_bool(bq, k=1000)
+    toks = [analyze("standard", t) for t in texts]
+    want = [d for d, tk in enumerate(toks) if len(tk) >= 30]
+    assert ids.tolist() == want[:1000]
+    assert np.all(sc == 0.0)  # filter context never scores
+    # distributed path agrees
+    dist = search(idx, [{"query_id": 0, "bool": bq, "k": 1000}]).to_pandas()
+    assert dist["doc_id"].tolist() == ids.tolist()
+
+
+def test_bool_msm_tightens_result_set(bool_index):
+    idx, _ = bool_index
+    ls = LocalSearcher(idx)
+    loose, _ = ls.search_bool(
+        {"should": ["fast", "slow", "merge"], "minimum_should_match": 1},
+        k=1000)
+    tight, _ = ls.search_bool(
+        {"should": ["fast", "slow", "merge"], "minimum_should_match": 3},
+        k=1000)
+    assert set(tight.tolist()) <= set(loose.tolist())
+    assert len(tight) < len(loose)
