@@ -271,6 +271,149 @@ def _bool_clause_ids(clause_terms, runs_of) -> np.ndarray:
     return np.unique(np.concatenate(runs))
 
 
+def _auto_fuzziness(term: str) -> int:
+    """ES ``AUTO`` fuzziness: 0 for terms under 3 chars, 1 for 3-5, 2
+    for longer."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def _flat_bytes(terms: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """String array -> (N x maxlen uint8 matrix zero-padded, byte lengths),
+    built from the Arrow buffers — no per-row Python."""
+    a = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+    if not pa.types.is_large_string(a.type) and not pa.types.is_large_binary(a.type):
+        a = pc.cast(a, pa.large_binary())
+    elif pa.types.is_large_string(a.type):
+        a = pc.cast(a, pa.large_binary())
+    n = len(a)
+    off = np.frombuffer(a.buffers()[1], np.int64)[a.offset:a.offset + n + 1]
+    data = np.frombuffer(a.buffers()[2], np.uint8)
+    lens = np.diff(off)
+    if n == 0:
+        return np.zeros((0, 1), np.uint8), lens
+    L = max(int(lens.max()), 1)
+    col = np.arange(L)
+    mask = col < lens[:, None]
+    src = off[:-1, None] + col
+    mat = np.zeros((n, L), np.uint8)
+    mat[mask] = data[src[mask]]
+    return mat, lens
+
+
+def levenshtein_vec(query: str, terms: pa.Array) -> np.ndarray:
+    """Classic Levenshtein distance from ``query`` to every candidate
+    term, vectorized across candidates: DP rows over the query's bytes;
+    the within-row insertion recurrence is resolved closed-form with a
+    prefix-min (``cur[j] = j + min_{l<=j}(t[l] - l)``), so each query
+    char is O(1) numpy passes over the candidate matrix. Byte-domain
+    (utf-8) — identical to character distance for ASCII terms (the
+    DuckDB ``levenshtein`` oracle is character-based)."""
+    mat, lens = _flat_bytes(terms)
+    n, L = mat.shape
+    if n == 0:
+        return np.empty(0, np.int32)
+    q = np.frombuffer(query.encode(), np.uint8)
+    jr = np.arange(L + 1, dtype=np.int32)
+    prev = np.tile(jr, (n, 1))
+    for i, qc in enumerate(q, 1):
+        t = np.minimum(prev[:, 1:] + 1,
+                       prev[:, :-1] + (mat != qc).astype(np.int32))
+        u = np.concatenate(
+            [np.full((n, 1), i, np.int32), t], axis=1)
+        u -= jr
+        np.minimum.accumulate(u, axis=1, out=u)
+        prev = u + jr
+    return prev[np.arange(n), lens]
+
+
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p``."""
+    b = bytearray(p.encode())
+    while b:
+        if b[-1] < 0xFF:
+            b[-1] += 1
+            return bytes(b).decode("utf-8", "surrogateescape")
+        b.pop()
+    return None
+
+
+def _read_term_dict(index_dir: str, field: str,
+                    prefix: str = "") -> pa.Table:
+    """(term, df) rows of the global term dictionary for ``field``,
+    optionally restricted to a literal prefix. The prefix becomes a
+    closed range filter (``p <= term < next(p)``) — pyarrow prunes
+    term_stats row groups on the comparison, so a prefixed expansion
+    reads only the dictionary slice it needs."""
+    import pyarrow.dataset as pads
+
+    flt = pads.field("field") == field
+    if prefix:
+        flt = flt & (pads.field("term") >= prefix)
+        hi = _prefix_upper(prefix)
+        if hi is not None:
+            flt = flt & (pads.field("term") < hi)
+    ts_dir = os.path.join(index_dir, "term_stats")
+    files = [os.path.join(ts_dir, f) for f in sorted(os.listdir(ts_dir))
+             if f.endswith(".parquet")]
+    if not files:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    return pq.read_table(files, columns=["term", "df"], filters=flt)
+
+
+def expand_fuzzy(index_dir: str, field: str, qterm: str,
+                 fuzziness="AUTO", prefix_length: int = 1,
+                 max_expansions: int = 50) -> list[str]:
+    """ES fuzzy term expansion over the global term dictionary: terms
+    sharing the first ``prefix_length`` chars within Levenshtein distance
+    ``fuzziness`` (``"AUTO"`` = ES length-scaled), ranked by (df desc,
+    term asc) and capped at ``max_expansions`` — the Lucene
+    top-terms-by-frequency rewrite. Transpositions count 2 (classic
+    distance, matching the DuckDB oracle), unlike ES's default
+    Damerau variant. ``prefix_length`` defaults to 1 (ES default is 0)
+    so the dictionary read prunes to one prefix slice; pass 0 for the
+    full-vocabulary scan."""
+    f = (_auto_fuzziness(qterm)
+         if str(fuzziness).upper() == "AUTO" else int(fuzziness))
+    tbl = _read_term_dict(index_dir, field, qterm[:prefix_length])
+    if tbl.num_rows == 0:
+        return []
+    if f == 0:
+        m = pc.equal(tbl["term"], qterm)
+        return tbl.filter(m)["term"].to_pylist()
+    lens = pc.binary_length(tbl["term"]).to_numpy()
+    near = np.abs(lens - len(qterm.encode())) <= f
+    tbl = tbl.filter(pa.array(near))
+    if tbl.num_rows == 0:
+        return []
+    d = levenshtein_vec(qterm, tbl["term"])
+    ok = tbl.filter(pa.array(d <= f))
+    terms = np.array(ok["term"].to_pylist(), dtype=object)
+    dfs = ok["df"].to_numpy()
+    order = np.lexsort((terms, -dfs))[:max_expansions]
+    return terms[order].tolist()
+
+
+def expand_wildcard(index_dir: str, field: str, pattern: str) -> list[str]:
+    """ES wildcard-query term expansion: dictionary terms matching the
+    pattern (``*`` = any run, ``?`` = one char), sorted. The literal
+    prefix before the first wildcard prunes the dictionary read; the
+    match itself is one vectorized ``match_like`` kernel. Literal ``%``
+    and ``_`` in the pattern are escaped before the LIKE translation."""
+    cut = len(pattern)
+    for ch in "*?":
+        if (i := pattern.find(ch)) != -1:
+            cut = min(cut, i)
+    tbl = _read_term_dict(index_dir, field, pattern[:cut])
+    if tbl.num_rows == 0:
+        return []
+    like = (pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+    m = pc.match_like(tbl["term"], like)
+    return sorted(tbl.filter(m)["term"].to_pylist())
+
+
 def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]:
     qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
     out = []
@@ -298,6 +441,21 @@ def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]
             continue
         field = q.get("field") or DEFAULT_FIELD
         mode = q.get("mode", "or")
+        if mode == "fuzzy":
+            # expansion happens against the index term dictionary in
+            # search()/LocalSearcher — params ride along in the mode tag
+            terms = query_terms(q["query"], _field_analyzer(stats, field))
+            tag = (f"fuzzy:{q.get('fuzziness', 'AUTO')}"
+                   f":{int(q.get('prefix_length', 1))}"
+                   f":{int(q.get('max_expansions', 50))}")
+            out.append((int(q["query_id"]), field, terms,
+                        int(q.get("k", 10)), tag))
+            continue
+        if mode == "wildcard":
+            # raw pattern, never analyzed (ES wildcard query contract)
+            out.append((int(q["query_id"]), field, [str(q["query"])],
+                        int(q.get("k", 10)), "wildcard"))
+            continue
         if mode == "phrase":
             # ordered token sequence, duplicates kept (position matching)
             terms = list(analyze(_field_analyzer(stats, field), q["query"]))
@@ -675,6 +833,22 @@ class SegmentSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return cand[order].astype(np.int64), scores[order]
 
+    def _score_union_const(self, field: str, terms: list[str], k: int,
+                           postings: dict
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Constant-score union (ES wildcard/multi-term constant_score
+        rewrite): docs containing ANY of the expanded terms, score 1.0,
+        ordered by doc_id asc."""
+        runs = [postings[(field, t)][0] for t in terms
+                if (field, t) in postings]
+        if not runs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = runs[0] if len(runs) == 1 else np.unique(np.concatenate(runs))
+        if len(self._deleted):
+            ids = ids[_drop_deleted(self._deleted, ids)]
+        ids = ids[:k]
+        return ids.astype(np.int64), np.ones(len(ids), np.float64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_d, out_s = [], [], []
         for seg_id in batch["segment_id"].to_pylist():
@@ -702,7 +876,10 @@ class SegmentSearcher:
                     continue
                 if field not in self.by_field:  # no indexed terms: no hits
                     continue
-                if mode == "and":
+                if mode == "union_const":
+                    ids, sc = self._score_union_const(field, terms, int(k),
+                                                      postings)
+                elif mode == "and":
                     ids, sc = self._score_conjunctive(field, terms, int(k),
                                                       base, dl[field], postings)
                 elif mode == "phrase":
@@ -1747,6 +1924,57 @@ class LocalSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return cand[order].astype(np.int64), scores[order]
 
+    def search_fuzzy(self, query: str, k: int = 10,
+                     field: str = DEFAULT_FIELD, fuzziness="AUTO",
+                     prefix_length: int = 1, max_expansions: int = 50
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """ES match-with-fuzziness analogue: each analyzed query term
+        expands against the term dictionary (``expand_fuzzy``: shared
+        prefix, Levenshtein <= fuzziness, top-df cap), then the union of
+        expansions is scored as a plain OR query (each expanded term with
+        its own df/idf) — bitwise-identical to the distributed rewrite
+        in ``search()``."""
+        self._maybe_auto_refresh()
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if self.term_ds is None:
+            return empty
+        qterms = query_terms(query, _field_analyzer(self.stats, field))
+        exp = sorted({e for t in qterms
+                      for e in expand_fuzzy(self.index_dir, field, t,
+                                            fuzziness, prefix_length,
+                                            max_expansions)})
+        idf = self._idf(field, exp)
+        terms = [t for t in exp if t in idf]
+        if not terms:
+            return empty
+        return self._search_or_fulldecode(field, terms, k, idf,
+                                          self._dl_for(field),
+                                          _avgdl(self.stats, field))
+
+    def search_wildcard(self, pattern: str, k: int = 10,
+                        field: str = DEFAULT_FIELD
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """ES wildcard query analogue (``*`` any run, ``?`` one char):
+        dictionary terms matching the raw (unanalyzed) pattern, docs
+        containing any of them, constant score 1.0, doc_id order — the
+        Lucene constant_score multi-term rewrite."""
+        self._maybe_auto_refresh()
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if self.term_ds is None:
+            return empty
+        exp = expand_wildcard(self.index_dir, field, pattern)
+        if not exp:
+            return empty
+        by_term = self._postings_for(field, exp)
+        runs = [ids for t in exp for ids, _tfs in by_term.get(t, [])]
+        if not runs:
+            return empty
+        ids = runs[0] if len(runs) == 1 else np.unique(np.concatenate(runs))
+        if len(self._deleted):
+            ids = ids[_drop_deleted(self._deleted, ids)]
+        ids = ids[:k]
+        return ids.astype(np.int64), np.ones(len(ids), np.float64)
+
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD,
                mode: str = "or",
@@ -1978,6 +2206,17 @@ def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
                 bq = _json.loads(bq)
             ids, sc = searcher.search_bool(
                 bq, int(q.get("k", 10)), q.get("field") or DEFAULT_FIELD)
+        elif q.get("mode") == "fuzzy":
+            ids, sc = searcher.search_fuzzy(
+                q["query"], int(q.get("k", 10)),
+                q.get("field") or DEFAULT_FIELD,
+                q.get("fuzziness", "AUTO"),
+                int(q.get("prefix_length", 1)),
+                int(q.get("max_expansions", 50)))
+        elif q.get("mode") == "wildcard":
+            ids, sc = searcher.search_wildcard(
+                q["query"], int(q.get("k", 10)),
+                q.get("field") or DEFAULT_FIELD)
         elif q.get("fields"):
             ids, sc = searcher.search_multi(
                 q["query"], int(q.get("k", 10)), tuple(q["fields"]),
@@ -2007,6 +2246,23 @@ def search(index_dir: str, queries: pa.Table | list[dict],
     cfg = cfg or SearchConfig()
     stats = _load_stats(index_dir)
     prepared = _prepare(queries, stats)
+    rewritten = []
+    for qid, field, terms, k, mode in prepared:
+        if isinstance(mode, str) and mode.startswith("fuzzy:"):
+            # multi-term rewrite: union of per-term expansions, then plain
+            # OR scoring over the expanded set (Lucene blended rewrite
+            # simplified to per-term idf — documented in expand_fuzzy)
+            _tag, fz, plen, mx = mode.split(":")
+            exp = sorted({e for t in terms
+                          for e in expand_fuzzy(index_dir, field, t, fz,
+                                                int(plen), int(mx))})
+            rewritten.append((qid, field, exp, k, "or"))
+        elif mode == "wildcard":
+            exp = expand_wildcard(index_dir, field, terms[0])
+            rewritten.append((qid, field, exp, k, "union_const"))
+        else:
+            rewritten.append((qid, field, terms, k, mode))
+    prepared = rewritten
     for _qid, field, _terms, _k, mode in prepared:
         if mode == "phrase":
             if not stats.get("index_positions"):

@@ -1310,6 +1310,119 @@ def _sql_bm25_bool_topk() -> str:
     )
 
 
+DOC_FUZZY_QUERIES = ["quer", "scann tabl", "strem", "windoq agr", "joinn"]
+FUZZY_PLEN = 1
+FUZZY_MAXEXP = 50
+
+
+def q_bm25_fuzzy_topk(sf_dir: str):
+    """ES match-with-fuzziness (AUTO): every analyzed query term expands
+    against the global term dictionary (shared first char, Levenshtein
+    distance <= AUTO(len), top-50 by df), and the expanded union is
+    BM25-scored as a plain OR query — distributed rewrite path."""
+    idx = _ensure_doc_index(sf_dir)
+    qs = [{"query_id": i, "query": q, "k": DOC_K + 20, "mode": "fuzzy",
+           "fuzziness": "AUTO", "prefix_length": FUZZY_PLEN,
+           "max_expansions": FUZZY_MAXEXP}
+          for i, q in enumerate(DOC_FUZZY_QUERIES)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_bm25_fuzzy_topk() -> str:
+    from ..index.search import _auto_fuzziness, query_terms
+
+    qrows = []
+    for qid, q in enumerate(DOC_FUZZY_QUERIES):
+        for t in query_terms(q):
+            qrows.append(f"({qid}, '{t}', {_auto_fuzziness(t)})")
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(query_id, qterm, f) AS (VALUES {', '.join(qrows)}), "
+        "exp AS (SELECT query_id, term FROM ("
+        "SELECT q.query_id, df.term, "
+        "row_number() OVER (PARTITION BY q.query_id, q.qterm "
+        "ORDER BY df.df DESC, df.term ASC) AS rn "
+        "FROM q JOIN df ON "
+        f"substr(df.term, 1, {FUZZY_PLEN}) = substr(q.qterm, 1, {FUZZY_PLEN}) "
+        "AND levenshtein(df.term, q.qterm) <= q.f) "
+        f"WHERE rn <= {FUZZY_MAXEXP}), "
+        "expd AS (SELECT DISTINCT query_id, term FROM exp), "
+        "scored AS (SELECT e.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / "
+        "s.avgdl))) AS score "
+        "FROM expd e JOIN tf ON tf.term = e.term "
+        "JOIN df ON df.term = e.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN stats s GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
+DOC_WILDCARD_PATTERNS = ["qu*", "*am", "sc?n", "d*a"]
+WILDCARD_K = 15
+
+
+def q_wildcard_term_search(sf_dir: str):
+    """ES wildcard query (constant_score rewrite): dictionary terms
+    matching the raw pattern (``*`` any run, ``?`` one char), docs
+    containing any of them, score 1.0, doc_id order."""
+    idx = _ensure_doc_index(sf_dir)
+    qs = [{"query_id": i, "query": p, "k": WILDCARD_K, "mode": "wildcard"}
+          for i, p in enumerate(DOC_WILDCARD_PATTERNS)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    res = res.sort_values(["query_id", "doc_id"])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True))
+
+
+def _sql_wildcard_term_search() -> str:
+    vals = ", ".join(
+        f"({qid}, '{p.replace('*', '%').replace('?', '_')}')"
+        for qid, p in enumerate(DOC_WILDCARD_PATTERNS))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"w(query_id, pat) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT w.query_id, toks.doc_id "
+        "FROM w JOIN toks ON toks.term LIKE w.pat) "
+        "SELECT query_id, rank, doc_id, 1.0 AS score FROM ("
+        "SELECT query_id, doc_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY doc_id ASC) AS rank FROM hits) "
+        f"WHERE rank <= {WILDCARD_K}"
+    )
+
+
 DOC_MULTI_QUERIES = ["query scan", "the fast join", "customer order line",
                      "slow filter the data", "hash part value"]
 
@@ -2388,6 +2501,8 @@ def queries() -> dict:
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
+        "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+        "wildcard_term_search": q_wildcard_term_search,
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
@@ -2442,6 +2557,8 @@ def oracle_sql() -> dict:
         "incremental_append": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
         "bm25_bool_topk": _sql_bm25_bool_topk(),
+        "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
+        "wildcard_term_search": _sql_wildcard_term_search(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),

@@ -1,0 +1,135 @@
+"""Fuzzy (term-dictionary expansion) and wildcard (constant_score) queries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from elasticsearch_data_loader_ray.functions.analyzers import (
+    analyze,
+    token_count_batch,
+)
+from elasticsearch_data_loader_ray.index.build import (
+    BuildConfig,
+    build_index_from_corpus,
+)
+from elasticsearch_data_loader_ray.index.search import (
+    LocalSearcher,
+    _auto_fuzziness,
+    expand_fuzzy,
+    expand_wildcard,
+    levenshtein_vec,
+    search,
+    search_inprocess,
+)
+
+VOCAB = ["data", "date", "dates", "query", "queries", "scan", "scans",
+         "table", "stable", "stream", "steam", "the", "join", "joins"]
+
+
+def _ref_lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = min(dp[j] + 1, dp[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, dp[j] = dp[j], cur
+    return dp[n]
+
+
+def test_levenshtein_vec_matches_reference():
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcde"), rng.integers(0, 9)))
+             for _ in range(500)]
+    for q in ("", "a", "cab", "abcde", "edcba"):
+        got = levenshtein_vec(q, pa.array(words))
+        assert got.tolist() == [_ref_lev(q, w) for w in words], q
+
+
+def test_auto_fuzziness_es_boundaries():
+    assert [_auto_fuzziness(t) for t in ("ab", "abc", "abcde", "abcdef")] \
+        == [0, 1, 1, 2]
+
+
+@pytest.fixture(scope="module")
+def fz_index(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice(VOCAB, rng.integers(3, 25)))
+             for _ in range(300)]
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("fz_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=64))
+    return idx, texts
+
+
+def test_expand_fuzzy_semantics(fz_index):
+    idx, _ = fz_index
+    # distance<=1, shared first char: date/dates(2? no: distance 2)...
+    got = expand_fuzzy(idx, "text", "date", fuzziness=1, prefix_length=1)
+    assert set(got) == {"data", "date", "dates"}
+    # exact term always included at distance 0
+    assert "query" in expand_fuzzy(idx, "text", "query", fuzziness=0)
+    # max_expansions caps by df desc then term asc
+    all_d = expand_fuzzy(idx, "text", "date", fuzziness=1, prefix_length=1)
+    one = expand_fuzzy(idx, "text", "date", fuzziness=1, prefix_length=1,
+                       max_expansions=1)
+    assert len(one) == 1 and one[0] in all_d
+    # prefix_length=0 widens to different-first-letter matches
+    wide = expand_fuzzy(idx, "text", "steam", fuzziness=1, prefix_length=0)
+    assert "steam" in wide and "stream" in wide
+
+
+def test_expand_wildcard_patterns(fz_index):
+    idx, _ = fz_index
+    assert expand_wildcard(idx, "text", "quer*") == ["queries", "query"]
+    assert expand_wildcard(idx, "text", "s?an") == ["scan"]
+    assert expand_wildcard(idx, "text", "*s") == \
+        sorted(t for t in VOCAB if t.endswith("s"))
+    assert expand_wildcard(idx, "text", "zz*") == []
+
+
+def test_fuzzy_scores_match_expanded_or_query(fz_index):
+    idx, _ = fz_index
+    ls = LocalSearcher(idx)
+    exp = expand_fuzzy(idx, "text", "quer", fuzziness=1, prefix_length=1)
+    ids_f, sc_f = ls.search_fuzzy("quer", k=20, fuzziness=1)
+    ids_o, sc_o = ls.search(" ".join(exp), k=20, or_strategy="exact")
+    assert ids_f.tolist() == ids_o.tolist()
+    assert sc_f.tolist() == sc_o.tolist()  # bitwise
+
+
+def test_fuzzy_wildcard_local_vs_distributed(fz_index):
+    idx, _ = fz_index
+    qs = [{"query_id": 0, "query": "quer", "mode": "fuzzy", "k": 15},
+          {"query_id": 1, "query": "steam tble", "mode": "fuzzy",
+           "fuzziness": 2, "k": 15},
+          {"query_id": 2, "query": "dat*", "mode": "wildcard", "k": 15},
+          {"query_id": 3, "query": "*s", "mode": "wildcard", "k": 15}]
+    dist = search(idx, qs).to_pandas()
+    local = search_inprocess(idx, qs).to_pandas()
+    assert dist["doc_id"].tolist() == local["doc_id"].tolist()
+    assert dist["score"].tolist() == local["score"].tolist()
+
+
+def test_wildcard_constant_score_doc_order(fz_index):
+    idx, texts = fz_index
+    ls = LocalSearcher(idx)
+    ids, sc = ls.search_wildcard("dat*", k=10_000)
+    toks = [set(analyze("standard", t)) for t in texts]
+    want = [d for d, tk in enumerate(toks)
+            if any(t.startswith("dat") for t in tk)]
+    assert ids.tolist() == want
+    assert np.all(sc == 1.0)
