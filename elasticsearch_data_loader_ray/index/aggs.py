@@ -1,0 +1,248 @@
+"""Search-time aggregations (ES ``aggs`` analogue) over the segment index.
+
+ES pairs a query with aggregations computed over ALL matching documents
+(not the top-k page): ``terms`` buckets a keyword field by doc count,
+optionally carrying metric sub-aggregations. The reference delegates this
+to ElasticSearch; here it is a Ray Data job shaped like Lucene's per-shard
+global-ordinals pattern:
+
+* **doc-values shards** (``docvalues/<column>/segment=K.parquet``): one
+  (doc_id, value) file per segment, built once per (index, column) by a
+  per-segment task that joins the segment's docs table to a url-range-
+  pruned read of the corpus (parquet footer min/max on ``url`` prunes row
+  groups, so each task reads only its slice) — the Lucene doc-values
+  analogue, and the piece that makes aggregation segment-local.
+* **partials**: one task per segment unions the query terms' postings
+  (the match's doc set within the segment), drops tombstoned docs, and
+  bincounts the matched docs' dictionary-encoded values — emitting
+  (key, doc_count, metric_sum) rows bounded by the segment's distinct
+  values, never its doc count.
+* **merge**: a ``groupby(key).sum`` over the tiny partials, then the
+  top-``size`` buckets by (doc_count desc, key asc).
+
+Reference parity: the ES index the reference loads serves exactly such
+facet queries over its keyword fields (config/search_scheme.json).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from . import blobs, codec
+from .build import seg_docs_path, seg_terms_path
+from .search import (
+    DEFAULT_FIELD,
+    _dl_column,
+    _drop_deleted,
+    _field_analyzer,
+    _load_deleted,
+    _load_stats,
+    _term_filters,
+    _visible_seg_ids,
+    query_terms,
+)
+
+
+def _corpus_files(index_dir: str) -> list[str]:
+    """Every corpus parquet across the base build and append generations."""
+    files = sorted(glob.glob(os.path.join(index_dir, "corpus", "*.parquet")))
+    files += sorted(glob.glob(os.path.join(
+        index_dir, "corpus_gen", "**", "*.parquet"), recursive=True))
+    return files
+
+
+def _dv_path(index_dir: str, column: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "docvalues", column,
+                        f"segment={seg_id:06d}.parquet")
+
+
+def _build_dv_shard(index_dir: str, seg_id: int, column: str,
+                    corpus_files: list[str]) -> None:
+    """(doc_id, value) shard for one segment: url-range-pruned corpus read
+    joined to the segment's docs; atomic tmp+rename (idempotent under
+    retries, committed shards skipped)."""
+    out = _dv_path(index_dir, column, seg_id)
+    if os.path.exists(out):
+        return
+    docs = pq.read_table(seg_docs_path(index_dir, seg_id),
+                         columns=["doc_id", "url"])
+    if docs.num_rows == 0:
+        return
+    mm = pc.min_max(docs["url"])
+    sl = pq.read_table(
+        corpus_files, columns=["url", column],
+        filters=[("url", ">=", mm["min"].as_py()),
+                 ("url", "<=", mm["max"].as_py())])
+    j = docs.join(sl, keys="url", join_type="left outer")
+    j = j.sort_by("doc_id").select(["doc_id", column])
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(j, tmp)
+    os.replace(tmp, out)
+
+
+def build_doc_values(index_dir: str, column: str) -> None:
+    """Materialize doc-values shards for every visible segment that lacks
+    one — one Ray task per segment, segment-bounded memory."""
+    stats = _load_stats(index_dir)
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    missing = [s for s in seg_ids
+               if not os.path.exists(_dv_path(index_dir, column, s))]
+    if not missing:
+        return
+    corpus_files = _corpus_files(index_dir)
+
+    def _one(batch: pa.Table) -> pa.Table:
+        for s in batch["segment_id"].to_pylist():
+            _build_dv_shard(index_dir, int(s), column, corpus_files)
+        return pa.table({"segment_id": batch["segment_id"]})
+
+    (rd.from_items([{"segment_id": s} for s in missing])
+     .map_batches(_one, batch_format="pyarrow", batch_size=1)
+     .materialize())
+
+
+def _matched_ids(index_dir: str, seg_id: int, field: str,
+                 terms: list[str]) -> np.ndarray:
+    """Sorted doc ids in the segment containing ANY query term (the match
+    query's doc set — aggregations consume the full set, not top-k)."""
+    filters = _term_filters({field: terms})
+    if filters is None:
+        return np.empty(0, np.int64)
+    path = seg_terms_path(index_dir, seg_id)
+    schema = pq.read_schema(path)
+    if blobs.has_sidecar(schema):
+        cols = ["field", "term", "df", "segment_id", *blobs.RANGE_COLUMNS]
+        if "pos_nbytes" not in schema.names:
+            cols.remove("pos_nbytes")
+        tt = pq.read_table(path, columns=cols, filters=filters)
+        tt = blobs.materialize_enc(tt, lambda _s: path,
+                                   want_positions=False)
+    else:
+        tt = pq.read_table(path,
+                           columns=["field", "term", "df", "doc_ids_enc",
+                                    "tfs_enc"],
+                           filters=filters)
+    runs = []
+    for i in range(tt.num_rows):
+        ids, _tfs = codec.decode_postings(
+            tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+            int(tt["df"][i].as_py()))
+        runs.append(ids)
+    if not runs:
+        return np.empty(0, np.int64)
+    return runs[0] if len(runs) == 1 else np.unique(np.concatenate(runs))
+
+
+class _TermsAggWorker:
+    """Actor: per-segment terms-agg partials for one broadcast query."""
+
+    def __init__(self, index_dir: str, column: str, field: str,
+                 terms_ref, metric_field: str | None):
+        self.index_dir = index_dir
+        self.column = column
+        self.field = field
+        self.terms = (ray.get(terms_ref)
+                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
+        self.metric_field = metric_field
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, counts, msums = [], [], []
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids = _matched_ids(self.index_dir, seg_id, self.field,
+                               self.terms)
+            if len(self._deleted) and len(ids):
+                ids = ids[_drop_deleted(self._deleted, ids)]
+            if len(ids) == 0:
+                continue
+            dvp = _dv_path(self.index_dir, self.column, seg_id)
+            dv = pq.read_table(dvp, columns=["doc_id", self.column])
+            dv_ids = dv["doc_id"].to_numpy()
+            pos = np.searchsorted(dv_ids, ids)
+            vals = dv[self.column].combine_chunks().take(pa.array(pos))
+            enc = pc.dictionary_encode(vals)
+            codes = np.asarray(enc.indices)
+            nbuck = len(enc.dictionary)
+            cnt = np.bincount(codes, minlength=nbuck)
+            if self.metric_field is not None:
+                docs = pq.read_table(
+                    seg_docs_path(self.index_dir, seg_id),
+                    columns=["doc_id", _dl_column(self.metric_field)])
+                dlv = docs[_dl_column(self.metric_field)].to_numpy()
+                base = int(docs["doc_id"][0].as_py())
+                msum = np.bincount(codes, weights=dlv[ids - base],
+                                   minlength=nbuck)
+            else:
+                msum = np.zeros(nbuck)
+            keys.extend(enc.dictionary.to_pylist())
+            counts.extend(cnt.tolist())
+            msums.extend(msum.tolist())
+        return pa.table({
+            "key": pa.array([str(k) for k in keys], pa.string()),
+            "doc_count": pa.array(counts, pa.int64()),
+            "metric_sum": pa.array(msums, pa.float64()),
+        })
+
+
+def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
+              field: str = DEFAULT_FIELD,
+              metric_field: str | None = None,
+              concurrency: int = 4) -> pa.Table:
+    """ES ``terms`` aggregation over the docs matching an OR match query:
+    top-``size`` values of ``column`` by (doc_count desc, key asc).
+    ``metric_field`` adds an ``avg_word_count``-style metric sub-agg (the
+    mean token count of the bucket's matching docs, from the index's
+    per-field doc lengths). Distributed: segment partials bounded by
+    distinct values, merged with a small ``groupby().sum``."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "doc_count": pa.array([], pa.int64())})
+    if metric_field is not None:
+        empty = empty.append_column(
+            "avg_word_count", pa.array([], pa.float64()))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    if not terms or not seg_ids:
+        return empty
+    build_doc_values(index_dir, column)
+    per_seg = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _TermsAggWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "column": column, "field": field,
+                "terms_ref": ray.put(terms), "metric_field": metric_field,
+            },
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+    )
+    merged = (per_seg.groupby("key")
+              .aggregate(Sum("doc_count"), Sum("metric_sum"))
+              .to_pandas())
+    if len(merged) == 0:
+        return empty
+    merged = merged.rename(columns={"sum(doc_count)": "doc_count",
+                                    "sum(metric_sum)": "metric_sum"})
+    merged = merged.sort_values(["doc_count", "key"],
+                                ascending=[False, True]).head(size)
+    out = {"key": pa.array(merged["key"], pa.string()),
+           "doc_count": pa.array(merged["doc_count"].to_numpy(), pa.int64())}
+    if metric_field is not None:
+        out["avg_word_count"] = pa.array(
+            merged["metric_sum"].to_numpy()
+            / merged["doc_count"].to_numpy(), pa.float64())
+    return pa.table(out)

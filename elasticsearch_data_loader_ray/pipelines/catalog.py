@@ -1423,6 +1423,43 @@ def _sql_wildcard_term_search() -> str:
     )
 
 
+TERMS_AGG_QUERY = "the data"
+
+
+def q_terms_agg_match(sf_dir: str):
+    """ES terms aggregation with an avg metric sub-agg: bucket the docs
+    matching an OR match query by ``lang``, top buckets by (doc_count
+    desc, key asc), each with the bucket's mean token count. Distributed
+    per-segment partials over doc-values shards (``index/aggs.py``);
+    exact: integer doc-length sums make the avg bitwise-stable."""
+    from ..index.aggs import terms_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return terms_agg(idx, TERMS_AGG_QUERY, "lang", size=10,
+                     metric_field="text")
+
+
+def _sql_terms_agg_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT key, doc_count, avg_word_count FROM ("
+        "SELECT d.lang AS key, count(*)::BIGINT AS doc_count, "
+        "sum(coalesce(dl.dl, 0))::DOUBLE / count(*) AS avg_word_count "
+        "FROM hits h JOIN docs d USING (doc_id) "
+        "LEFT JOIN dl USING (doc_id) GROUP BY 1) "
+        "ORDER BY doc_count DESC, key ASC LIMIT 10"
+    )
+
+
 DOC_MULTI_QUERIES = ["query scan", "the fast join", "customer order line",
                      "slow filter the data", "hash part value"]
 
@@ -2503,6 +2540,7 @@ def queries() -> dict:
         "bm25_bool_topk": q_bm25_bool_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "wildcard_term_search": q_wildcard_term_search,
+        "terms_agg_match": q_terms_agg_match,
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
@@ -2559,6 +2597,7 @@ def oracle_sql() -> dict:
         "bm25_bool_topk": _sql_bm25_bool_topk(),
         "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
         "wildcard_term_search": _sql_wildcard_term_search(),
+        "terms_agg_match": _sql_terms_agg_match(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),

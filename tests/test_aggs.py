@@ -1,0 +1,92 @@
+"""ES terms aggregation (doc-values shards + per-segment partials)."""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from elasticsearch_data_loader_ray.functions.analyzers import (
+    analyze,
+    token_count_batch,
+)
+from elasticsearch_data_loader_ray.index.aggs import (
+    build_doc_values,
+    terms_agg,
+)
+from elasticsearch_data_loader_ray.index.build import (
+    BuildConfig,
+    build_index_from_corpus,
+)
+
+LANGS = ["en", "de", "fr", "es"]
+VOCAB = ["data", "query", "scan", "table", "fast", "the"]
+
+
+@pytest.fixture(scope="module")
+def agg_index(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    texts = [" ".join(rng.choice(VOCAB, rng.integers(3, 20)))
+             for _ in range(400)]
+    lg = [LANGS[i % 4] for i in range(400)]
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(lg, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("agg_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=64))
+    return idx, texts, lg
+
+
+def test_terms_agg_matches_brute_force(agg_index):
+    idx, texts, lg = agg_index
+    got = terms_agg(idx, "the data", "lang", size=10,
+                    metric_field="text").to_pandas()
+    toks = [set(analyze("standard", t)) for t in texts]
+    dls = [len(analyze("standard", t)) for t in texts]
+    match = [i for i in range(len(texts)) if {"the", "data"} & toks[i]]
+    cnt = Counter(lg[i] for i in match)
+    sums = defaultdict(float)
+    for i in match:
+        sums[lg[i]] += dls[i]
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got["key"].tolist() == [k for k, _ in want]
+    assert got["doc_count"].tolist() == [v for _, v in want]
+    # integer sums -> the avg is exact, not approximately equal
+    assert got["avg_word_count"].tolist() == \
+        [sums[k] / cnt[k] for k, _ in want]
+
+
+def test_terms_agg_size_caps_buckets(agg_index):
+    idx, _t, _l = agg_index
+    got = terms_agg(idx, "the", "lang", size=2)
+    assert got.num_rows == 2
+    assert list(got.column_names) == ["key", "doc_count"]
+
+
+def test_terms_agg_unmatched_query_empty(agg_index):
+    idx, _t, _l = agg_index
+    got = terms_agg(idx, "zzqnothing", "lang")
+    assert got.num_rows == 0
+
+
+def test_doc_values_shards_idempotent(agg_index):
+    idx, _t, _l = agg_index
+    build_doc_values(idx, "lang")
+    shards = sorted(glob.glob(
+        os.path.join(idx, "docvalues", "lang", "segment=*.parquet")))
+    assert shards
+    mtimes = [os.path.getmtime(s) for s in shards]
+    build_doc_values(idx, "lang")  # committed shards are skipped
+    assert [os.path.getmtime(s) for s in shards] == mtimes
