@@ -196,6 +196,151 @@ class _TermsAggWorker:
         })
 
 
+class _DlAggWorker:
+    """Actor: per-segment partials over the matched docs' token counts —
+    histogram buckets when ``interval`` is set, else running
+    (count, min, max, sum) stats. Doc lengths come from the segment's
+    docs table, so no doc-values shard is needed."""
+
+    def __init__(self, index_dir: str, field: str, terms_ref,
+                 metric_field: str, interval: int | None):
+        self.index_dir = index_dir
+        self.field = field
+        self.terms = (ray.get(terms_ref)
+                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
+        self.metric_field = metric_field
+        self.interval = interval
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hist: dict[int, int] = {}
+        cnt, mn, mx, sm = 0, None, None, 0
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids = _matched_ids(self.index_dir, seg_id, self.field,
+                               self.terms)
+            if len(self._deleted) and len(ids):
+                ids = ids[_drop_deleted(self._deleted, ids)]
+            if len(ids) == 0:
+                continue
+            docs = pq.read_table(
+                seg_docs_path(self.index_dir, seg_id),
+                columns=["doc_id", _dl_column(self.metric_field)])
+            dlv = docs[_dl_column(self.metric_field)].to_numpy()
+            base = int(docs["doc_id"][0].as_py())
+            v = dlv[ids - base].astype(np.int64)
+            if self.interval is not None:
+                keys = (v // self.interval) * self.interval
+                uk, uc = np.unique(keys, return_counts=True)
+                for kk, cc in zip(uk.tolist(), uc.tolist()):
+                    hist[kk] = hist.get(kk, 0) + cc
+            else:
+                cnt += len(v)
+                sm += int(v.sum())
+                mn = int(v.min()) if mn is None else min(mn, int(v.min()))
+                mx = int(v.max()) if mx is None else max(mx, int(v.max()))
+        if self.interval is not None:
+            ks = sorted(hist)
+            return pa.table({
+                "key": pa.array(ks, pa.int64()),
+                "doc_count": pa.array([hist[kk] for kk in ks], pa.int64()),
+            })
+        if cnt == 0:
+            return pa.table({"doc_count": pa.array([], pa.int64()),
+                             "min_v": pa.array([], pa.int64()),
+                             "max_v": pa.array([], pa.int64()),
+                             "sum_v": pa.array([], pa.int64())})
+        return pa.table({"doc_count": pa.array([cnt], pa.int64()),
+                         "min_v": pa.array([mn], pa.int64()),
+                         "max_v": pa.array([mx], pa.int64()),
+                         "sum_v": pa.array([sm], pa.int64())})
+
+
+def histogram_agg(index_dir: str, query: str, interval: int,
+                  field: str = DEFAULT_FIELD,
+                  metric_field: str | None = None,
+                  concurrency: int = 4) -> pa.Table:
+    """ES ``histogram`` aggregation over the matching docs' token counts:
+    buckets keyed ``floor(v / interval) * interval``, key-ascending.
+    ``min_doc_count=1`` semantics — only non-empty buckets are returned
+    (ES's default 0 would interpolate empties). Per-segment partials are
+    bounded by the bucket count, merged with a small groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"key": pa.array([], pa.int64()),
+                      "doc_count": pa.array([], pa.int64())})
+    if not terms or not seg_ids:
+        return empty
+    per_seg = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _DlAggWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "terms_ref": ray.put(terms),
+                "metric_field": metric_field or field,
+                "interval": int(interval)},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+    )
+    merged = per_seg.groupby("key").aggregate(Sum("doc_count")).to_pandas()
+    if len(merged) == 0:
+        return empty
+    merged = merged.rename(columns={"sum(doc_count)": "doc_count"})
+    merged = merged.sort_values("key")
+    return pa.table({
+        "key": pa.array(merged["key"].to_numpy(), pa.int64()),
+        "doc_count": pa.array(merged["doc_count"].to_numpy(), pa.int64()),
+    })
+
+
+def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
+              metric_field: str | None = None,
+              concurrency: int = 4) -> pa.Table:
+    """ES ``stats`` aggregation over the matching docs' token counts:
+    one row (doc_count, min, max, sum, avg). Partials are integer
+    (count, min, max, sum) per segment — the merge and the final avg are
+    exact."""
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"doc_count": pa.array([0], pa.int64()),
+                      "min_word_count": pa.array([None], pa.int64()),
+                      "max_word_count": pa.array([None], pa.int64()),
+                      "sum_word_count": pa.array([0], pa.int64()),
+                      "avg_word_count": pa.array([None], pa.float64())})
+    if not terms or not seg_ids:
+        return empty
+    per_seg = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _DlAggWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "terms_ref": ray.put(terms),
+                "metric_field": metric_field or field,
+                "interval": None},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()
+    )
+    if len(per_seg) == 0 or per_seg["doc_count"].sum() == 0:
+        return empty
+    cnt = int(per_seg["doc_count"].sum())
+    sm = int(per_seg["sum_v"].sum())
+    return pa.table({
+        "doc_count": pa.array([cnt], pa.int64()),
+        "min_word_count": pa.array([int(per_seg["min_v"].min())], pa.int64()),
+        "max_word_count": pa.array([int(per_seg["max_v"].max())], pa.int64()),
+        "sum_word_count": pa.array([sm], pa.int64()),
+        "avg_word_count": pa.array([sm / cnt], pa.float64()),
+    })
+
+
 def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
               field: str = DEFAULT_FIELD,
               metric_field: str | None = None,

@@ -1985,6 +1985,10 @@ class LocalSearcher:
         suggests skipping pays (rare term + long common lists). Scores are
         bitwise-identical across strategies."""
         self._maybe_auto_refresh()
+        if mode == "fuzzy":
+            return self.search_fuzzy(query, k, field)
+        if mode == "wildcard":
+            return self.search_wildcard(query, k, field)
         all_terms = query_terms(query, _field_analyzer(self.stats, field))
         idf = self._idf(field, all_terms)
         terms = [t for t in all_terms if t in idf]

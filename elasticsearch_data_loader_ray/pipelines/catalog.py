@@ -1460,6 +1460,70 @@ def _sql_terms_agg_match() -> str:
     )
 
 
+HIST_INTERVAL = 10
+
+
+def q_histogram_agg_match(sf_dir: str):
+    """ES histogram aggregation: word_count buckets (interval 10,
+    min_doc_count=1) over the docs matching an OR match query —
+    per-segment partials from the index's doc lengths, key-ascending."""
+    from ..index.aggs import histogram_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return histogram_agg(idx, TERMS_AGG_QUERY, HIST_INTERVAL)
+
+
+def _sql_histogram_agg_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        f"SELECT (coalesce(dl.dl, 0) // {HIST_INTERVAL} * {HIST_INTERVAL}"
+        ")::BIGINT AS key, "
+        "count(*)::BIGINT AS doc_count "
+        "FROM hits h LEFT JOIN dl USING (doc_id) "
+        "GROUP BY 1 ORDER BY key ASC"
+    )
+
+
+def q_stats_agg_match(sf_dir: str):
+    """ES stats aggregation: (doc_count, min, max, sum, avg) of
+    word_count over the docs matching an OR match query — exact integer
+    partials per segment."""
+    from ..index.aggs import stats_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return stats_agg(idx, TERMS_AGG_QUERY)
+
+
+def _sql_stats_agg_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT count(*)::BIGINT AS doc_count, "
+        "min(coalesce(dl.dl, 0))::BIGINT AS min_word_count, "
+        "max(coalesce(dl.dl, 0))::BIGINT AS max_word_count, "
+        "sum(coalesce(dl.dl, 0))::BIGINT AS sum_word_count, "
+        "sum(coalesce(dl.dl, 0))::DOUBLE / count(*) AS avg_word_count "
+        "FROM hits h LEFT JOIN dl USING (doc_id)"
+    )
+
+
 DOC_MULTI_QUERIES = ["query scan", "the fast join", "customer order line",
                      "slow filter the data", "hash part value"]
 
@@ -2541,6 +2605,8 @@ def queries() -> dict:
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "wildcard_term_search": q_wildcard_term_search,
         "terms_agg_match": q_terms_agg_match,
+        "histogram_agg_match": q_histogram_agg_match,
+        "stats_agg_match": q_stats_agg_match,
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
@@ -2598,6 +2664,8 @@ def oracle_sql() -> dict:
         "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
         "wildcard_term_search": _sql_wildcard_term_search(),
         "terms_agg_match": _sql_terms_agg_match(),
+        "histogram_agg_match": _sql_histogram_agg_match(),
+        "stats_agg_match": _sql_stats_agg_match(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),

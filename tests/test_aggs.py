@@ -17,6 +17,8 @@ from elasticsearch_data_loader_ray.functions.analyzers import (
 )
 from elasticsearch_data_loader_ray.index.aggs import (
     build_doc_values,
+    histogram_agg,
+    stats_agg,
     terms_agg,
 )
 from elasticsearch_data_loader_ray.index.build import (
@@ -79,6 +81,37 @@ def test_terms_agg_unmatched_query_empty(agg_index):
     idx, _t, _l = agg_index
     got = terms_agg(idx, "zzqnothing", "lang")
     assert got.num_rows == 0
+
+
+def test_histogram_agg_matches_brute_force(agg_index):
+    idx, texts, _l = agg_index
+    got = histogram_agg(idx, "the data", 5).to_pandas()
+    toks = [analyze("standard", t) for t in texts]
+    match = [i for i in range(len(texts))
+             if {"the", "data"} & set(toks[i])]
+    cnt = Counter((len(toks[i]) // 5) * 5 for i in match)
+    want = sorted(cnt.items())
+    assert got["key"].tolist() == [k for k, _ in want]
+    assert got["doc_count"].tolist() == [v for _, v in want]
+
+
+def test_stats_agg_matches_brute_force(agg_index):
+    idx, texts, _l = agg_index
+    got = stats_agg(idx, "the data").to_pandas().iloc[0]
+    toks = [analyze("standard", t) for t in texts]
+    dls = [len(tk) for i, tk in enumerate(toks)
+           if {"the", "data"} & set(tk)]
+    assert got["doc_count"] == len(dls)
+    assert got["min_word_count"] == min(dls)
+    assert got["max_word_count"] == max(dls)
+    assert got["sum_word_count"] == sum(dls)
+    assert got["avg_word_count"] == sum(dls) / len(dls)
+
+
+def test_stats_agg_unmatched_is_empty_row(agg_index):
+    idx, _t, _l = agg_index
+    got = stats_agg(idx, "zzqnothing").to_pandas().iloc[0]
+    assert got["doc_count"] == 0
 
 
 def test_doc_values_shards_idempotent(agg_index):
