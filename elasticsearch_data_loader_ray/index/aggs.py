@@ -112,9 +112,11 @@ def build_doc_values(index_dir: str, column: str) -> None:
 
 
 def _matched_ids(index_dir: str, seg_id: int, field: str,
-                 terms: list[str]) -> np.ndarray:
-    """Sorted doc ids in the segment containing ANY query term (the match
-    query's doc set — aggregations consume the full set, not top-k)."""
+                 terms: list[str], mode: str = "or") -> np.ndarray:
+    """Sorted doc ids in the segment matching the query terms — union for
+    ``mode="or"`` (ES match default), intersection for ``mode="and"``
+    (match with operator=and). Aggregations and exports consume the full
+    matched set, not top-k."""
     filters = _term_filters({field: terms})
     if filters is None:
         return np.empty(0, np.int64)
@@ -138,6 +140,16 @@ def _matched_ids(index_dir: str, seg_id: int, field: str,
             tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
             int(tt["df"][i].as_py()))
         runs.append(ids)
+    if mode == "and":
+        # a term absent from the segment has no row -> empty intersection
+        if len(runs) < len(set(terms)):
+            return np.empty(0, np.int64)
+        out = runs[0]
+        for r in runs[1:]:
+            out = np.intersect1d(out, r, assume_unique=True)
+            if len(out) == 0:
+                break
+        return out
     if not runs:
         return np.empty(0, np.int64)
     return runs[0] if len(runs) == 1 else np.unique(np.concatenate(runs))

@@ -1,0 +1,263 @@
+"""Matched-document export and field-sorted retrieval.
+
+ES consumers page whole result sets out of the cluster with ``scroll`` /
+``search_after`` (the reference's index exists to serve exactly such
+downstream extractions), and sort hits by document fields
+(``sort: [{f: desc}]``) instead of relevance. Ray-Data-native shapes:
+
+* **export_matches**: the inverted index acts as a pushdown FILTER over
+  the corpus — one task per segment unions (or intersects) the query
+  terms' postings, drops tombstoned docs, slices the segment's docs
+  table positionally, and joins stored fields from a url-range-pruned
+  corpus read (parquet footer min/max on ``url`` keeps each task's read
+  to its own slice). The result is a streaming ``ray.data.Dataset`` —
+  nothing materializes on the driver; consumers ``write_parquet`` /
+  ``iter_batches`` the full matched set with backpressure. At 100 TB
+  this is the "extract every doc mentioning X" pipeline.
+* **sorted_matches**: ES field sort. Per-segment top-k over the matched
+  docs' numeric field (doc lengths come straight from the docs table;
+  other fields from doc-values shards), then a k×S-bounded driver merge
+  — the same partial-top-k shape as the BM25 path, so no segment ships
+  more than k rows.
+
+Reference parity: the ES queries the loaded index serves include
+filtered extractions and field-sorted listings over the keyword/numeric
+fields declared in config/search_scheme.json.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .aggs import _corpus_files, _dv_path, _matched_ids, build_doc_values
+from .build import seg_docs_path
+from .search import (
+    DEFAULT_FIELD,
+    _dl_column,
+    _drop_deleted,
+    _field_analyzer,
+    _load_deleted,
+    _load_stats,
+    _visible_seg_ids,
+    query_terms,
+)
+
+
+def _export_schema(stored_columns: tuple[str, ...]) -> pa.Schema:
+    fields = [pa.field("doc_id", pa.int64()),
+              pa.field("url", pa.string()),
+              pa.field("word_count", pa.int64())]
+    fields += [pa.field(c, pa.string()) for c in stored_columns]
+    return pa.schema(fields)
+
+
+class _ExportWorker:
+    """Actor: one segment per batch -> that segment's matched doc rows."""
+
+    def __init__(self, index_dir: str, field: str, terms: list[str],
+                 mode: str, stored_columns: tuple[str, ...],
+                 corpus_files: list[str]):
+        self.index_dir = index_dir
+        self.field = field
+        self.terms = terms
+        self.mode = mode
+        self.stored = tuple(stored_columns)
+        self.corpus_files = corpus_files
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+        self._schema = _export_schema(self.stored)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids = _matched_ids(self.index_dir, seg_id, self.field,
+                               self.terms, self.mode)
+            if len(self._deleted) and len(ids):
+                ids = ids[_drop_deleted(self._deleted, ids)]
+            if len(ids) == 0:
+                continue
+            docs = pq.read_table(
+                seg_docs_path(self.index_dir, seg_id),
+                columns=["doc_id", "url", _dl_column(self.field)])
+            base = int(docs["doc_id"][0].as_py())
+            rows = docs.take(pa.array(ids - base))
+            out = pa.table({
+                "doc_id": rows["doc_id"],
+                "url": pc.cast(rows["url"], pa.string()),
+                "word_count": pc.cast(rows[_dl_column(self.field)],
+                                      pa.int64()),
+            })
+            if self.stored:
+                mm = pc.min_max(rows["url"])
+                sl = pq.read_table(
+                    self.corpus_files,
+                    columns=["url", *self.stored],
+                    filters=[("url", ">=", mm["min"].as_py()),
+                             ("url", "<=", mm["max"].as_py())])
+                sl = sl.set_column(0, "url", pc.cast(sl["url"], pa.string()))
+                # duplicate input urls were deduped into the docs table at
+                # build time; keep one corpus row per url so the join
+                # cannot fan rows out
+                _u, first = np.unique(np.asarray(sl["url"]),
+                                      return_index=True)
+                if len(_u) != sl.num_rows:
+                    sl = sl.take(pa.array(np.sort(first)))
+                for c in self.stored:
+                    if sl[c].type != pa.string():
+                        sl = sl.set_column(sl.column_names.index(c), c,
+                                           pc.cast(sl[c], pa.string()))
+                out = out.join(sl, keys="url", join_type="left outer")
+                out = out.sort_by("doc_id")
+            outs.append(out.select(self._schema.names)
+                        .cast(self._schema))
+        if not outs:
+            return self._schema.empty_table()
+        return pa.concat_tables(outs)
+
+
+def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
+                   mode: str = "or",
+                   stored_columns: tuple[str, ...] = (),
+                   concurrency: int = 4) -> rd.Dataset:
+    """Stream EVERY doc matching ``query`` as a Dataset of
+    (doc_id, url, word_count, *stored_columns) — the ES scroll analogue.
+    ``mode``: "or" (match default) or "and" (operator=and). Lazy: the
+    returned Dataset executes segment-by-segment with backpressure."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    schema = _export_schema(tuple(stored_columns))
+    if not terms or not seg_ids:
+        return rd.from_arrow(schema.empty_table())
+    return (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _ExportWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "terms": sorted(set(terms)), "mode": mode,
+                "stored_columns": tuple(stored_columns),
+                "corpus_files": _corpus_files(index_dir)},
+            batch_format="pyarrow", batch_size=1,
+            concurrency=min(concurrency, len(seg_ids)))
+    )
+
+
+class _SortWorker:
+    """Actor: per-segment top-k of the matched docs by a numeric field."""
+
+    def __init__(self, index_dir: str, field: str, terms: list[str],
+                 mode: str, sort_field: str, k: int, ascending: bool):
+        self.index_dir = index_dir
+        self.field = field
+        self.terms = terms
+        self.mode = mode
+        self.sort_field = sort_field
+        self.k = k
+        self.ascending = ascending
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+        self._fields = set(stats.get("field_analyzers",
+                                     {DEFAULT_FIELD: "standard"})) | {
+            "word_count"}
+
+    def _values(self, seg_id: int, ids: np.ndarray) -> np.ndarray:
+        if self.sort_field in self._fields:  # doc-length-backed
+            src = (DEFAULT_FIELD if self.sort_field == "word_count"
+                   else self.sort_field)
+            docs = pq.read_table(
+                seg_docs_path(self.index_dir, seg_id),
+                columns=["doc_id", _dl_column(src)])
+            base = int(docs["doc_id"][0].as_py())
+            return docs[_dl_column(src)].to_numpy()[ids - base] \
+                .astype(np.int64)
+        dv = pq.read_table(_dv_path(self.index_dir, self.sort_field,
+                                    seg_id),
+                           columns=["doc_id", self.sort_field])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+        return np.asarray(dv[self.sort_field].take(pa.array(pos))) \
+            .astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, out_vals = [], []
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids = _matched_ids(self.index_dir, seg_id, self.field,
+                               self.terms, self.mode)
+            if len(self._deleted) and len(ids):
+                ids = ids[_drop_deleted(self._deleted, ids)]
+            if len(ids) == 0:
+                continue
+            v = self._values(seg_id, ids)
+            sv = v if self.ascending else -v
+            # stable top-k with doc_id-asc ties: ids are ascending, so a
+            # stable sort on the value keeps the tie order
+            order = np.argsort(sv, kind="stable")[:self.k]
+            out_ids.append(ids[order])
+            out_vals.append(v[order])
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sort_value": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "sort_value": pa.array(np.concatenate(out_vals), pa.int64()),
+        })
+
+
+def sorted_matches(index_dir: str, query: str, sort_field: str,
+                   k: int = 10, ascending: bool = False,
+                   field: str = DEFAULT_FIELD, mode: str = "or",
+                   concurrency: int = 4) -> pa.Table:
+    """ES field sort: the top-``k`` docs matching ``query`` ordered by a
+    numeric field (desc by default), ties broken doc_id-asc. Doc-length
+    fields (any indexed field name, or ``word_count`` for the default
+    field) read straight from the docs tables; any other column is served
+    from its doc-values shards (built on demand). Each segment ships at
+    most k rows; the final merge is k×S-bounded."""
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "sort_value": pa.array([], pa.int64())})
+    if not terms or not seg_ids:
+        return empty
+    known = set(stats.get("field_analyzers",
+                          {DEFAULT_FIELD: "standard"})) | {"word_count"}
+    if sort_field not in known:
+        build_doc_values(index_dir, sort_field)
+    partials = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _SortWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "terms": sorted(set(terms)), "mode": mode,
+                "sort_field": sort_field, "k": int(k),
+                "ascending": bool(ascending)},
+            batch_format="pyarrow", batch_size=4,
+            concurrency=min(concurrency, len(seg_ids)))
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    t = pa.concat_tables([x for x in _ray.get(partials)
+                          if x.num_rows > 0] or [empty.select(
+                              ["doc_id", "sort_value"])])
+    if t.num_rows == 0:
+        return empty
+    v = t["sort_value"].to_numpy()
+    ids = t["doc_id"].to_numpy()
+    order = np.lexsort((ids, v if ascending else -v))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "sort_value": pa.array(v[order], pa.int64()),
+    })

@@ -1524,6 +1524,83 @@ def _sql_stats_agg_match() -> str:
     )
 
 
+EXPORT_QUERY = "hash join"
+SORT_K = 20
+
+
+def q_match_export(sf_dir: str):
+    """ES scroll parity: EVERY doc matching an OR match query, streamed as
+    a Ray Dataset — the inverted index acts as a pushdown filter over the
+    corpus; stored fields (lang) join from a url-range-pruned corpus read
+    per segment. Returns the lazy Dataset (no driver materialization)."""
+    from ..index.export import export_matches
+
+    idx = _ensure_doc_index(sf_dir)
+    ds = export_matches(idx, EXPORT_QUERY, stored_columns=("lang",))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "lang": t["lang"],
+            "word_count": t["word_count"],
+        })
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
+
+
+def _sql_match_export() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(EXPORT_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT d.doc_id, d.lang, coalesce(dl.dl, 0)::BIGINT AS word_count "
+        "FROM hits h JOIN docs d USING (doc_id) LEFT JOIN dl USING (doc_id)"
+    )
+
+
+def q_sorted_match_topk(sf_dir: str):
+    """ES field sort: top-k matching docs ordered by word_count desc
+    (ties doc_id asc) — per-segment partial top-k, k x segments driver
+    merge. Engine url rank preserves original doc_id order, so the
+    engine's tie-break maps 1:1 onto the oracle's."""
+    from ..index.export import sorted_matches
+
+    idx = _ensure_doc_index(sf_dir)
+    t = sorted_matches(idx, TERMS_AGG_QUERY, "word_count", k=SORT_K)
+    ids = _docid_map(idx)[t["doc_id"].to_numpy()] if t.num_rows else \
+        np.empty(0, np.int64)
+    return pa.table({"rank": t["rank"],
+                     "doc_id": pa.array(ids, pa.int64()),
+                     "word_count": t["sort_value"]})
+
+
+def _sql_sorted_match_topk() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT row_number() OVER (ORDER BY coalesce(dl.dl, 0) DESC, "
+        "doc_id ASC)::BIGINT AS rank, doc_id, "
+        "coalesce(dl.dl, 0)::BIGINT AS word_count "
+        "FROM hits h LEFT JOIN dl USING (doc_id) "
+        f"ORDER BY rank LIMIT {SORT_K}"
+    )
+
+
 DOC_MULTI_QUERIES = ["query scan", "the fast join", "customer order line",
                      "slow filter the data", "hash part value"]
 
@@ -2607,6 +2684,8 @@ def queries() -> dict:
         "terms_agg_match": q_terms_agg_match,
         "histogram_agg_match": q_histogram_agg_match,
         "stats_agg_match": q_stats_agg_match,
+        "match_export": q_match_export,
+        "sorted_match_topk": q_sorted_match_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
@@ -2666,6 +2745,8 @@ def oracle_sql() -> dict:
         "terms_agg_match": _sql_terms_agg_match(),
         "histogram_agg_match": _sql_histogram_agg_match(),
         "stats_agg_match": _sql_stats_agg_match(),
+        "match_export": _sql_match_export(),
+        "sorted_match_topk": _sql_sorted_match_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),

@@ -1,0 +1,114 @@
+"""Matched-doc export (scroll parity) and field-sorted retrieval."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from elasticsearch_data_loader_ray.functions.analyzers import (
+    analyze,
+    token_count_batch,
+)
+from elasticsearch_data_loader_ray.index.build import (
+    BuildConfig,
+    build_index_from_corpus,
+)
+from elasticsearch_data_loader_ray.index.export import (
+    export_matches,
+    sorted_matches,
+)
+
+LANGS = ["en", "de", "fr", "es"]
+VOCAB = ["data", "query", "scan", "table", "fast", "the"]
+
+
+@pytest.fixture(scope="module")
+def exp_index(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice(VOCAB, rng.integers(3, 20)))
+             for _ in range(300)]
+    lg = [LANGS[i % 4] for i in range(300)]
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(lg, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("exp_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=64))
+    return idx, texts, lg
+
+
+def test_export_or_matches_brute_force(exp_index):
+    idx, texts, lg = exp_index
+    got = export_matches(idx, "the data",
+                         stored_columns=("lang",)).to_pandas()
+    toks = [analyze("standard", t) for t in texts]
+    want = {i for i in range(len(texts)) if {"the", "data"} & set(toks[i])}
+    assert set(got["doc_id"]) == want
+    by_id = got.set_index("doc_id")
+    for i in sorted(want)[:50]:
+        assert by_id.loc[i, "lang"] == lg[i]
+        assert by_id.loc[i, "word_count"] == len(toks[i])
+
+
+def test_export_and_mode_intersects(exp_index):
+    idx, texts, _l = exp_index
+    got = export_matches(idx, "the data", mode="and").to_pandas()
+    toks = [set(analyze("standard", t)) for t in texts]
+    want = {i for i in range(len(texts)) if {"the", "data"} <= toks[i]}
+    assert set(got["doc_id"]) == want
+
+
+def test_export_unmatched_is_empty_with_schema(exp_index):
+    idx, _t, _l = exp_index
+    ds = export_matches(idx, "zzqnothing", stored_columns=("lang",))
+    # Dataset-level schema is the contract (Ray's to_pandas drops columns
+    # on a fully-empty dataset)
+    assert ds.schema().names == ["doc_id", "url", "word_count", "lang"]
+    assert len(ds.to_pandas()) == 0
+
+
+def test_export_streams_to_parquet(exp_index, tmp_path):
+    idx, texts, _l = exp_index
+    out = str(tmp_path / "export_out")
+    export_matches(idx, "the data").write_parquet(out)
+    back = rd.read_parquet(out)
+    toks = [analyze("standard", t) for t in texts]
+    want = {i for i in range(len(texts)) if {"the", "data"} & set(toks[i])}
+    assert back.count() == len(want)
+
+
+def test_sorted_matches_desc_with_ties(exp_index):
+    idx, texts, _l = exp_index
+    got = sorted_matches(idx, "the data", "word_count", k=15).to_pandas()
+    toks = [analyze("standard", t) for t in texts]
+    match = [(-len(toks[i]), i) for i in range(len(texts))
+             if {"the", "data"} & set(toks[i])]
+    want = sorted(match)[:15]
+    assert got["doc_id"].tolist() == [i for _v, i in want]
+    assert got["sort_value"].tolist() == [-v for v, _i in want]
+    assert got["rank"].tolist() == list(range(1, 16))
+
+
+def test_sorted_matches_asc(exp_index):
+    idx, texts, _l = exp_index
+    got = sorted_matches(idx, "the data", "word_count", k=7,
+                         ascending=True).to_pandas()
+    toks = [analyze("standard", t) for t in texts]
+    match = [(len(toks[i]), i) for i in range(len(texts))
+             if {"the", "data"} & set(toks[i])]
+    want = sorted(match)[:7]
+    assert got["doc_id"].tolist() == [i for _v, i in want]
+
+
+def test_sorted_matches_unmatched_empty(exp_index):
+    idx, _t, _l = exp_index
+    got = sorted_matches(idx, "zzqnothing", "word_count", k=5)
+    assert got.num_rows == 0
