@@ -1,0 +1,88 @@
+"""HyperLogLog primitives shared by the catalog's count-distinct entry and
+the index's ES ``cardinality`` aggregation.
+
+The sketch is the classic dense-register HLL (Flajolet et al. 2007) with
+the linear-counting small-range correction — the same family ES uses for
+its ``cardinality`` agg (HLL++ without the bias table; at p=14 the raw
+standard error is ~0.8%, inside the gate bounds we assert). Registers are
+int64 numpy arrays so partials are mergeable with an elementwise max,
+which is what makes the agg distribution-friendly: every worker emits one
+16 KiB row regardless of input size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 14  # 16384 registers -> ~0.8% standard error
+
+_FNV_OFF = np.uint64(1469598103934665603)
+_FNV_P = np.uint64(1099511628211)
+
+
+def fnv64_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over a utf8 Arrow array's bytes.
+
+    One masked numpy pass per byte position (O(max_len) passes over the
+    value vector, no per-row Python) — keyword-field values are short, so
+    this is a handful of vector ops. Null values hash to the offset basis.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset: arr.offset + n + 1]
+    buf = (np.frombuffer(bufs[2], dtype=np.uint8)
+           if bufs[2] is not None else np.empty(0, np.uint8))
+    starts, lens = offs[:-1], np.diff(offs)
+    if arr.null_count:
+        lens = np.where(np.asarray(arr.is_valid()), lens, 0)
+    h = np.full(n, _FNV_OFF, dtype=np.uint64)
+    max_len = int(lens.max()) if n else 0
+    for j in range(max_len):
+        sel = lens > j
+        b = buf[starts[sel] + j].astype(np.uint64)
+        h[sel] = (h[sel] ^ b) * _FNV_P
+    return h
+
+
+def hll_partial(keys: np.ndarray) -> np.ndarray:
+    """HyperLogLog register partial for one batch (uint64 hashed keys)."""
+    h = keys.astype(np.uint64, copy=False)
+    # splitmix64 finalizer: uniform bits from arbitrary key hashes
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)
+    # rank = leading zeros of the remaining 64-P bits + 1 (capped)
+    rank = np.full(len(h), 64 - HLL_P + 1, dtype=np.int64)
+    nz = rest != 0
+    # leading zeros via float64 exponent of the top bit (exact for uint64)
+    top = rest[nz]
+    lz = np.int64(63) - np.floor(
+        np.log2(top.astype(np.float64))).astype(np.int64)
+    # float rounding guard at powers of two
+    lz = np.clip(lz, 0, 63)
+    too_hi = (top >> (np.uint64(63) - lz.astype(np.uint64))) == 0
+    lz[too_hi] -= 1
+    rank[nz] = lz + 1
+    regs = np.zeros(1 << HLL_P, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)

@@ -210,23 +210,27 @@ class _TermsAggWorker:
 
 class _DlAggWorker:
     """Actor: per-segment partials over the matched docs' token counts —
-    histogram buckets when ``interval`` is set, else running
-    (count, min, max, sum) stats. Doc lengths come from the segment's
-    docs table, so no doc-values shard is needed."""
+    histogram buckets when ``interval`` is set, range-bucket counts when
+    ``ranges`` is set, else running (count, min, max, sum) stats. Doc
+    lengths come from the segment's docs table, so no doc-values shard is
+    needed."""
 
     def __init__(self, index_dir: str, field: str, terms_ref,
-                 metric_field: str, interval: int | None):
+                 metric_field: str, interval: int | None,
+                 ranges: list[tuple] | None = None):
         self.index_dir = index_dir
         self.field = field
         self.terms = (ray.get(terms_ref)
                       if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
         self.metric_field = metric_field
         self.interval = interval
+        self.ranges = ranges
         stats = _load_stats(index_dir)
         self._deleted = _load_deleted(index_dir, stats)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hist: dict[int, int] = {}
+        rcnt = np.zeros(len(self.ranges or ()), dtype=np.int64)
         cnt, mn, mx, sm = 0, None, None, 0
         for seg_id in batch["segment_id"].to_pylist():
             seg_id = int(seg_id)
@@ -242,7 +246,17 @@ class _DlAggWorker:
             dlv = docs[_dl_column(self.metric_field)].to_numpy()
             base = int(docs["doc_id"][0].as_py())
             v = dlv[ids - base].astype(np.int64)
-            if self.interval is not None:
+            if self.ranges is not None:
+                # ES range agg: from inclusive, to exclusive, ends
+                # optional, ranges may overlap (each counted independently)
+                for ri, (frm, to) in enumerate(self.ranges):
+                    ok = np.ones(len(v), dtype=bool)
+                    if frm is not None:
+                        ok &= v >= frm
+                    if to is not None:
+                        ok &= v < to
+                    rcnt[ri] += int(ok.sum())
+            elif self.interval is not None:
                 keys = (v // self.interval) * self.interval
                 uk, uc = np.unique(keys, return_counts=True)
                 for kk, cc in zip(uk.tolist(), uc.tolist()):
@@ -252,6 +266,11 @@ class _DlAggWorker:
                 sm += int(v.sum())
                 mn = int(v.min()) if mn is None else min(mn, int(v.min()))
                 mx = int(v.max()) if mx is None else max(mx, int(v.max()))
+        if self.ranges is not None:
+            return pa.table({
+                "range_idx": pa.array(range(len(rcnt)), pa.int64()),
+                "doc_count": pa.array(rcnt, pa.int64()),
+            })
         if self.interval is not None:
             ks = sorted(hist)
             return pa.table({
@@ -403,3 +422,160 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
             merged["metric_sum"].to_numpy()
             / merged["doc_count"].to_numpy(), pa.float64())
     return pa.table(out)
+
+
+def _range_key(frm, to) -> str:
+    """ES range-bucket key: ``*-10``, ``10-20``, ``20-*``."""
+    lo = "*" if frm is None else str(int(frm))
+    hi = "*" if to is None else str(int(to))
+    return f"{lo}-{hi}"
+
+
+def range_agg(index_dir: str, query: str, ranges: list[tuple],
+              field: str = DEFAULT_FIELD,
+              metric_field: str | None = None,
+              concurrency: int = 4) -> pa.Table:
+    """ES ``range`` aggregation over the matching docs' token counts:
+    explicit buckets ``[from, to)`` (either end open, overlaps allowed —
+    each range counts independently, exactly like ES). Every requested
+    bucket is returned, zero or not, in the requested order. Per-segment
+    partials are one int per range; the merge is a groupby-sum over
+    ``len(ranges)`` keys."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    norm = [(None if frm is None else int(frm),
+             None if to is None else int(to)) for frm, to in ranges]
+    keys = pa.array([_range_key(f, t) for f, t in norm], pa.string())
+    if not terms or not seg_ids:
+        return pa.table({"range_key": keys,
+                         "doc_count": pa.array([0] * len(norm), pa.int64())})
+    per_seg = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _DlAggWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "terms_ref": ray.put(terms),
+                "metric_field": metric_field or field,
+                "interval": None, "ranges": norm},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+    )
+    merged = (per_seg.groupby("range_idx").aggregate(Sum("doc_count"))
+              .to_pandas().rename(columns={"sum(doc_count)": "doc_count"}))
+    counts = np.zeros(len(norm), dtype=np.int64)
+    counts[merged["range_idx"].to_numpy()] = merged["doc_count"].to_numpy()
+    return pa.table({"range_key": keys,
+                     "doc_count": pa.array(counts, pa.int64())})
+
+
+class _CardAggWorker:
+    """Actor: per-segment cardinality partials for one broadcast query.
+
+    ES ``cardinality`` semantics: exact below ``precision_threshold``,
+    HyperLogLog above. A segment whose matched-distinct count fits the
+    threshold emits its distinct values verbatim (bounded rows); a bigger
+    one emits a single 16 KiB HLL register row. The merge promotes to the
+    sketch only if the union outgrows the threshold — like ES's
+    sparse-to-dense HLL++ promotion, the answer is exact whenever the true
+    cardinality is under the threshold."""
+
+    def __init__(self, index_dir: str, column: str, field: str,
+                 terms_ref, threshold: int):
+        self.index_dir = index_dir
+        self.column = column
+        self.field = field
+        self.terms = (ray.get(terms_ref)
+                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
+        self.threshold = threshold
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hll import fnv64_strings, hll_partial
+
+        vals: list[str] = []
+        regs = None
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids = _matched_ids(self.index_dir, seg_id, self.field,
+                               self.terms)
+            if len(self._deleted) and len(ids):
+                ids = ids[_drop_deleted(self._deleted, ids)]
+            if len(ids) == 0:
+                continue
+            dvp = _dv_path(self.index_dir, self.column, seg_id)
+            dv = pq.read_table(dvp, columns=["doc_id", self.column])
+            dv_ids = dv["doc_id"].to_numpy()
+            pos = np.searchsorted(dv_ids, ids)
+            seg_vals = dv[self.column].combine_chunks().take(pa.array(pos))
+            distinct = pc.unique(seg_vals)
+            if len(distinct) <= self.threshold:
+                vals.extend(str(v) for v in distinct.to_pylist())
+            else:
+                part = hll_partial(fnv64_strings(distinct))
+                regs = part if regs is None else np.maximum(regs, part)
+        rows_v = sorted(set(vals))
+        out_regs: list = [None] * len(rows_v)
+        if regs is not None:
+            rows_v.append(None)
+            out_regs.append(regs.tolist())
+        return pa.table({
+            "value": pa.array(rows_v, pa.string()),
+            "regs": pa.array(out_regs, pa.list_(pa.int64())),
+        })
+
+
+def cardinality_agg(index_dir: str, query: str, column: str,
+                    precision_threshold: int = 3000,
+                    field: str = DEFAULT_FIELD,
+                    concurrency: int = 4) -> pa.Table:
+    """ES ``cardinality`` aggregation: distinct ``column`` values among the
+    docs matching an OR match query. Exact when the true cardinality is
+    <= ``precision_threshold`` (ES default 3000, max 40000); otherwise a
+    HyperLogLog estimate (p=14, ~0.8% error). Returns one row
+    (cardinality, is_approx)."""
+    from ..functions.hll import fnv64_strings, hll_estimate, hll_partial
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    if not terms or not seg_ids:
+        return pa.table({"cardinality": pa.array([0], pa.int64()),
+                         "is_approx": pa.array([False], pa.bool_())})
+    build_doc_values(index_dir, column)
+    parts = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _CardAggWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "column": column, "field": field,
+                "terms_ref": ray.put(terms),
+                "threshold": int(precision_threshold)},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .take_all()  # bounded: <= threshold values or one register row
+    )
+    exact: set = set()
+    regs = None
+    for row in parts:
+        if row["value"] is not None:
+            exact.add(row["value"])
+        else:
+            r = np.asarray(row["regs"], dtype=np.int64)
+            regs = r if regs is None else np.maximum(regs, r)
+    if regs is None and len(exact) <= precision_threshold:
+        return pa.table({
+            "cardinality": pa.array([len(exact)], pa.int64()),
+            "is_approx": pa.array([False], pa.bool_())})
+    # promote: fold the exact values into the sketch and estimate
+    if exact:
+        part = hll_partial(fnv64_strings(
+            pa.array(sorted(exact), pa.string())))
+        regs = part if regs is None else np.maximum(regs, part)
+    return pa.table({
+        "cardinality": pa.array([round(hll_estimate(regs))], pa.int64()),
+        "is_approx": pa.array([True], pa.bool_())})

@@ -29,6 +29,9 @@ import ray.data as rd
 
 from ..functions import analyzers as an
 from ..functions.alphakey import ordered_alpha_key, same_as_alpha_key
+from ..functions.hll import HLL_P
+from ..functions.hll import hll_estimate as _hll_estimate
+from ..functions.hll import hll_partial as _hll_partial
 from ..functions.suffix import COMPANY_NAME_ENDINGS, split_company_name_endings
 from ..index import codec
 from ..index.build import BuildConfig, _ncpus, build_index_from_corpus
@@ -961,6 +964,7 @@ def _docs_to_corpus(t: pa.Table) -> pa.Table:
         "warc_ts": pa.array([0] * n, pa.timestamp("us")),
         "text": pc.cast(t["text"], pa.large_string()),
         "lang": t["lang"],
+        "source": t["source"],
         "doc_len": pa.array(an.token_count_batch(
             pc.cast(t["text"], pa.large_string())), pa.int32()),
     })
@@ -981,7 +985,7 @@ def _ensure_doc_index(sf_dir: str, positions: bool = False) -> str:
                 return idx
     shutil.rmtree(idx, ignore_errors=True)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
+                         columns=["doc_id", "text", "lang", "source"])
     corpus = ds.map_batches(_docs_to_corpus, batch_format="pyarrow")
     build_index_from_corpus(corpus, idx,
                             BuildConfig(docs_per_segment=2000,
@@ -1076,7 +1080,7 @@ def _ensure_append_index(sf_dir: str) -> str:
 
     def half(lo: bool):
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text", "lang"])
+                             columns=["doc_id", "text", "lang", "source"])
         op = (pc.less_equal if lo else pc.greater)
 
         def f(t: pa.Table) -> pa.Table:
@@ -1521,6 +1525,78 @@ def _sql_stats_agg_match() -> str:
         "sum(coalesce(dl.dl, 0))::BIGINT AS sum_word_count, "
         "sum(coalesce(dl.dl, 0))::DOUBLE / count(*) AS avg_word_count "
         "FROM hits h LEFT JOIN dl USING (doc_id)"
+    )
+
+
+AGG_RANGES = [(None, 8), (8, 16), (16, 32), (32, None)]
+
+
+def q_range_agg_match(sf_dir: str):
+    """ES range aggregation: explicit word_count buckets [from, to) over
+    the docs matching an OR match query — one int per range per segment,
+    every requested bucket returned (zero or not)."""
+    from ..index.aggs import range_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return range_agg(idx, TERMS_AGG_QUERY, AGG_RANGES)
+
+
+def _sql_range_agg_match() -> str:
+    from ..index.aggs import _range_key
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    parts = []
+    for frm, to in AGG_RANGES:
+        conds = []
+        if frm is not None:
+            conds.append(f"coalesce(dl.dl, 0) >= {int(frm)}")
+        if to is not None:
+            conds.append(f"coalesce(dl.dl, 0) < {int(to)}")
+        where = f"WHERE {' AND '.join(conds)}" if conds else ""
+        parts.append(
+            f"SELECT '{_range_key(frm, to)}' AS range_key, "
+            f"count(*)::BIGINT AS doc_count "
+            f"FROM hits h LEFT JOIN dl USING (doc_id) {where}"
+        )
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+def q_cardinality_agg_match(sf_dir: str):
+    """ES cardinality aggregation: distinct ``source`` values among the
+    docs matching an OR match query. The gate exercises the EXACT path
+    (true cardinality far below ES's default precision_threshold=3000);
+    above the threshold the same call returns a HyperLogLog estimate
+    (pytest-gated instead, like distinct_count_hll)."""
+    from ..index.aggs import cardinality_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    t = cardinality_agg(idx, TERMS_AGG_QUERY, "source")
+    return t.select(["cardinality"])
+
+
+def _sql_cardinality_agg_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, source, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT count(DISTINCT d.source)::BIGINT AS cardinality "
+        "FROM hits h JOIN docs d USING (doc_id)"
     )
 
 
@@ -2463,45 +2539,6 @@ SQL_DETERMINISTIC_SAMPLE = (
 )
 
 
-HLL_P = 14  # 16384 registers -> ~0.8% standard error
-
-
-def _hll_partial(keys: np.ndarray) -> np.ndarray:
-    """HyperLogLog register partial for one batch (uint64 hashed keys)."""
-    h = keys.astype(np.uint64, copy=False)
-    # splitmix64 finalizer: uniform bits from arbitrary key hashes
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    h = h ^ (h >> np.uint64(31))
-    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-    rest = h << np.uint64(HLL_P)
-    # rank = leading zeros of the remaining 64-P bits + 1 (capped)
-    rank = np.full(len(h), 64 - HLL_P + 1, dtype=np.int64)
-    nz = rest != 0
-    # leading zeros via float64 exponent of the top bit (exact for uint64)
-    top = rest[nz]
-    lz = np.int64(63) - np.floor(np.log2(top.astype(np.float64))).astype(np.int64)
-    # float rounding guard at powers of two
-    lz = np.clip(lz, 0, 63)
-    too_hi = (top >> (np.uint64(63) - lz.astype(np.uint64))) == 0
-    lz[too_hi] -= 1
-    rank[nz] = lz + 1
-    regs = np.zeros(1 << HLL_P, dtype=np.int64)
-    np.maximum.at(regs, idx, rank)
-    return regs
-
-
-def _hll_estimate(regs: np.ndarray) -> float:
-    m = float(len(regs))
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    if est <= 2.5 * m:
-        zeros = int((regs == 0).sum())
-        if zeros:
-            est = m * np.log(m / zeros)  # linear counting, small range
-    return float(est)
-
-
 def q_distinct_count_hll(sf_dir: str):
     """Cardinality sketch: HyperLogLog (p=14) over lineitem order keys —
     per-batch register partials in map_batches, a distributed fan-in level
@@ -2684,6 +2721,8 @@ def queries() -> dict:
         "terms_agg_match": q_terms_agg_match,
         "histogram_agg_match": q_histogram_agg_match,
         "stats_agg_match": q_stats_agg_match,
+        "range_agg_match": q_range_agg_match,
+        "cardinality_agg_match": q_cardinality_agg_match,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
@@ -2745,6 +2784,8 @@ def oracle_sql() -> dict:
         "terms_agg_match": _sql_terms_agg_match(),
         "histogram_agg_match": _sql_histogram_agg_match(),
         "stats_agg_match": _sql_stats_agg_match(),
+        "range_agg_match": _sql_range_agg_match(),
+        "cardinality_agg_match": _sql_cardinality_agg_match(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),

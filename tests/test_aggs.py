@@ -17,7 +17,9 @@ from elasticsearch_data_loader_ray.functions.analyzers import (
 )
 from elasticsearch_data_loader_ray.index.aggs import (
     build_doc_values,
+    cardinality_agg,
     histogram_agg,
+    range_agg,
     stats_agg,
     terms_agg,
 )
@@ -123,3 +125,47 @@ def test_doc_values_shards_idempotent(agg_index):
     mtimes = [os.path.getmtime(s) for s in shards]
     build_doc_values(idx, "lang")  # committed shards are skipped
     assert [os.path.getmtime(s) for s in shards] == mtimes
+
+
+def test_range_agg_matches_brute_force(agg_index):
+    idx, texts, _l = agg_index
+    ranges = [(None, 5), (5, 12), (4, 10), (12, None)]  # overlap allowed
+    got = range_agg(idx, "the data", ranges).to_pandas()
+    toks = [analyze("standard", t) for t in texts]
+    dls = [len(tk) for tk in toks
+           if {"the", "data"} & set(tk)]
+    want = []
+    for frm, to in ranges:
+        want.append(sum((frm is None or d >= frm)
+                        and (to is None or d < to) for d in dls))
+    assert got["range_key"].tolist() == ["*-5", "5-12", "4-10", "12-*"]
+    assert got["doc_count"].tolist() == want
+
+
+def test_range_agg_unmatched_returns_zero_buckets(agg_index):
+    idx, _t, _l = agg_index
+    got = range_agg(idx, "zzqnothing", [(None, 5), (5, None)]).to_pandas()
+    assert got["doc_count"].tolist() == [0, 0]
+
+
+def test_cardinality_agg_exact_below_threshold(agg_index):
+    idx, texts, lg = agg_index
+    got = cardinality_agg(idx, "the data", "lang").to_pandas().iloc[0]
+    toks = [set(analyze("standard", t)) for t in texts]
+    want = len({lg[i] for i in range(len(texts))
+                if {"the", "data"} & toks[i]})
+    assert got["cardinality"] == want
+    assert not got["is_approx"]
+
+
+def test_cardinality_agg_hll_promotion(agg_index):
+    idx, texts, lg = agg_index
+    # threshold below the true cardinality forces the sketch path; at
+    # tiny cardinalities linear counting is exact-or-adjacent
+    got = cardinality_agg(idx, "the data", "lang",
+                          precision_threshold=2).to_pandas().iloc[0]
+    toks = [set(analyze("standard", t)) for t in texts]
+    want = len({lg[i] for i in range(len(texts))
+                if {"the", "data"} & toks[i]})
+    assert got["is_approx"]
+    assert abs(got["cardinality"] - want) <= 1
