@@ -414,6 +414,16 @@ def expand_wildcard(index_dir: str, field: str, pattern: str) -> list[str]:
     return sorted(tbl.filter(m)["term"].to_pylist())
 
 
+def expand_prefix(index_dir: str, field: str, prefix: str,
+                  max_expansions: int = 50) -> list[str]:
+    """ES prefix / match_phrase_prefix term expansion: dictionary terms
+    with the literal prefix, in term order, capped at ``max_expansions``
+    (Lucene collects prefix terms in term order and stops at the cap).
+    The prefix prunes the dictionary read to one closed range."""
+    tbl = _read_term_dict(index_dir, field, prefix)
+    return sorted(set(tbl["term"].to_pylist()))[:max_expansions]
+
+
 def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]:
     qrows = queries.to_pylist() if isinstance(queries, pa.Table) else list(queries)
     out = []
@@ -2192,6 +2202,113 @@ class PhraseSearcher:
         hits_a = np.array(hits, dtype=np.int64)
         freqs_a = np.array(freqs, dtype=np.float64)
         scores = idf_sum * codec.bm25_tf_impact(freqs_a, dl[hits_a], avgdl)
+        order = np.lexsort((hits_a, -scores))[:k]
+        return hits_a[order], scores[order], freqs_a[order].astype(np.int64)
+
+    def search_prefix(self, query: str, k: int = 10,
+                      field: str = DEFAULT_FIELD, max_expansions: int = 50,
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """ES ``match_phrase_prefix`` analogue: the analyzed query's last
+        token is a PREFIX — the phrase matches wherever the fixed tokens
+        occur consecutively followed by any dictionary term carrying the
+        prefix (first ``max_expansions`` in term order, the Lucene
+        rewrite). Scoring convention (documented, mirrored by tests):
+        ``(sum(idf of unique fixed terms, lex order) + idf(min(n, sum df
+        of matched expansions)))  * bm25_tf_impact(freq, dl, avgdl)``
+        where freq counts positions completing the phrase with ANY
+        expansion; tie-break (score desc, doc_id asc)."""
+        lo = self.local
+        if (lo.term_ds is not None
+                and not blobs.has_positions(lo.term_ds.schema)):
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig.index_positions=True required)")
+        seq = list(analyze(_field_analyzer(lo.stats, field), query))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                 np.empty(0, np.int64))
+        if not seq:
+            return empty
+        fixed, prefix = seq[:-1], seq[-1]
+        exps = expand_prefix(lo.index_dir, field, prefix, max_expansions)
+        if not exps:
+            return empty
+        uniq_fixed = sorted(set(fixed))
+        idf = lo._idf(field, uniq_fixed)
+        if len(idf) != len(uniq_fixed):
+            return empty
+        uniq = sorted(set(uniq_fixed) | set(exps))
+        tt = lo._read_terms(["term", "df"], {field: uniq}, positions=True)
+        per_term_docs: dict[str, list[np.ndarray]] = {t: [] for t in uniq}
+        per_term_pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq}
+        df_of: dict[str, int] = {t: 0 for t in uniq}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            enc_pos = tt["positions_enc"][i].as_py()
+            if enc_pos is None:
+                raise ValueError(
+                    "index was built without positions "
+                    "(BuildConfig.index_positions=True required)")
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()))
+            per_term_docs[t].append(ids)
+            per_term_pos[t].update(_positions_by_doc(ids, tfs, enc_pos))
+            df_of[t] += len(ids)
+        cand = None
+        for t in uniq_fixed:
+            docs_t = (np.concatenate(per_term_docs[t])
+                      if per_term_docs[t] else np.empty(0, np.int64))
+            docs_t = np.sort(docs_t)
+            cand = docs_t if cand is None else np.intersect1d(
+                cand, docs_t, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        exp_runs = [np.sort(np.concatenate(per_term_docs[t]))
+                    for t in exps if per_term_docs[t]]
+        if not exp_runs:
+            return empty
+        exp_docs = (exp_runs[0] if len(exp_runs) == 1
+                    else np.unique(np.concatenate(exp_runs)))
+        cand = exp_docs if cand is None else np.intersect1d(
+            cand, exp_docs, assume_unique=True)
+        if len(lo._deleted):
+            cand = cand[_drop_deleted(lo._deleted, cand)]
+        if len(cand) == 0:
+            return empty
+        dl = lo._dl_for(field)
+        avgdl = _avgdl(lo.stats, field)
+        idf_fixed = float(sum(idf[t] for t in uniq_fixed))
+        exp_df = min(int(lo.stats["n_docs"]),
+                     sum(df_of[t] for t in exps))
+        idf_slot = float(codec.bm25_idf(exp_df, int(lo.stats["n_docs"])))
+        hits, freqs = [], []
+        off = len(fixed)
+        for d in cand:
+            di = int(d)
+            last = np.concatenate([per_term_pos[t][di] for t in exps
+                                   if di in per_term_pos[t]])
+            if len(last) == 0:
+                continue
+            if not fixed:
+                fq = len(last)
+            else:
+                chain = [per_term_pos[t][di] for t in fixed]
+                ok = chain[0]
+                for i in range(1, len(chain)):
+                    ok = ok[np.isin(ok + i, chain[i], assume_unique=False)]
+                    if len(ok) == 0:
+                        break
+                fq = (int(np.isin(ok + off, last).sum())
+                      if len(ok) else 0)
+            if fq > 0:
+                hits.append(di)
+                freqs.append(fq)
+        if not hits:
+            return empty
+        hits_a = np.array(hits, dtype=np.int64)
+        freqs_a = np.array(freqs, dtype=np.float64)
+        scores = (idf_fixed + idf_slot) * codec.bm25_tf_impact(
+            freqs_a, dl[hits_a], avgdl)
         order = np.lexsort((hits_a, -scores))[:k]
         return hits_a[order], scores[order], freqs_a[order].astype(np.int64)
 

@@ -1879,6 +1879,49 @@ def _sql_phrase_match() -> str:
     )
 
 
+# phrases whose LAST token is a prefix; expansions stay under ES's
+# max_expansions=50 cap on this vocabulary, so engine and oracle agree
+DOC_PREFIX_PHRASES = ["query s", "hash jo", "the da", "v", "fast fil"]
+
+
+def q_match_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix: the fixed tokens followed by any term
+    carrying the last token as a prefix (term-dictionary expansion in term
+    order, Lucene's rewrite) — matching doc set per query via the
+    positional index."""
+    from ..index.search import LocalSearcher, PhraseSearcher
+
+    idx = _ensure_doc_index(sf_dir, positions=True)
+    ps = PhraseSearcher(LocalSearcher(idx))
+    dmap = _docid_map(idx)
+    out_q, out_d = [], []
+    for qid, phrase in enumerate(DOC_PREFIX_PHRASES):
+        ids, _sc, _fq = ps.search_prefix(phrase, k=10**9)
+        out_q.extend([qid] * len(ids))
+        out_d.extend(sorted(int(dmap[i]) for i in ids))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _sql_match_phrase_prefix() -> str:
+    parts = []
+    for qid, phrase in enumerate(DOC_PREFIX_PHRASES):
+        from ..functions.analyzers import analyze
+
+        toks = " ".join(analyze("standard", phrase))
+        # no trailing space: the last token is a prefix of the next token
+        parts.append(
+            f"SELECT {qid} AS query_id, doc_id FROM toks "
+            f"WHERE s LIKE '% {toks}%'"
+        )
+    return (
+        "WITH toks AS (SELECT doc_id, ' ' || array_to_string("
+        f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ') || ' ' AS s "
+        "FROM documents WHERE text IS NOT NULL AND text <> '') "
+        + " UNION ALL ".join(parts)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k over embeddings
 # ---------------------------------------------------------------------------
@@ -2728,6 +2771,7 @@ def queries() -> dict:
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
+        "match_phrase_prefix": q_match_phrase_prefix,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -2791,6 +2835,7 @@ def oracle_sql() -> dict:
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),
+        "match_phrase_prefix": _sql_match_phrase_prefix(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,

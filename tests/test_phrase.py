@@ -157,3 +157,59 @@ def test_phrase_on_multifield(tmp_path_factory):
     loc_ids, loc_sc, _ = ps.search(phrase, k=20, field="text_simple")
     assert dist["doc_id"].tolist() == loc_ids.tolist()
     assert dist["score"].tolist() == loc_sc.tolist()
+
+
+def brute_prefix(t, phrase: str, max_expansions: int = 50):
+    """match_phrase_prefix oracle: fixed tokens consecutive, then any
+    vocabulary term with the last token as prefix (term-order expansion
+    cap), with the documented score convention."""
+    urls, toks = corpus_from_webtext(t)
+    seq = analyze("standard", phrase)
+    fixed, prefix = seq[:-1], seq[-1]
+    vocab = sorted({w for tk in toks for w in tk})
+    exps = [w for w in vocab if w.startswith(prefix)][:max_expansions]
+    if not exps:
+        return {}
+    eset = set(exps)
+    dl = np.array([len(x) for x in toks], dtype=np.float64)
+    avgdl = float(dl.mean())
+    n = len(toks)
+    uniq_fixed = sorted(set(fixed))
+    dfs = {u: sum(u in set(tk) for tk in toks) for u in uniq_fixed}
+    if any(dfs[u] == 0 for u in uniq_fixed):
+        return {}
+    idf_fixed = float(sum(codec.bm25_idf(dfs[u], n) for u in uniq_fixed))
+    exp_df = min(n, sum(sum(e in set(tk) for tk in toks) for e in exps))
+    idf_slot = float(codec.bm25_idf(exp_df, n))
+    out = {}
+    for d, tk in enumerate(toks):
+        c = sum(1 for i in range(len(tk) - len(seq) + 1)
+                if tk[i:i + len(fixed)] == fixed
+                and tk[i + len(fixed)] in eset)
+        if c:
+            out[d] = (c, (idf_fixed + idf_slot) * float(
+                codec.bm25_tf_impact(np.array([c], dtype=np.float64),
+                                     np.array([dl[d]]), avgdl)[0]))
+    return out
+
+
+@pytest.mark.parametrize("phrase", ["the da", "data s", "s", "the data s",
+                                    "zzq missing pre"])
+def test_match_phrase_prefix_matches_brute(pos_index, phrase):
+    idx, t = pos_index
+    ps = PhraseSearcher(LocalSearcher(idx))
+    ids, scores, freqs = ps.search_prefix(phrase, k=100000)
+    want = brute_prefix(t, phrase)
+    got = {int(d): (int(f), float(s)) for d, s, f in zip(ids, scores, freqs)}
+    assert set(got) == set(want), (phrase, len(got), len(want))
+    for d in got:
+        assert got[d][0] == want[d][0], (phrase, d)
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12)
+
+
+def test_match_phrase_prefix_expansion_cap(pos_index):
+    idx, t = pos_index
+    ps = PhraseSearcher(LocalSearcher(idx))
+    ids1, _s1, _f1 = ps.search_prefix("the s", k=100000, max_expansions=1)
+    want = brute_prefix(t, "the s", max_expansions=1)
+    assert set(int(d) for d in ids1) == set(want)
