@@ -2313,6 +2313,70 @@ class PhraseSearcher:
         return hits_a[order], scores[order], freqs_a[order].astype(np.int64)
 
 
+def highlight_matches(local: "LocalSearcher", query: str,
+                      field: str = DEFAULT_FIELD) -> pa.Table:
+    """ES highlighter primitive: for every doc matching an OR match query,
+    the FIRST occurrence position (token index) of each query term present
+    — the fragment anchor an ES unified-highlighter builds snippets
+    around. We anchor on token positions from the positional index rather
+    than re-analyzed character offsets (the index stores positions, not
+    offsets; a snippet stage joins the stored text by doc range, as
+    ``export_matches`` does).
+
+    Fully vectorized: the positions stream stores each run's first value
+    absolute (codec.delta_encode_runs), so the per-doc first position is
+    ``varint_decode(positions_enc)[run_starts]`` — no per-doc loop and no
+    full position decode. Requires ``BuildConfig(index_positions=True)``.
+
+    Returns (doc_id, term, first_pos) sorted by (doc_id, term).
+    """
+    lo = local
+    if (lo.term_ds is not None
+            and not blobs.has_positions(lo.term_ds.schema)):
+        raise ValueError("index was built without positions "
+                         "(BuildConfig.index_positions=True required)")
+    terms = sorted(set(analyze(_field_analyzer(lo.stats, field), query)))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "first_pos": pa.array([], pa.int64())})
+    if not terms:
+        return empty
+    tt = lo._read_terms(["term", "df"], {field: terms}, positions=True)
+    out_d, out_t, out_p = [], [], []
+    for i in range(tt.num_rows):
+        enc_pos = tt["positions_enc"][i].as_py()
+        if enc_pos is None:
+            raise ValueError("index was built without positions "
+                             "(BuildConfig.index_positions=True required)")
+        ids, tfs = codec.decode_postings(
+            tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+            int(tt["df"][i].as_py()))
+        if len(lo._deleted):
+            keep = _drop_deleted(lo._deleted, ids)
+            if not keep.any():
+                continue
+        else:
+            keep = None
+        starts = np.r_[0, np.cumsum(tfs)[:-1]].astype(np.int64)
+        vals = codec.varint_decode(
+            np.frombuffer(enc_pos, dtype=np.uint8), int(tfs.sum()))
+        firsts = vals[starts]
+        if keep is not None:
+            ids, firsts = ids[keep], firsts[keep]
+        out_d.append(ids)
+        out_t.extend([tt["term"][i].as_py()] * len(ids))
+        out_p.append(firsts)
+    if not out_d:
+        return empty
+    d = np.concatenate(out_d)
+    p = np.concatenate(out_p).astype(np.int64)
+    t = np.array(out_t, dtype=object)
+    order = np.lexsort((t, d))
+    return pa.table({"doc_id": pa.array(d[order], pa.int64()),
+                     "term": pa.array(t[order].tolist(), pa.string()),
+                     "first_pos": pa.array(p[order], pa.int64())})
+
+
 def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
                      searcher: LocalSearcher | None = None) -> pa.Table:
     """Single-process query path over a (reusable) LocalSearcher."""

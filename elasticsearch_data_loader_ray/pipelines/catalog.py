@@ -1922,6 +1922,41 @@ def _sql_match_phrase_prefix() -> str:
     )
 
 
+HIGHLIGHT_QUERY = "slow filter data"
+
+
+def q_highlight_match(sf_dir: str):
+    """ES highlight anchor: (doc_id, term, first_pos) for every doc
+    matching the OR match query — the first token position of each query
+    term present, decoded as positions_stream[run_starts] (each run's
+    first position is stored absolute), no full position decode."""
+    from ..index.search import LocalSearcher, highlight_matches
+
+    idx = _ensure_doc_index(sf_dir, positions=True)
+    t = highlight_matches(LocalSearcher(idx), HIGHLIGHT_QUERY)
+    ids = (_docid_map(idx)[t["doc_id"].to_numpy()]
+           if t.num_rows else np.empty(0, np.int64))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "term": t["term"],
+                     "first_pos": t["first_pos"]})
+
+
+def _sql_highlight_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(HIGHLIGHT_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}') AS arr FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        "toks AS (SELECT doc_id, unnest(arr) AS term, "
+        "unnest(generate_series(0, len(arr) - 1)) AS pos FROM docs), "
+        f"q(term) AS (VALUES {vals}) "
+        "SELECT doc_id, toks.term, min(pos)::BIGINT AS first_pos "
+        "FROM toks JOIN q USING (term) GROUP BY 1, 2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k over embeddings
 # ---------------------------------------------------------------------------
@@ -2772,6 +2807,7 @@ def queries() -> dict:
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
         "match_phrase_prefix": q_match_phrase_prefix,
+        "highlight_match": q_highlight_match,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -2836,6 +2872,7 @@ def oracle_sql() -> dict:
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),
         "match_phrase_prefix": _sql_match_phrase_prefix(),
+        "highlight_match": _sql_highlight_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,

@@ -213,3 +213,21 @@ def test_match_phrase_prefix_expansion_cap(pos_index):
     ids1, _s1, _f1 = ps.search_prefix("the s", k=100000, max_expansions=1)
     want = brute_prefix(t, "the s", max_expansions=1)
     assert set(int(d) for d in ids1) == set(want)
+
+
+def test_highlight_first_positions_match_brute(pos_index):
+    from elasticsearch_data_loader_ray.index.search import highlight_matches
+
+    idx, t = pos_index
+    got = highlight_matches(LocalSearcher(idx), "the data search").to_pandas()
+    urls, toks = corpus_from_webtext(t)
+    want = {}
+    for d, tk in enumerate(toks):
+        for q in ("the", "data", "search"):
+            if q in tk:
+                want[(d, q)] = tk.index(q)
+    assert {(int(r.doc_id), r.term): int(r.first_pos)
+            for r in got.itertuples()} == want
+    # deterministic order
+    assert got.sort_values(["doc_id", "term"]).reset_index(drop=True).equals(
+        got.reset_index(drop=True))
