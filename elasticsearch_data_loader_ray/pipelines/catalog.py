@@ -1151,6 +1151,45 @@ def _sql_bm25_topk() -> str:
     )
 
 
+def q_search_after_page(sf_dir: str):
+    """ES search_after keyset pagination: page 2 of the BM25 ranking.
+    Page 1 (k=10) supplies the (score, doc_id) cursor — its own last row —
+    and search_after returns the next 10 strictly after it. Raw-score
+    cursor == raw rank 11..20; the oracle's rounded re-rank agrees because
+    6-dp rounding never merges distinct scores on integer tf/dl corpora
+    (same convention every bm25 entry relies on)."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    out_q, out_d, out_s = [], [], []
+    for qid, q in enumerate(DOC_QUERIES):
+        ids1, sc1 = lo.search(q, k=DOC_K)
+        if len(ids1) == 0:
+            continue
+        after = (float(sc1[-1]), int(ids1[-1]))
+        ids2, sc2 = lo.search_after(q, after, k=DOC_K)
+        out_q.extend([qid] * len(ids2))
+        out_d.extend(dmap[ids2].tolist())
+        out_s.extend(np.round(sc2, 6).tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def _sql_search_after_page() -> str:
+    base = _sql_bm25_topk()
+    # same scored CTE, ranks (K, 2K] instead of [1, K]
+    old_tail = f"WHERE rank <= {DOC_K}"
+    assert base.endswith(old_tail)
+    base = base.replace(
+        "SELECT query_id, rank, doc_id, score FROM (",
+        "SELECT query_id, doc_id, score FROM (", 1)
+    return base[: -len(old_tail)] + (
+        f"WHERE rank > {DOC_K} AND rank <= {2 * DOC_K}")
+
+
 DOC_AND_QUERIES = ["query scan", "the data", "table part value",
                    "fast slow", "w0042 the", "zzqmissing data"]
 
@@ -2791,6 +2830,7 @@ def queries() -> dict:
         "langid_quality": q_langid_quality,
         "fingerprint": q_fingerprint,
         "bm25_topk": q_bm25_topk,
+        "search_after_page": q_search_after_page,
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
@@ -2854,6 +2894,7 @@ def oracle_sql() -> dict:
         "langid_quality": SQL_LANGID_QUALITY,
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
+        "search_after_page": _sql_search_after_page(),
         # append gate: build(first half) + append(second half) must equal
         # the FULL-corpus BM25 — the same SQL is the oracle by construction
         "incremental_append": _sql_bm25_topk(),
