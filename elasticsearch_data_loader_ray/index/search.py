@@ -1567,7 +1567,9 @@ class LocalSearcher:
 
     def _search_or_fulldecode(self, field: str, terms: list[str], k: int,
                               idf: dict[str, float], dl: np.ndarray,
-                              avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+                              avgdl: float,
+                              after: tuple[float, int] | None = None,
+                              ) -> tuple[np.ndarray, np.ndarray]:
         """Exhaustive OR scoring (lexicographic accumulation) — the default
         serving path and the bitwise reference for the block-max path.
 
@@ -1599,7 +1601,7 @@ class LocalSearcher:
                 and total * 16 >= span_hi - span_lo):
             loc, sc = self._accumulate_windowed(
                 terms, by_term, contribs, span_lo, span_hi,
-                k, self._deleted)
+                k, self._deleted, after)
         else:
             loc = np.unique(np.concatenate(runs))
             sc = np.zeros(len(loc), dtype=np.float64)
@@ -1611,6 +1613,10 @@ class LocalSearcher:
         if len(self._deleted):  # upsert tombstones: drop before top-k
             keep = _drop_deleted(self._deleted, loc)
             loc, sc = loc[keep], sc[keep]
+        if after is not None:  # keyset cursor: keep strictly-after rows
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (sc < a_s) | ((sc == a_s) & (loc > a_d))
+            loc, sc = loc[keep], sc[keep]
         if len(loc) > k:
             kth = np.partition(sc, -k)[-k]
             keep = sc >= kth
@@ -1621,7 +1627,8 @@ class LocalSearcher:
     @staticmethod
     def _accumulate_windowed(terms: list[str], by_term: dict,
                              contribs: dict, span_lo: int, span_hi: int,
-                             k: int, deleted: np.ndarray
+                             k: int, deleted: np.ndarray,
+                             after: tuple[float, int] | None = None,
                              ) -> tuple[np.ndarray, np.ndarray]:
         """Dense scatter-add accumulation over fixed doc-id windows.
 
@@ -1676,6 +1683,13 @@ class LocalSearcher:
             sc_w = buf[nz]
             if len(deleted):
                 keep = _drop_deleted(deleted, loc_w)
+                loc_w, sc_w = loc_w[keep], sc_w[keep]
+            if after is not None:
+                # cursor filter BEFORE the window cut: the per-window
+                # top-k then bounds the filtered set, so page-2+ hits
+                # (all below the page-1 kth) survive
+                a_s, a_d = float(after[0]), int(after[1])
+                keep = (sc_w < a_s) | ((sc_w == a_s) & (loc_w > a_d))
                 loc_w, sc_w = loc_w[keep], sc_w[keep]
             if len(loc_w) > k:
                 kth = np.partition(sc_w, -k)[-k]
@@ -1830,13 +1844,25 @@ class LocalSearcher:
         analogue): return the next ``k`` hits strictly after the
         ``(score, doc_id)`` cursor in (score desc, doc_id asc) order.
         ``after=None`` is the first page. Deterministic: the cursor is the
-        last row of the previous page."""
-        ids, sc = self.search(query, k=self.n_docs or 1, field=field)
-        if after is not None:
-            a_s, a_d = float(after[0]), int(after[1])
-            keep = (sc < a_s) | ((sc == a_s) & (ids > a_d))
-            ids, sc = ids[keep], sc[keep]
-        return ids[:k], sc[:k]
+        last row of the previous page.
+
+        Routed through the exhaustive-accumulation path with the cursor
+        applied before the top-k cut, so a page-2+ request costs the same
+        as page 1 (no full ranking, candidate memory bounded by the
+        windowed accumulator) and scores are bitwise-identical to
+        ``search()``'s."""
+        if after is None:
+            return self.search(query, k=k, field=field)
+        self._maybe_auto_refresh()
+        all_terms = query_terms(query, _field_analyzer(self.stats, field))
+        idf = self._idf(field, all_terms)
+        terms = [t for t in all_terms if t in idf]
+        if not terms or self.term_ds is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return self._search_or_fulldecode(
+            field, terms, k, idf, self._dl_for(field),
+            _avgdl(self.stats, field),
+            after=(float(after[0]), int(after[1])))
 
     def search_bool(self, bq: dict, k: int = 10,
                     field: str = DEFAULT_FIELD

@@ -279,3 +279,25 @@ def test_distributed_plan_path_builds_identical_docs(webtext, index_dir,
     b = search(out, queries).to_pandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_search_after_windowed_path_tiles(index_dir, monkeypatch):
+    """Cursor filter composes with the windowed-dense accumulator's
+    per-window cut (page-2 hits all score below the page-1 kth)."""
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, _ = index_dir
+    s = LocalSearcher(idx)
+    monkeypatch.setattr(LocalSearcher, "_DENSE_MIN_POSTINGS", 1)
+    full_ids, full_sc = s.search("the data search", k=30,
+                                 or_strategy="exact")
+    pages_ids, pages_sc, cursor = [], [], None
+    for _ in range(3):
+        ids, sc = s.search_after("the data search", cursor, k=10)
+        if len(ids) == 0:
+            break
+        pages_ids.extend(ids.tolist())
+        pages_sc.extend(sc.tolist())
+        cursor = (float(sc[-1]), int(ids[-1]))
+    assert pages_ids == full_ids.tolist()
+    assert pages_sc == full_sc.tolist()
