@@ -1756,7 +1756,7 @@ def _ensure_mf_doc_index(sf_dir: str) -> str:
                 return idx
     shutil.rmtree(idx, ignore_errors=True)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
+                         columns=["doc_id", "text", "lang", "source"])
     corpus = ds.map_batches(_docs_to_corpus_mf, batch_format="pyarrow")
     build_index_from_corpus(
         corpus, idx, BuildConfig(docs_per_segment=2000,
