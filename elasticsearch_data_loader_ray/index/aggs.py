@@ -472,6 +472,39 @@ def range_agg(index_dir: str, query: str, ranges: list[tuple],
                      "doc_count": pa.array(counts, pa.int64())})
 
 
+def percentiles_agg(index_dir: str, query: str,
+                    percents: tuple = (1, 5, 25, 50, 75, 95, 99),
+                    field: str = DEFAULT_FIELD,
+                    metric_field: str | None = None,
+                    concurrency: int = 4) -> pa.Table:
+    """ES ``percentiles`` aggregation over the matching docs' token
+    counts (default percents match ES). ES approximates with TDigest;
+    token counts are integers, so the interval-1 histogram partials are a
+    LOSSLESS compression of the full distribution and the interpolated
+    quantiles are exact (quantile_cont convention: linear between order
+    statistics — same convention as the quality_percentiles entry)."""
+    hist = histogram_agg(index_dir, query, 1, field, metric_field,
+                         concurrency).to_pandas()
+    cols = {f"p{int(p)}": [None] for p in percents}
+    if len(hist) == 0:
+        return pa.table({k: pa.array(v, pa.float64())
+                         for k, v in cols.items()})
+    vals = hist["key"].to_numpy(dtype=np.float64)
+    cnts = hist["doc_count"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out = {}
+    for p in percents:
+        h = (n - 1) * (p / 100.0)
+        lo_i = int(np.searchsorted(cum, np.floor(h) + 1, side="left"))
+        hi_i = int(np.searchsorted(cum, np.floor(h) + 2, side="left"))
+        lo_v = vals[lo_i]
+        hi_v = vals[min(hi_i, len(vals) - 1)]
+        v = lo_v + (h - np.floor(h)) * (hi_v - lo_v)
+        out[f"p{int(p)}"] = pa.array([round(float(v), 4)], pa.float64())
+    return pa.table(out)
+
+
 class _CardAggWorker:
     """Actor: per-segment cardinality partials for one broadcast query.
 

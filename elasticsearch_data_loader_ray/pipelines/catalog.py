@@ -1610,6 +1610,39 @@ def _sql_range_agg_match() -> str:
     )
 
 
+AGG_PERCENTS = (1, 5, 25, 50, 75, 95, 99)  # ES percentiles-agg defaults
+
+
+def q_percentiles_agg_match(sf_dir: str):
+    """ES percentiles aggregation: word_count quantiles over the docs
+    matching an OR match query — integer-exact via interval-1 histogram
+    partials (ES approximates with TDigest; the lossless histogram is
+    strictly better at integer metrics)."""
+    from ..index.aggs import percentiles_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return percentiles_agg(idx, TERMS_AGG_QUERY, AGG_PERCENTS)
+
+
+def _sql_percentiles_agg_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    sel = ", ".join(
+        f"round(quantile_cont(coalesce(dl.dl, 0), {p / 100.0}), 4) "
+        f"AS p{int(p)}" for p in AGG_PERCENTS)
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        f"SELECT {sel} FROM hits h LEFT JOIN dl USING (doc_id)"
+    )
+
+
 def q_cardinality_agg_match(sf_dir: str):
     """ES cardinality aggregation: distinct ``source`` values among the
     docs matching an OR match query. The gate exercises the EXACT path
@@ -2841,6 +2874,7 @@ def queries() -> dict:
         "stats_agg_match": q_stats_agg_match,
         "range_agg_match": q_range_agg_match,
         "cardinality_agg_match": q_cardinality_agg_match,
+        "percentiles_agg_match": q_percentiles_agg_match,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
@@ -2907,6 +2941,7 @@ def oracle_sql() -> dict:
         "stats_agg_match": _sql_stats_agg_match(),
         "range_agg_match": _sql_range_agg_match(),
         "cardinality_agg_match": _sql_cardinality_agg_match(),
+        "percentiles_agg_match": _sql_percentiles_agg_match(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),

@@ -19,6 +19,7 @@ from elasticsearch_data_loader_ray.index.aggs import (
     build_doc_values,
     cardinality_agg,
     histogram_agg,
+    percentiles_agg,
     range_agg,
     stats_agg,
     terms_agg,
@@ -169,3 +170,20 @@ def test_cardinality_agg_hll_promotion(agg_index):
                 if {"the", "data"} & toks[i]})
     assert got["is_approx"]
     assert abs(got["cardinality"] - want) <= 1
+
+
+def test_percentiles_agg_matches_numpy(agg_index):
+    idx, texts, _l = agg_index
+    got = percentiles_agg(idx, "the data", (1, 50, 99)).to_pandas().iloc[0]
+    toks = [analyze("standard", t) for t in texts]
+    dls = np.array([len(tk) for tk in toks if {"the", "data"} & set(tk)],
+                   dtype=np.float64)
+    for p in (1, 50, 99):
+        want = round(float(np.percentile(dls, p, method="linear")), 4)
+        assert got[f"p{p}"] == want
+
+
+def test_percentiles_agg_unmatched_is_null_row(agg_index):
+    idx, _t, _l = agg_index
+    got = percentiles_agg(idx, "zzqnothing", (50,)).to_pandas()
+    assert len(got) == 1 and got["p50"].isna().all()
