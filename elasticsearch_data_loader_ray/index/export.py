@@ -42,6 +42,7 @@ from .search import (
     _field_analyzer,
     _load_deleted,
     _load_stats,
+    _term_filters,
     _visible_seg_ids,
     query_terms,
 )
@@ -144,6 +145,177 @@ def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
                 "index_dir": index_dir, "field": field,
                 "terms": sorted(set(terms)), "mode": mode,
                 "stored_columns": tuple(stored_columns),
+                "corpus_files": _corpus_files(index_dir)},
+            batch_format="pyarrow", batch_size=1,
+            concurrency=min(concurrency, len(seg_ids)))
+    )
+
+
+class _SnippetWorker:
+    """Actor: one segment per batch -> (doc_id, anchor_pos, snippet).
+
+    ES unified-highlighter analogue with a documented deterministic
+    convention: the fragment anchors on the EARLIEST occurrence of any
+    query term in the doc (min over the terms' first positions, decoded
+    as positions_stream[run_starts] — each run's first value is stored
+    absolute, so no full position decode), and the snippet is the
+    ``window``-token neighbourhood re-tokenized from the stored text.
+    Segment-local end to end: postings, positions, docs slice and the
+    url-range-pruned corpus read all stay within the segment."""
+
+    def __init__(self, index_dir: str, field: str, terms: list[str],
+                 window: int, corpus_files: list[str]):
+        from . import blobs  # noqa: F401  (sidecar probe below)
+
+        self.index_dir = index_dir
+        self.field = field
+        self.terms = terms
+        self.window = int(window)
+        self.corpus_files = corpus_files
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+        analyzer = _field_analyzer(stats, field)
+        if analyzer != "standard":
+            raise ValueError(
+                f"snippet_matches re-tokenizes stored text and requires "
+                f"the standard analyzer on {field!r}, got {analyzer!r}")
+
+    def _anchors(self, seg_id: int) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted matched doc ids, per-doc min first-position)."""
+        from . import blobs, codec
+        from .build import seg_terms_path
+
+        filters = _term_filters({self.field: self.terms})
+        path = seg_terms_path(self.index_dir, seg_id)
+        schema = pq.read_schema(path)
+        if blobs.has_sidecar(schema):
+            if "pos_nbytes" not in schema.names:
+                raise ValueError(
+                    "index was built without positions "
+                    "(BuildConfig.index_positions=True required)")
+            cols = ["field", "term", "df", "segment_id",
+                    *blobs.RANGE_COLUMNS]
+            tt = pq.read_table(path, columns=cols, filters=filters)
+            tt = blobs.materialize_enc(tt, lambda _s: path,
+                                       want_positions=True)
+        else:
+            tt = pq.read_table(
+                path, columns=["field", "term", "df", "doc_ids_enc",
+                               "tfs_enc", "positions_enc"],
+                filters=filters)
+        all_ids, all_firsts = [], []
+        for i in range(tt.num_rows):
+            enc_pos = tt["positions_enc"][i].as_py()
+            if enc_pos is None:
+                raise ValueError(
+                    "index was built without positions "
+                    "(BuildConfig.index_positions=True required)")
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()))
+            starts = np.r_[0, np.cumsum(tfs)[:-1]].astype(np.int64)
+            vals = codec.varint_decode(
+                np.frombuffer(enc_pos, dtype=np.uint8), int(tfs.sum()))
+            all_ids.append(ids)
+            all_firsts.append(vals[starts])
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids = np.concatenate(all_ids)
+        firsts = np.concatenate(all_firsts).astype(np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        anchor = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(anchor, inv, firsts)
+        return uniq, anchor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import analyzers as an
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "url": pa.array([], pa.string()),
+                          "anchor_pos": pa.array([], pa.int64()),
+                          "snippet": pa.array([], pa.string())})
+        outs = []
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids, anchor = self._anchors(seg_id)
+            if len(self._deleted) and len(ids):
+                keep = _drop_deleted(self._deleted, ids)
+                ids, anchor = ids[keep], anchor[keep]
+            if len(ids) == 0:
+                continue
+            docs = pq.read_table(
+                seg_docs_path(self.index_dir, seg_id),
+                columns=["doc_id", "url"])
+            base = int(docs["doc_id"][0].as_py())
+            rows = docs.take(pa.array(ids - base))
+            mm = pc.min_max(rows["url"])
+            sl = pq.read_table(
+                self.corpus_files, columns=["url", "text"],
+                filters=[("url", ">=", mm["min"].as_py()),
+                         ("url", "<=", mm["max"].as_py())])
+            _u, first = np.unique(np.asarray(pc.cast(sl["url"],
+                                                     pa.string())),
+                                  return_index=True)
+            if len(_u) != sl.num_rows:
+                sl = sl.take(pa.array(np.sort(first)))
+            j = pa.table({"url": rows["url"],
+                          "doc_id": rows["doc_id"],
+                          "anchor_pos": pa.array(anchor, pa.int64())}) \
+                .join(sl.set_column(0, "url",
+                                    pc.cast(sl["url"], rows["url"].type)),
+                      keys="url", join_type="left outer") \
+                .sort_by("doc_id")
+            doc_idx, tokens, dl = an.standard_tokenize_batch(j["text"])
+            dl64 = dl.astype(np.int64)
+            tstarts = np.r_[0, np.cumsum(dl64)].astype(np.int64)
+            p = j["anchor_pos"].to_numpy()
+            w = self.window
+            s = tstarts[:-1] + np.maximum(0, p - w)
+            e = tstarts[:-1] + np.minimum(dl64, p + w + 1)
+            lens = np.maximum(0, e - s)
+            loffs = np.r_[0, np.cumsum(lens)].astype(np.int64)
+            flat_idx = (np.repeat(s, lens)
+                        + np.arange(int(lens.sum()), dtype=np.int64)
+                        - np.repeat(loffs[:-1], lens))
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            kept = tokens.take(pa.array(flat_idx))
+            lst = pa.ListArray.from_arrays(
+                pa.array(loffs.astype(np.int32), pa.int32()),
+                pc.cast(kept, pa.string()))
+            snip = pc.binary_join(lst, " ")
+            outs.append(pa.table({
+                "doc_id": j["doc_id"],
+                "url": pc.cast(j["url"], pa.string()),
+                "anchor_pos": j["anchor_pos"],
+                "snippet": pc.cast(snip, pa.string()),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+
+def snippet_matches(index_dir: str, query: str, window: int = 2,
+                    field: str = DEFAULT_FIELD,
+                    concurrency: int = 4) -> rd.Dataset:
+    """Stream (doc_id, anchor_pos, snippet) for every doc matching the OR
+    match query: the ``window``-token neighbourhood of the earliest query
+    term occurrence, re-tokenized from stored text. Lazy Dataset — the ES
+    highlight analogue as a batch extraction."""
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "url": pa.array([], pa.string()),
+                      "anchor_pos": pa.array([], pa.int64()),
+                      "snippet": pa.array([], pa.string())})
+    if not terms or not seg_ids:
+        return rd.from_arrow(empty)
+    return (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _SnippetWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "terms": sorted(set(terms)), "window": int(window),
                 "corpus_files": _corpus_files(index_dir)},
             batch_format="pyarrow", batch_size=1,
             concurrency=min(concurrency, len(seg_ids)))

@@ -1995,6 +1995,47 @@ def _sql_match_phrase_prefix() -> str:
 
 
 HIGHLIGHT_QUERY = "slow filter data"
+SNIPPET_WINDOW = 2
+
+
+def q_snippet_match(sf_dir: str):
+    """ES highlight fragments: the window-token neighbourhood of the
+    earliest query-term occurrence per matched doc, re-tokenized from
+    stored text — streamed as a lazy Dataset (segment-local postings,
+    positions and corpus reads)."""
+    from ..index.export import snippet_matches
+
+    idx = _ensure_doc_index(sf_dir, positions=True)
+    ds = snippet_matches(idx, HIGHLIGHT_QUERY, window=SNIPPET_WINDOW)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "anchor_pos": t["anchor_pos"],
+            "snippet": t["snippet"],
+        })
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
+
+
+def _sql_snippet_match() -> str:
+    from ..index.search import query_terms
+
+    w = SNIPPET_WINDOW
+    vals = ", ".join(f"('{t}')" for t in query_terms(HIGHLIGHT_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}') AS arr FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        "toks AS (SELECT doc_id, unnest(arr) AS term, "
+        "unnest(generate_series(0, len(arr) - 1)) AS pos FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "anchor AS (SELECT doc_id, min(pos) AS p FROM toks "
+        "JOIN q USING (term) GROUP BY 1) "
+        "SELECT a.doc_id, p::BIGINT AS anchor_pos, "
+        f"array_to_string(arr[greatest(1, p - {w} + 1) : p + {w} + 1], ' ') "
+        "AS snippet FROM anchor a JOIN docs USING (doc_id)"
+    )
 
 
 def q_highlight_match(sf_dir: str):
@@ -2882,6 +2923,7 @@ def queries() -> dict:
         "phrase_match": q_phrase_match,
         "match_phrase_prefix": q_match_phrase_prefix,
         "highlight_match": q_highlight_match,
+        "snippet_match": q_snippet_match,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -2949,6 +2991,7 @@ def oracle_sql() -> dict:
         "phrase_match": _sql_phrase_match(),
         "match_phrase_prefix": _sql_match_phrase_prefix(),
         "highlight_match": _sql_highlight_match(),
+        "snippet_match": _sql_snippet_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,

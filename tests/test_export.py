@@ -17,6 +17,7 @@ from elasticsearch_data_loader_ray.index.build import (
 )
 from elasticsearch_data_loader_ray.index.export import (
     export_matches,
+    snippet_matches,
     sorted_matches,
 )
 
@@ -41,7 +42,8 @@ def exp_index(tmp_path_factory):
     })
     idx = str(tmp_path_factory.mktemp("exp_idx"))
     build_index_from_corpus(rd.from_arrow(corpus), idx,
-                            BuildConfig(docs_per_segment=64))
+                            BuildConfig(docs_per_segment=64,
+                                        index_positions=True))
     return idx, texts, lg
 
 
@@ -112,3 +114,33 @@ def test_sorted_matches_unmatched_empty(exp_index):
     idx, _t, _l = exp_index
     got = sorted_matches(idx, "zzqnothing", "word_count", k=5)
     assert got.num_rows == 0
+
+
+def test_snippet_matches_brute_force(exp_index):
+    idx, texts, _l = exp_index
+    W = 2
+    got = snippet_matches(idx, "the data", window=W).to_pandas()
+    toks = [analyze("standard", t) for t in texts]
+    want = {}
+    for i, tk in enumerate(toks):
+        pos = [j for j, w in enumerate(tk) if w in ("the", "data")]
+        if pos:
+            p = min(pos)
+            want[i] = (p, " ".join(tk[max(0, p - W): p + W + 1]))
+    assert {int(r.doc_id): (int(r.anchor_pos), r.snippet)
+            for r in got.itertuples()} == want
+
+
+def test_snippet_requires_positions(tmp_path_factory):
+    corpus = pa.table({
+        "url": pa.array(["00000001"], pa.string()),
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "text": pa.array(["the data"], pa.large_string()),
+        "lang": pa.array(["en"], pa.string()),
+        "doc_len": pa.array([2], pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("nopos_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=64))
+    with pytest.raises(Exception, match="positions"):
+        snippet_matches(idx, "the data").to_pandas()
