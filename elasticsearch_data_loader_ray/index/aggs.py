@@ -31,6 +31,7 @@ import os
 import uuid
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -422,6 +423,172 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
             merged["metric_sum"].to_numpy()
             / merged["doc_count"].to_numpy(), pa.float64())
     return pa.table(out)
+
+
+class _SigTermsWorker:
+    """Actor: per-segment foreground doc-frequency partials — the matched
+    docs' stored text re-tokenized, one (term, fg_count) row per distinct
+    term. Work is O(matched docs' tokens), not O(segment vocabulary):
+    when the query matches a sliver of a 100-TB corpus, only that sliver
+    is read (url-range-pruned) and tokenized."""
+
+    def __init__(self, index_dir: str, field: str, terms_ref,
+                 corpus_files: list[str]):
+        self.index_dir = index_dir
+        self.field = field
+        self.terms = (ray.get(terms_ref)
+                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
+        self.corpus_files = corpus_files
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+        analyzer = _field_analyzer(stats, self.field)
+        if analyzer != "standard":
+            raise ValueError(
+                f"significant_terms re-tokenizes stored text and requires "
+                f"the standard analyzer on {field!r}, got {analyzer!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import analyzers as an
+
+        outs = []
+        n_matched = 0
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids = _matched_ids(self.index_dir, seg_id, self.field,
+                               self.terms)
+            if len(self._deleted) and len(ids):
+                ids = ids[_drop_deleted(self._deleted, ids)]
+            if len(ids) == 0:
+                continue
+            n_matched += len(ids)
+            docs = pq.read_table(
+                seg_docs_path(self.index_dir, seg_id),
+                columns=["doc_id", "url"])
+            base = int(docs["doc_id"][0].as_py())
+            rows = docs.take(pa.array(ids - base))
+            mm = pc.min_max(rows["url"])
+            sl = pq.read_table(
+                self.corpus_files, columns=["url", "text"],
+                filters=[("url", ">=", mm["min"].as_py()),
+                         ("url", "<=", mm["max"].as_py())])
+            sl = sl.join(rows.select(["url"]), keys="url",
+                         join_type="inner")
+            doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
+            if len(doc_idx) == 0:
+                continue
+            # distinct (doc, term): doc frequency, not term frequency
+            enc = pc.dictionary_encode(tokens.combine_chunks()
+                                       if isinstance(tokens,
+                                                     pa.ChunkedArray)
+                                       else tokens)
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            pair = np.unique(doc_idx.astype(np.int64)
+                             * len(enc.dictionary) + codes)
+            term_code = pair % len(enc.dictionary)
+            cnt = np.bincount(term_code, minlength=len(enc.dictionary))
+            nz = np.flatnonzero(cnt)
+            outs.append(pa.table({
+                "term": pc.cast(enc.dictionary.take(pa.array(nz)),
+                                pa.string()),
+                "fg_count": pa.array(cnt[nz], pa.int64()),
+                "fg_docs": pa.array([0] * len(nz), pa.int64()),
+            }))
+        tot = pa.table({"term": pa.array([""], pa.string()),
+                        "fg_count": pa.array([0], pa.int64()),
+                        "fg_docs": pa.array([n_matched], pa.int64())})
+        outs.append(tot)
+        return pa.concat_tables(outs)
+
+
+def significant_terms_agg(index_dir: str, query: str, size: int = 10,
+                          field: str = DEFAULT_FIELD,
+                          concurrency: int = 4) -> pa.Table:
+    """ES ``significant_terms`` aggregation: terms over-represented in the
+    docs matching an OR match query vs the whole corpus, scored with the
+    JLH heuristic ``(fg% - bg%) * (fg% / bg%)`` (ES's default), positive
+    scores only, top-``size`` by (score desc, term asc). Foreground doc
+    frequencies come from re-tokenizing the matched slice; background doc
+    frequencies from the global term dictionary (read only for the
+    foreground's terms). Scores are rounded to 6 dp so the ordering is
+    reproducible cross-engine."""
+    from ray.data.aggregate import Sum
+
+    from .search import _read_term_dict
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "fg_count": pa.array([], pa.int64()),
+                      "bg_count": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not terms or not seg_ids:
+        return empty
+    merged = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _SigTermsWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "terms_ref": ray.put(sorted(set(terms))),
+                "corpus_files": _corpus_files(index_dir)},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .groupby("term")
+        .aggregate(Sum("fg_count", alias_name="fg_count"),
+                   Sum("fg_docs", alias_name="fg_docs"))
+        .to_pandas()  # bounded by the matched slice's vocabulary
+    )
+    fg_total = int(merged["fg_docs"].sum())
+    merged = merged[merged["fg_count"] > 0]
+    if fg_total == 0 or len(merged) == 0:
+        return empty
+    n_docs = int(stats["n_docs"])
+    # background df for exactly the foreground terms. Small foregrounds
+    # read via equality OR-chains (pyarrow prunes row groups for those but
+    # NOT for isin); a large foreground vocabulary reads the dictionary
+    # once and filters in memory.
+    fg_terms = merged["term"].tolist()
+    bg: dict[str, int] = {}
+    if len(fg_terms) <= 1000:
+        ts_dir = os.path.join(index_dir, "term_stats")
+        files = [os.path.join(ts_dir, f)
+                 for f in sorted(os.listdir(ts_dir))
+                 if f.endswith(".parquet")]
+        CH = 200
+        for i in range(0, len(fg_terms), CH):
+            flt = _term_filters({field: fg_terms[i:i + CH]})
+            sel = pq.read_table(files, columns=["term", "df"],
+                                filters=flt)
+            for t, d in zip(sel["term"].to_pylist(),
+                            sel["df"].to_pylist()):
+                bg[t] = bg.get(t, 0) + int(d)
+    else:
+        td = _read_term_dict(index_dir, field)
+        sel = td.filter(pc.is_in(td["term"], pa.array(fg_terms)))
+        for t, d in zip(sel["term"].to_pylist(), sel["df"].to_pylist()):
+            bg[t] = bg.get(t, 0) + int(d)
+    fg_cnt = merged["fg_count"].to_numpy(dtype=np.float64)
+    bg_cnt = np.array([bg.get(t, 0) for t in fg_terms], dtype=np.float64)
+    fg_pct = fg_cnt / fg_total
+    bg_pct = np.where(bg_cnt > 0, bg_cnt / n_docs, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score = np.where(bg_pct > 0,
+                         (fg_pct - bg_pct) * (fg_pct / bg_pct), 0.0)
+    score = np.round(score, 6)
+    keep = score > 0
+    out = pd.DataFrame({"term": np.array(fg_terms, dtype=object)[keep],
+                        "fg_count": fg_cnt[keep].astype(np.int64),
+                        "bg_count": bg_cnt[keep].astype(np.int64),
+                        "score": score[keep]})
+    out = out.sort_values(["score", "term"],
+                          ascending=[False, True]).head(size)
+    return pa.table({
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "fg_count": pa.array(out["fg_count"].to_numpy(), pa.int64()),
+        "bg_count": pa.array(out["bg_count"].to_numpy(), pa.int64()),
+        "score": pa.array(out["score"].to_numpy(), pa.float64()),
+    })
 
 
 def _range_key(frm, to) -> str:

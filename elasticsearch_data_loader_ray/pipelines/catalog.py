@@ -1610,6 +1610,47 @@ def _sql_range_agg_match() -> str:
     )
 
 
+SIG_QUERY = "dup"  # the duplicate-cluster docs: a skewed foreground
+SIG_SIZE = 10
+
+
+def q_significant_terms_match(sf_dir: str):
+    """ES significant_terms aggregation: terms over-represented in the
+    matched docs vs the corpus (JLH score, ES default heuristic) —
+    foreground df from re-tokenizing the matched slice, background df
+    from the global term dictionary."""
+    from ..index.aggs import significant_terms_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return significant_terms_agg(idx, SIG_QUERY, size=SIG_SIZE)
+
+
+def _sql_significant_terms_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(SIG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "n AS (SELECT count(*)::DOUBLE AS n_docs FROM docs), "
+        "fgt AS (SELECT count(*)::DOUBLE AS fg_total FROM hits), "
+        "fg AS (SELECT term, count(DISTINCT toks.doc_id)::BIGINT AS fg_count "
+        "FROM toks JOIN hits h ON toks.doc_id = h.doc_id GROUP BY 1), "
+        "bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count "
+        "FROM toks GROUP BY 1), "
+        "scored AS (SELECT fg.term, fg_count, bg_count, "
+        "round(((fg_count / fg_total) - (bg_count / n_docs)) * "
+        "((fg_count / fg_total) / (bg_count / n_docs)), 6) AS score "
+        "FROM fg JOIN bg USING (term) CROSS JOIN n CROSS JOIN fgt) "
+        "SELECT term, fg_count, bg_count, score FROM scored "
+        f"WHERE score > 0 ORDER BY score DESC, term ASC LIMIT {SIG_SIZE}"
+    )
+
+
 AGG_PERCENTS = (1, 5, 25, 50, 75, 95, 99)  # ES percentiles-agg defaults
 
 
@@ -2916,6 +2957,7 @@ def queries() -> dict:
         "range_agg_match": q_range_agg_match,
         "cardinality_agg_match": q_cardinality_agg_match,
         "percentiles_agg_match": q_percentiles_agg_match,
+        "significant_terms_match": q_significant_terms_match,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
@@ -2984,6 +3026,7 @@ def oracle_sql() -> dict:
         "range_agg_match": _sql_range_agg_match(),
         "cardinality_agg_match": _sql_cardinality_agg_match(),
         "percentiles_agg_match": _sql_percentiles_agg_match(),
+        "significant_terms_match": _sql_significant_terms_match(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),

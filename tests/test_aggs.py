@@ -21,6 +21,7 @@ from elasticsearch_data_loader_ray.index.aggs import (
     histogram_agg,
     percentiles_agg,
     range_agg,
+    significant_terms_agg,
     stats_agg,
     terms_agg,
 )
@@ -187,3 +188,32 @@ def test_percentiles_agg_unmatched_is_null_row(agg_index):
     idx, _t, _l = agg_index
     got = percentiles_agg(idx, "zzqnothing", (50,)).to_pandas()
     assert len(got) == 1 and got["p50"].isna().all()
+
+
+def test_significant_terms_matches_brute_force(agg_index):
+    idx, texts, _l = agg_index
+    got = significant_terms_agg(idx, "the data", size=20).to_pandas()
+    toks = [set(analyze("standard", t)) for t in texts]
+    hits = [i for i in range(len(texts)) if {"the", "data"} & toks[i]]
+    fg_total, n = len(hits), len(texts)
+    vocab = sorted({w for tk in toks for w in tk})
+    rows = []
+    for w in vocab:
+        fg = sum(w in toks[i] for i in hits)
+        bgc = sum(w in tk for tk in toks)
+        if fg == 0:
+            continue
+        fgp, bgp = fg / fg_total, bgc / n
+        score = round((fgp - bgp) * (fgp / bgp), 6)
+        if score > 0:
+            rows.append((score, w, fg, bgc))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    want = rows[:20]
+    assert [(r.score, r.term, r.fg_count, r.bg_count)
+            for r in got.itertuples()] == want
+
+
+def test_significant_terms_unmatched_empty(agg_index):
+    idx, _t, _l = agg_index
+    got = significant_terms_agg(idx, "zzqnothing")
+    assert got.num_rows == 0
