@@ -53,6 +53,15 @@ from .search import (
 )
 
 
+def _pool_size(concurrency: int | None, n_segments: int) -> int:
+    """Actor-pool size: the CPU budget by default (a pinned small pool
+    starves multi-core boxes), always capped by the number of segments."""
+    from .build import _ncpus
+
+    want = _ncpus() if concurrency is None else int(concurrency)
+    return max(1, min(want, n_segments))
+
+
 def _corpus_files(index_dir: str) -> list[str]:
     """Every corpus parquet across the base build and append generations."""
     files = sorted(glob.glob(os.path.join(index_dir, "corpus", "*.parquet")))
@@ -292,7 +301,7 @@ class _DlAggWorker:
 def histogram_agg(index_dir: str, query: str, interval: int,
                   field: str = DEFAULT_FIELD,
                   metric_field: str | None = None,
-                  concurrency: int = 4) -> pa.Table:
+                  concurrency: int | None = None) -> pa.Table:
     """ES ``histogram`` aggregation over the matching docs' token counts:
     buckets keyed ``floor(v / interval) * interval``, key-ascending.
     ``min_doc_count=1`` semantics — only non-empty buckets are returned
@@ -317,7 +326,7 @@ def histogram_agg(index_dir: str, query: str, interval: int,
                 "metric_field": metric_field or field,
                 "interval": int(interval)},
             batch_format="pyarrow", batch_size=8,
-            concurrency=concurrency)
+            concurrency=_pool_size(concurrency, len(seg_ids)))
     )
     merged = per_seg.groupby("key").aggregate(Sum("doc_count")).to_pandas()
     if len(merged) == 0:
@@ -332,7 +341,7 @@ def histogram_agg(index_dir: str, query: str, interval: int,
 
 def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
               metric_field: str | None = None,
-              concurrency: int = 4) -> pa.Table:
+              concurrency: int | None = None) -> pa.Table:
     """ES ``stats`` aggregation over the matching docs' token counts:
     one row (doc_count, min, max, sum, avg). Partials are integer
     (count, min, max, sum) per segment — the merge and the final avg are
@@ -357,7 +366,7 @@ def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
                 "metric_field": metric_field or field,
                 "interval": None},
             batch_format="pyarrow", batch_size=8,
-            concurrency=concurrency)
+            concurrency=_pool_size(concurrency, len(seg_ids)))
         .to_pandas()
     )
     if len(per_seg) == 0 or per_seg["doc_count"].sum() == 0:
@@ -376,7 +385,7 @@ def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
 def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
               field: str = DEFAULT_FIELD,
               metric_field: str | None = None,
-              concurrency: int = 4) -> pa.Table:
+              concurrency: int | None = None) -> pa.Table:
     """ES ``terms`` aggregation over the docs matching an OR match query:
     top-``size`` values of ``column`` by (doc_count desc, key asc).
     ``metric_field`` adds an ``avg_word_count``-style metric sub-agg (the
@@ -405,7 +414,7 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
                 "terms_ref": ray.put(terms), "metric_field": metric_field,
             },
             batch_format="pyarrow", batch_size=8,
-            concurrency=concurrency)
+            concurrency=_pool_size(concurrency, len(seg_ids)))
     )
     merged = (per_seg.groupby("key")
               .aggregate(Sum("doc_count"), Sum("metric_sum"))
@@ -502,7 +511,7 @@ class _SigTermsWorker:
 
 def significant_terms_agg(index_dir: str, query: str, size: int = 10,
                           field: str = DEFAULT_FIELD,
-                          concurrency: int = 4) -> pa.Table:
+                          concurrency: int | None = None) -> pa.Table:
     """ES ``significant_terms`` aggregation: terms over-represented in the
     docs matching an OR match query vs the whole corpus, scored with the
     JLH heuristic ``(fg% - bg%) * (fg% / bg%)`` (ES's default), positive
@@ -533,7 +542,7 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
                 "terms_ref": ray.put(sorted(set(terms))),
                 "corpus_files": _corpus_files(index_dir)},
             batch_format="pyarrow", batch_size=8,
-            concurrency=concurrency)
+            concurrency=_pool_size(concurrency, len(seg_ids)))
         .groupby("term")
         .aggregate(Sum("fg_count", alias_name="fg_count"),
                    Sum("fg_docs", alias_name="fg_docs"))
@@ -601,7 +610,7 @@ def _range_key(frm, to) -> str:
 def range_agg(index_dir: str, query: str, ranges: list[tuple],
               field: str = DEFAULT_FIELD,
               metric_field: str | None = None,
-              concurrency: int = 4) -> pa.Table:
+              concurrency: int | None = None) -> pa.Table:
     """ES ``range`` aggregation over the matching docs' token counts:
     explicit buckets ``[from, to)`` (either end open, overlaps allowed —
     each range counts independently, exactly like ES). Every requested
@@ -629,7 +638,7 @@ def range_agg(index_dir: str, query: str, ranges: list[tuple],
                 "metric_field": metric_field or field,
                 "interval": None, "ranges": norm},
             batch_format="pyarrow", batch_size=8,
-            concurrency=concurrency)
+            concurrency=_pool_size(concurrency, len(seg_ids)))
     )
     merged = (per_seg.groupby("range_idx").aggregate(Sum("doc_count"))
               .to_pandas().rename(columns={"sum(doc_count)": "doc_count"}))
@@ -643,7 +652,7 @@ def percentiles_agg(index_dir: str, query: str,
                     percents: tuple = (1, 5, 25, 50, 75, 95, 99),
                     field: str = DEFAULT_FIELD,
                     metric_field: str | None = None,
-                    concurrency: int = 4) -> pa.Table:
+                    concurrency: int | None = None) -> pa.Table:
     """ES ``percentiles`` aggregation over the matching docs' token
     counts (default percents match ES). ES approximates with TDigest;
     token counts are integers, so the interval-1 histogram partials are a
@@ -732,7 +741,7 @@ class _CardAggWorker:
 def cardinality_agg(index_dir: str, query: str, column: str,
                     precision_threshold: int = 3000,
                     field: str = DEFAULT_FIELD,
-                    concurrency: int = 4) -> pa.Table:
+                    concurrency: int | None = None) -> pa.Table:
     """ES ``cardinality`` aggregation: distinct ``column`` values among the
     docs matching an OR match query. Exact when the true cardinality is
     <= ``precision_threshold`` (ES default 3000, max 40000); otherwise a
@@ -756,7 +765,7 @@ def cardinality_agg(index_dir: str, query: str, column: str,
                 "terms_ref": ray.put(terms),
                 "threshold": int(precision_threshold)},
             batch_format="pyarrow", batch_size=8,
-            concurrency=concurrency)
+            concurrency=_pool_size(concurrency, len(seg_ids)))
         .take_all()  # bounded: <= threshold values or one register row
     )
     exact: set = set()

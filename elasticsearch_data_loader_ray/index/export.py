@@ -33,7 +33,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from .aggs import _corpus_files, _dv_path, _matched_ids, build_doc_values
+from .aggs import (
+    _corpus_files,
+    _dv_path,
+    _matched_ids,
+    _pool_size,
+    build_doc_values,
+)
 from .build import seg_docs_path
 from .search import (
     DEFAULT_FIELD,
@@ -124,7 +130,7 @@ class _ExportWorker:
 def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
                    mode: str = "or",
                    stored_columns: tuple[str, ...] = (),
-                   concurrency: int = 4) -> rd.Dataset:
+                   concurrency: int | None = None) -> rd.Dataset:
     """Stream EVERY doc matching ``query`` as a Dataset of
     (doc_id, url, word_count, *stored_columns) — the ES scroll analogue.
     ``mode``: "or" (match default) or "and" (operator=and). Lazy: the
@@ -147,7 +153,7 @@ def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
                 "stored_columns": tuple(stored_columns),
                 "corpus_files": _corpus_files(index_dir)},
             batch_format="pyarrow", batch_size=1,
-            concurrency=min(concurrency, len(seg_ids)))
+            concurrency=_pool_size(concurrency, len(seg_ids)))
     )
 
 
@@ -295,7 +301,7 @@ class _SnippetWorker:
 
 def snippet_matches(index_dir: str, query: str, window: int = 2,
                     field: str = DEFAULT_FIELD,
-                    concurrency: int = 4) -> rd.Dataset:
+                    concurrency: int | None = None) -> rd.Dataset:
     """Stream (doc_id, anchor_pos, snippet) for every doc matching the OR
     match query: the ``window``-token neighbourhood of the earliest query
     term occurrence, re-tokenized from stored text. Lazy Dataset — the ES
@@ -318,7 +324,7 @@ def snippet_matches(index_dir: str, query: str, window: int = 2,
                 "terms": sorted(set(terms)), "window": int(window),
                 "corpus_files": _corpus_files(index_dir)},
             batch_format="pyarrow", batch_size=1,
-            concurrency=min(concurrency, len(seg_ids)))
+            concurrency=_pool_size(concurrency, len(seg_ids)))
     )
 
 
@@ -386,7 +392,7 @@ class _SortWorker:
 def sorted_matches(index_dir: str, query: str, sort_field: str,
                    k: int = 10, ascending: bool = False,
                    field: str = DEFAULT_FIELD, mode: str = "or",
-                   concurrency: int = 4) -> pa.Table:
+                   concurrency: int | None = None) -> pa.Table:
     """ES field sort: the top-``k`` docs matching ``query`` ordered by a
     numeric field (desc by default), ties broken doc_id-asc. Doc-length
     fields (any indexed field name, or ``word_count`` for the default
@@ -415,7 +421,7 @@ def sorted_matches(index_dir: str, query: str, sort_field: str,
                 "sort_field": sort_field, "k": int(k),
                 "ascending": bool(ascending)},
             batch_format="pyarrow", batch_size=4,
-            concurrency=min(concurrency, len(seg_ids)))
+            concurrency=_pool_size(concurrency, len(seg_ids)))
         .to_arrow_refs()
     )
     import ray as _ray
