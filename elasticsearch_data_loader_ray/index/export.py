@@ -157,6 +157,152 @@ def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
     )
 
 
+class _CountWorker:
+    """Actor: per-segment matched-doc counts for a broadcast query LIST
+    (one postings pass per (segment, query); all queries share the pool
+    and the segment loop, so N queries cost one Dataset job)."""
+
+    def __init__(self, index_dir: str, field: str,
+                 term_lists: list[list[str]], mode: str):
+        self.index_dir = index_dir
+        self.field = field
+        self.term_lists = term_lists
+        self.mode = mode
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns = np.zeros(len(self.term_lists), dtype=np.int64)
+        for seg_id in batch["segment_id"].to_pylist():
+            for qi, terms in enumerate(self.term_lists):
+                if not terms:
+                    continue
+                ids = _matched_ids(self.index_dir, int(seg_id),
+                                   self.field, terms, self.mode)
+                if len(self._deleted) and len(ids):
+                    ids = ids[_drop_deleted(self._deleted, ids)]
+                ns[qi] += len(ids)
+        return pa.table({
+            "query_id": pa.array(range(len(ns)), pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+
+def count_matches_many(index_dir: str, queries: list[str],
+                       field: str = DEFAULT_FIELD, mode: str = "or",
+                       concurrency: int | None = None) -> pa.Table:
+    """ES ``_count`` API over a batch of queries: (query_id, n_matched)
+    without scoring or retrieval — per-segment posting-length partials,
+    all queries in one Dataset job."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    term_lists = [sorted(set(query_terms(q, _field_analyzer(stats, field))))
+                  for q in queries]
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    zero = pa.table({
+        "query_id": pa.array(range(len(queries)), pa.int64()),
+        "n_matched": pa.array([0] * len(queries), pa.int64())})
+    if not seg_ids or not any(term_lists):
+        return zero
+    merged = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _CountWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field,
+                "term_lists": term_lists, "mode": mode},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=_pool_size(concurrency, len(seg_ids)))
+        .groupby("query_id")
+        .aggregate(Sum("n", alias_name="n_matched"))
+        .to_pandas()
+        .set_index("query_id")["n_matched"]
+    )
+    return pa.table({
+        "query_id": pa.array(range(len(queries)), pa.int64()),
+        "n_matched": pa.array(
+            [int(merged.get(i, 0)) for i in range(len(queries))],
+            pa.int64()),
+    })
+
+
+def count_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
+                  mode: str = "or",
+                  concurrency: int | None = None) -> int:
+    """Single-query ES ``_count``: see :func:`count_matches_many`."""
+    t = count_matches_many(index_dir, [query], field, mode, concurrency)
+    return int(t["n_matched"][0].as_py())
+
+
+def term_vectors(index_dir: str, urls: list[str],
+                 field: str = DEFAULT_FIELD) -> pa.Table:
+    """ES ``_termvectors`` analogue: per requested doc (by url key), each
+    term with its term frequency and first position — computed by
+    re-tokenizing the stored text (ES does the same for non-stored term
+    vectors). The corpus read is an equality OR-chain on url, so row
+    groups prune. Returns (url, term, tf, first_pos) sorted by
+    (url, term)."""
+    from ..functions import analyzers as an
+
+    stats = _load_stats(index_dir)
+    analyzer = _field_analyzer(stats, field)
+    if analyzer != "standard":
+        raise ValueError(
+            f"term_vectors re-tokenizes stored text and requires the "
+            f"standard analyzer on {field!r}, got {analyzer!r}")
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "first_pos": pa.array([], pa.int64())})
+    if not urls:
+        return empty
+    import functools
+    import operator
+
+    import pyarrow.dataset as pads
+
+    flt = functools.reduce(operator.or_,
+                           [pads.field("url") == u for u in urls])
+    sl = pq.read_table(_corpus_files(index_dir), columns=["url", "text"],
+                       filters=flt)
+    if sl.num_rows == 0:
+        return empty
+    _u, first = np.unique(np.asarray(pc.cast(sl["url"], pa.string())),
+                          return_index=True)
+    if len(_u) != sl.num_rows:  # build-time dedup kept one doc per url
+        sl = sl.take(pa.array(np.sort(first)))
+    doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
+    if len(doc_idx) == 0:
+        return empty
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    enc = pc.dictionary_encode(tokens)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    nv = len(enc.dictionary)
+    pair = doc_idx.astype(np.int64) * nv + codes
+    # positions within each doc: ordinal minus the doc's first ordinal
+    dstarts = np.r_[0, np.cumsum(np.bincount(doc_idx.astype(np.int64)))]
+    pos = np.arange(len(codes), dtype=np.int64) \
+        - dstarts[doc_idx.astype(np.int64)]
+    uniq, inv = np.unique(pair, return_inverse=True)
+    tf = np.bincount(inv)
+    firsts = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(firsts, inv, pos)
+    u_doc = (uniq // nv).astype(np.int64)
+    u_code = (uniq % nv).astype(np.int64)
+    url_arr = pc.cast(sl["url"], pa.string()).combine_chunks() \
+        if isinstance(sl["url"], pa.ChunkedArray) \
+        else pc.cast(sl["url"], pa.string())
+    out = pa.table({
+        "url": url_arr.take(pa.array(u_doc)),
+        "term": pc.cast(enc.dictionary.take(pa.array(u_code)), pa.string()),
+        "tf": pa.array(tf, pa.int64()),
+        "first_pos": pa.array(firsts, pa.int64()),
+    })
+    return out.sort_by([("url", "ascending"), ("term", "ascending")])
+
+
 class _SnippetWorker:
     """Actor: one segment per batch -> (doc_id, anchor_pos, snippet).
 

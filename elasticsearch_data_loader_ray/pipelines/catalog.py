@@ -1610,6 +1610,70 @@ def _sql_range_agg_match() -> str:
     )
 
 
+def q_match_count(sf_dir: str):
+    """ES _count API: matched-doc counts per query (OR semantics), no
+    scoring or retrieval — per-segment posting-length partials."""
+    from ..index.export import count_matches_many
+
+    idx = _ensure_doc_index(sf_dir)
+    return count_matches_many(idx, DOC_QUERIES)
+
+
+def _sql_match_count() -> str:
+    from ..index.search import query_terms
+
+    parts = []
+    for qid, q in enumerate(DOC_QUERIES):
+        terms = query_terms(q)
+        if not terms:
+            parts.append(f"SELECT {qid} AS query_id, 0::BIGINT AS n_matched")
+            continue
+        vals = ", ".join(f"('{t}')" for t in terms)
+        parts.append(
+            f"SELECT {qid} AS query_id, count(DISTINCT doc_id)::BIGINT "
+            f"AS n_matched FROM toks WHERE term IN (VALUES {vals})"
+        )
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+TV_DOC_IDS = [3, 57, 101, 202, 404]
+
+
+def q_term_vectors(sf_dir: str):
+    """ES _termvectors: per requested doc, (term, tf, first_pos) from
+    re-tokenized stored text (url-OR-chain-pruned corpus read)."""
+    from ..index.export import term_vectors
+
+    idx = _ensure_doc_index(sf_dir)
+    urls = [f"{i:015d}" for i in TV_DOC_IDS]
+    t = term_vectors(idx, urls)
+    return pa.table({
+        "doc_id": pc.cast(t["url"], pa.int64()),
+        "term": t["term"],
+        "tf": t["tf"],
+        "first_pos": t["first_pos"],
+    })
+
+
+def _sql_term_vectors() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}') AS arr FROM documents "
+        f"WHERE doc_id IN ({ids}) AND text IS NOT NULL AND text <> ''), "
+        "toks AS (SELECT doc_id, unnest(arr) AS term, "
+        "unnest(generate_series(0, len(arr) - 1)) AS pos FROM docs) "
+        "SELECT doc_id, term, count(*)::BIGINT AS tf, "
+        "min(pos)::BIGINT AS first_pos FROM toks GROUP BY 1, 2"
+    )
+
+
 SIG_QUERY = "dup"  # the duplicate-cluster docs: a skewed foreground
 SIG_SIZE = 10
 
@@ -2958,6 +3022,8 @@ def queries() -> dict:
         "cardinality_agg_match": q_cardinality_agg_match,
         "percentiles_agg_match": q_percentiles_agg_match,
         "significant_terms_match": q_significant_terms_match,
+        "match_count": q_match_count,
+        "term_vectors": q_term_vectors,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
@@ -3027,6 +3093,8 @@ def oracle_sql() -> dict:
         "cardinality_agg_match": _sql_cardinality_agg_match(),
         "percentiles_agg_match": _sql_percentiles_agg_match(),
         "significant_terms_match": _sql_significant_terms_match(),
+        "match_count": _sql_match_count(),
+        "term_vectors": _sql_term_vectors(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),

@@ -144,3 +144,39 @@ def test_snippet_requires_positions(tmp_path_factory):
                             BuildConfig(docs_per_segment=64))
     with pytest.raises(Exception, match="positions"):
         snippet_matches(idx, "the data").to_pandas()
+
+
+def test_count_matches_brute_force(exp_index):
+    from elasticsearch_data_loader_ray.index.export import (
+        count_matches,
+        count_matches_many,
+    )
+
+    idx, texts, _l = exp_index
+    toks = [set(analyze("standard", t)) for t in texts]
+    want_or = sum(1 for tk in toks if {"the", "data"} & tk)
+    want_and = sum(1 for tk in toks if {"the", "data"} <= tk)
+    assert count_matches(idx, "the data") == want_or
+    assert count_matches(idx, "the data", mode="and") == want_and
+    assert count_matches(idx, "zzqmissing") == 0
+    many = count_matches_many(idx, ["the data", "zzqmissing", "query"])
+    assert many["n_matched"].to_pylist() == [
+        want_or, 0, sum(1 for tk in toks if "query" in tk)]
+
+
+def test_term_vectors_brute_force(exp_index):
+    from elasticsearch_data_loader_ray.index.export import term_vectors
+
+    idx, texts, _l = exp_index
+    urls = ["00000003", "00000007", "99999999"]  # last one missing
+    got = term_vectors(idx, urls).to_pandas()
+    want = {}
+    for u in urls[:2]:
+        tk = analyze("standard", texts[int(u)])
+        for j, w in enumerate(tk):
+            k = (u, w)
+            if k not in want:
+                want[k] = [0, j]
+            want[k][0] += 1
+    assert {(r.url, r.term): [int(r.tf), int(r.first_pos)]
+            for r in got.itertuples()} == want
