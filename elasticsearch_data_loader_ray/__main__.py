@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="merge adjacent runs until at most N segments "
                          "remain (cold-query fan-out bound)")
 
+    dq = sub.add_parser("delete-by-query")
+    dq.add_argument("index_dir")
+    dq.add_argument("query")
+    dq.add_argument("--field", default=None)
+    dq.add_argument("--mode", default="or", choices=["or", "and"])
+
     args = p.parse_args(argv)
 
     if args.cmd == "stats":
@@ -117,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
             survivors = compact_to(args.index_dir, args.max_segments)
             print(json.dumps({"segments_before": before,
                               "segments_after": len(survivors)}))
+        elif args.cmd == "delete-by-query":
+            from .index.append import delete_by_query
+
+            n = delete_by_query(args.index_dir, args.query,
+                                field=args.field, mode=args.mode)
+            print(json.dumps({"deleted": n}))
         elif args.cmd == "search":
             from .index.search import LocalSearcher
 

@@ -308,3 +308,96 @@ def _run_append(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
             timings["compact"] = round(time.perf_counter() - t0, 3)
             out["n_segments"] = len(survivors)
     return out
+
+
+class _DeleteWorker:
+    """Actor: per-segment tombstone writer for one broadcast query.
+
+    Writes ``tombstones/dbq-<qhash>-seg<K>.json`` atomically with a
+    DETERMINISTIC name, so task retries overwrite the same payload and
+    re-running the same delete is idempotent. Files are inert until the
+    driver's stats.json rewrite lists them (the single visibility point)."""
+
+    def __init__(self, index_dir: str, field: str, terms: list[str],
+                 mode: str, qhash: str):
+        from .aggs import _matched_ids  # noqa: F401 (bound below)
+        from .search import _drop_deleted, _load_deleted, _load_stats
+
+        self.index_dir = index_dir
+        self.field = field
+        self.terms = terms
+        self.mode = mode
+        self.qhash = qhash
+        self._matched_ids = _matched_ids
+        self._drop = _drop_deleted
+        stats = _load_stats(index_dir)
+        self._deleted = _load_deleted(index_dir, stats)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths, counts = [], []
+        for seg_id in batch["segment_id"].to_pylist():
+            seg_id = int(seg_id)
+            ids = self._matched_ids(self.index_dir, seg_id, self.field,
+                                    self.terms, self.mode)
+            if len(self._deleted) and len(ids):
+                ids = ids[self._drop(self._deleted, ids)]
+            if len(ids) == 0:
+                continue
+            rel = os.path.join(
+                "tombstones", f"dbq-{self.qhash}-seg{seg_id:06d}.json")
+            mf.write_json_atomic(
+                os.path.join(self.index_dir, rel),
+                {"query_hash": self.qhash, "segment_id": seg_id,
+                 "deleted_doc_ids": [int(d) for d in ids]})
+            paths.append(rel)
+            counts.append(len(ids))
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+
+def delete_by_query(index_dir: str, query: str, field: str | None = None,
+                    mode: str = "or",
+                    concurrency: int | None = None) -> int:
+    """ES ``_delete_by_query``: tombstone every currently-visible doc
+    matching the match query. Per-segment workers write one tombstone
+    file each (nothing matched-set-sized reaches the driver); one atomic
+    ``stats.json`` rewrite makes them visible — a crash beforehand leaves
+    the index unchanged with inert orphan files. Lucene deletion
+    semantics: df / avgdl keep counting the deleted docs until a
+    compaction rebuilds the segments; every search / agg / export path
+    drops tombstoned ids. Returns the number of docs deleted."""
+    import hashlib
+
+    from .aggs import _pool_size
+    from .search import DEFAULT_FIELD, _field_analyzer, _load_stats, \
+        _visible_seg_ids, query_terms
+
+    field = field or DEFAULT_FIELD
+    stats = _load_stats(index_dir)
+    terms = sorted(set(query_terms(query, _field_analyzer(stats, field))))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    if not terms or not seg_ids:
+        return 0
+    qhash = hashlib.md5(
+        f"{field}:{mode}:{' '.join(terms)}".encode()).hexdigest()[:12]
+    parts = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _DeleteWorker,
+            fn_constructor_kwargs={
+                "index_dir": index_dir, "field": field, "terms": terms,
+                "mode": mode, "qhash": qhash},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=_pool_size(concurrency, len(seg_ids)))
+        .take_all()  # one (path, count) row per touched segment
+    )
+    new_files = [p["path"] for p in parts]
+    n_deleted = int(sum(p["n"] for p in parts))
+    if not new_files:
+        return 0
+    listed = list(stats.get("tombstone_files", []))
+    listed += [p for p in new_files if p not in listed]
+    stats["tombstone_files"] = listed
+    stats["n_deleted"] = int(stats.get("n_deleted", 0)) + n_deleted
+    mf.write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
+    return n_deleted

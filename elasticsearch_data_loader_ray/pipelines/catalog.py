@@ -1674,6 +1674,75 @@ def _sql_term_vectors() -> str:
     )
 
 
+DBQ_DELETE_QUERY = "dup"
+DBQ_CHECK_QUERY = "the data"
+
+
+def _ensure_dbq_index(sf_dir: str) -> str:
+    """Copy of the cached docs index with delete_by_query applied once
+    (ES _delete_by_query parity: tombstones, not a rebuild)."""
+    from ..index.append import delete_by_query
+
+    tag = _code_fingerprint()
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/edlr_cache/dbq_docs_{key}"
+    marker = os.path.join(idx, "_CATALOG_OK")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == tag:
+                return idx
+    src = _ensure_doc_index(sf_dir)
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(src, idx)
+    os.unlink(os.path.join(idx, "_CATALOG_OK"))
+    delete_by_query(idx, DBQ_DELETE_QUERY)
+    with open(marker, "w") as f:
+        f.write(tag)
+    return idx
+
+
+def q_delete_by_query(sf_dir: str):
+    """ES _delete_by_query: tombstone every doc matching one query, then
+    stream the docs matching another — deleted docs must be gone from
+    every read path (per-segment tombstone files, one atomic stats.json
+    visibility rewrite, Lucene df/avgdl semantics until compaction)."""
+    from ..index.export import export_matches
+
+    idx = _ensure_dbq_index(sf_dir)
+    ds = export_matches(idx, DBQ_CHECK_QUERY)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "word_count": t["word_count"],
+        })
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
+
+
+def _sql_delete_by_query() -> str:
+    from ..index.search import query_terms
+
+    cvals = ", ".join(f"('{t}')" for t in query_terms(DBQ_CHECK_QUERY))
+    dvals = ", ".join(f"('{t}')" for t in query_terms(DBQ_DELETE_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"qc(term) AS (VALUES {cvals}), "
+        f"qd(term) AS (VALUES {dvals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks "
+        "JOIN qc USING (term)), "
+        "gone AS (SELECT DISTINCT toks.doc_id FROM toks "
+        "JOIN qd USING (term)) "
+        "SELECT h.doc_id, coalesce(dl.dl, 0)::BIGINT AS word_count "
+        "FROM hits h LEFT JOIN dl USING (doc_id) "
+        "WHERE h.doc_id NOT IN (SELECT doc_id FROM gone)"
+    )
+
+
 SIG_QUERY = "dup"  # the duplicate-cluster docs: a skewed foreground
 SIG_SIZE = 10
 
@@ -3024,6 +3093,7 @@ def queries() -> dict:
         "significant_terms_match": q_significant_terms_match,
         "match_count": q_match_count,
         "term_vectors": q_term_vectors,
+        "delete_by_query": q_delete_by_query,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
@@ -3095,6 +3165,7 @@ def oracle_sql() -> dict:
         "significant_terms_match": _sql_significant_terms_match(),
         "match_count": _sql_match_count(),
         "term_vectors": _sql_term_vectors(),
+        "delete_by_query": _sql_delete_by_query(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),
         "bm25_multi_topk": _sql_bm25_multi_topk(),

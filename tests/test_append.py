@@ -188,3 +188,32 @@ def test_append_auto_compact_bounds_segments(tmp_path):
         ids2, sc2 = s2.search(q, k=20)
         assert [u1[int(i)] for i in ids1] == [u2[int(i)] for i in ids2], q
         assert sc1.tolist() == sc2.tolist(), q
+
+
+def test_delete_by_query_tombstones_matches(tmp_path):
+    from elasticsearch_data_loader_ray.index.append import delete_by_query
+    from elasticsearch_data_loader_ray.index.export import count_matches
+
+    texts = (["alpha beta gamma"] * 5 + ["alpha delta"] * 4
+             + ["epsilon zeta"] * 3)
+    urls = [f"{i:08d}" for i in range(len(texts))]
+    idx = str(tmp_path / "dbq_idx")
+    build_index_from_corpus(rd.from_arrow(_corpus_table(urls, texts)), idx,
+                            BuildConfig(docs_per_segment=4))
+    assert count_matches(idx, "beta") == 5
+    n = delete_by_query(idx, "beta")
+    assert n == 5
+    # every read path drops the tombstoned docs
+    assert count_matches(idx, "beta") == 0
+    assert count_matches(idx, "alpha") == 4  # the delta docs survive
+    s = LocalSearcher(idx)
+    ids, _sc = s.search("alpha", k=100)
+    umap = _url_of(idx)
+    assert all("delta" in texts[int(umap[int(d)])] or
+               texts[int(umap[int(d)])].startswith("alpha delta")
+               for d in ids)
+    # idempotent rerun: nothing new to delete
+    assert delete_by_query(idx, "beta") == 0
+    # unrelated second delete stacks
+    assert delete_by_query(idx, "zeta") == 3
+    assert count_matches(idx, "epsilon") == 0
