@@ -2089,6 +2089,114 @@ def _sql_bm25_dismax_topk() -> str:
 DOC_PHRASES = ["the data", "data search", "query scan", "the the",
                "zzq missing"]
 
+# benchmark-holdout probes for the decontamination scan (mix of present
+# and absent n-grams; non-self-overlapping so occurrence semantics agree)
+CONTAM_PROBES = ["the data search", "query scan", "hash join the",
+                 "slow filter", "zzq absent probe"]
+
+
+def q_contamination_scan(sf_dir: str):
+    """Decontamination scan: exact phrase-probe check (the standard
+    n-gram holdout test run before training) — distributed phrase match
+    per probe over the positional index, per-probe contaminated-doc
+    counts and corpus fractions. At 100 TB this is one positions-enabled
+    index pass per probe batch instead of a full-corpus regex scan."""
+    from ..index.search import _load_stats
+
+    idx = _ensure_doc_index(sf_dir, positions=True)
+    qs = [{"query_id": i, "query": p, "k": 10**9, "mode": "phrase"}
+          for i, p in enumerate(CONTAM_PROBES)]
+    res = search(idx, qs).to_pandas()
+    n_docs = int(_load_stats(idx)["n_docs"])
+    counts = res.groupby("query_id").size() if len(res) else {}
+    n = [int(counts.get(i, 0)) for i in range(len(CONTAM_PROBES))]
+    return pa.table({
+        "probe_id": pa.array(range(len(CONTAM_PROBES)), pa.int64()),
+        "n_contaminated": pa.array(n, pa.int64()),
+        "frac": pa.array([round(c / n_docs, 6) for c in n], pa.float64()),
+    })
+
+
+def _sql_contamination_scan() -> str:
+    parts = []
+    for pid, probe in enumerate(CONTAM_PROBES):
+        from ..functions.analyzers import analyze
+
+        toks = " ".join(analyze("standard", probe))
+        parts.append(
+            f"SELECT {pid} AS probe_id, "
+            f"count(*)::BIGINT AS n_contaminated, "
+            f"round(count(*) / (SELECT n FROM n), 6) AS frac "
+            f"FROM s WHERE txt LIKE '% {toks} %'"
+        )
+    return (
+        "WITH s AS (SELECT doc_id, ' ' || array_to_string("
+        f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ') || ' ' "
+        "AS txt FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        "n AS (SELECT count(*)::DOUBLE AS n FROM s) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+GOPHER_TOP_FRAC = 0.2
+
+
+def q_repetition_quality(sf_dir: str):
+    """Gopher-style repetition filter: per doc, the most-frequent token's
+    share of the doc (top_tf / word_count); docs above the threshold are
+    flagged as repetitive. Fully vectorized per batch: one tokenize, one
+    dictionary-encode, one np.unique over combined (doc, term) keys, one
+    scatter-max — no per-row Python."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
+        t = t.filter(keep)
+        doc_idx, tokens, dl = an.standard_tokenize_batch(
+            pc.cast(t["text"], pa.large_string()))
+        dl64 = dl.astype(np.int64)
+        has = np.flatnonzero(dl64 > 0)
+        if len(has) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "word_count": pa.array([], pa.int64()),
+                             "top_tf": pa.array([], pa.int64()),
+                             "top_frac": pa.array([], pa.float64()),
+                             "flagged": pa.array([], pa.bool_())})
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(tokens).indices,
+                           dtype=np.int64)
+        nv = int(codes.max()) + 1
+        pair, cnt = np.unique(doc_idx.astype(np.int64) * nv + codes,
+                              return_counts=True)
+        top = np.zeros(t.num_rows, dtype=np.int64)
+        np.maximum.at(top, (pair // nv).astype(np.int64), cnt)
+        frac = top[has] / dl64[has]
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(has)),
+            "word_count": pa.array(dl64[has], pa.int64()),
+            "top_tf": pa.array(top[has], pa.int64()),
+            "top_frac": pa.array(np.round(frac, 6), pa.float64()),
+            "flagged": pa.array(frac > GOPHER_TOP_FRAC, pa.bool_()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_REPETITION_QUALITY = (
+    "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+    "WHERE text IS NOT NULL AND text <> ''), "
+    f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+    f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+    "agg AS (SELECT doc_id, sum(tf) AS dl, max(tf) AS top_tf FROM tf "
+    "GROUP BY 1) "
+    "SELECT doc_id, dl::BIGINT AS word_count, top_tf::BIGINT AS top_tf, "
+    "round(top_tf::DOUBLE / dl, 6) AS top_frac, "
+    f"(top_tf::DOUBLE / dl) > {GOPHER_TOP_FRAC} AS flagged FROM agg"
+)
+
 
 def q_phrase_match(sf_dir: str):
     """Phrase (match_phrase) queries via the positional index: matching doc
@@ -3099,6 +3207,8 @@ def queries() -> dict:
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
+        "contamination_scan": q_contamination_scan,
+        "repetition_quality": q_repetition_quality,
         "match_phrase_prefix": q_match_phrase_prefix,
         "highlight_match": q_highlight_match,
         "snippet_match": q_snippet_match,
@@ -3171,6 +3281,8 @@ def oracle_sql() -> dict:
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),
+        "contamination_scan": _sql_contamination_scan(),
+        "repetition_quality": SQL_REPETITION_QUALITY,
         "match_phrase_prefix": _sql_match_phrase_prefix(),
         "highlight_match": _sql_highlight_match(),
         "snippet_match": _sql_snippet_match(),
