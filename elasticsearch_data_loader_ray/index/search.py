@@ -1569,6 +1569,7 @@ class LocalSearcher:
                               idf: dict[str, float], dl: np.ndarray,
                               avgdl: float,
                               after: tuple[float, int] | None = None,
+                              score_mod=None,
                               ) -> tuple[np.ndarray, np.ndarray]:
         """Exhaustive OR scoring (lexicographic accumulation) — the default
         serving path and the bitwise reference for the block-max path.
@@ -1601,7 +1602,7 @@ class LocalSearcher:
                 and total * 16 >= span_hi - span_lo):
             loc, sc = self._accumulate_windowed(
                 terms, by_term, contribs, span_lo, span_hi,
-                k, self._deleted, after)
+                k, self._deleted, after, score_mod)
         else:
             loc = np.unique(np.concatenate(runs))
             sc = np.zeros(len(loc), dtype=np.float64)
@@ -1610,6 +1611,8 @@ class LocalSearcher:
                                                 contribs.get(t, [])):
                     pos = np.searchsorted(loc, ids)
                     sc[pos] += contrib
+            if score_mod is not None:  # function_score: modify pre-cut
+                sc = score_mod(sc, loc)
         if len(self._deleted):  # upsert tombstones: drop before top-k
             keep = _drop_deleted(self._deleted, loc)
             loc, sc = loc[keep], sc[keep]
@@ -1629,6 +1632,7 @@ class LocalSearcher:
                              contribs: dict, span_lo: int, span_hi: int,
                              k: int, deleted: np.ndarray,
                              after: tuple[float, int] | None = None,
+                             score_mod=None,
                              ) -> tuple[np.ndarray, np.ndarray]:
         """Dense scatter-add accumulation over fixed doc-id windows.
 
@@ -1681,6 +1685,10 @@ class LocalSearcher:
             nz = np.flatnonzero(buf[:span] > 0.0)
             loc_w = nz + w_lo
             sc_w = buf[nz]
+            if score_mod is not None:
+                # modify BEFORE the per-window cut: the cut must rank by
+                # the FINAL score or a top-k member could be dropped
+                sc_w = score_mod(sc_w, loc_w)
             if len(deleted):
                 keep = _drop_deleted(deleted, loc_w)
                 loc_w, sc_w = loc_w[keep], sc_w[keep]
@@ -1863,6 +1871,43 @@ class LocalSearcher:
             field, terms, k, idf, self._dl_for(field),
             _avgdl(self.stats, field),
             after=(float(after[0]), int(after[1])))
+
+    def search_function_score(self, query: str, k: int = 10,
+                              field: str = DEFAULT_FIELD,
+                              modifier: str = "log1p",
+                              factor_field: str | None = None,
+                              ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``function_score`` with a ``field_value_factor`` over the
+        per-doc token count: ``score = BM25 * modifier(word_count)``
+        (modifier: ``log1p`` -> ln(1 + v), ``sqrt``, ``none``). The
+        multiplicative factor breaks block-max upper-bound admissibility,
+        so this routes through exhaustive accumulation with the modifier
+        applied BEFORE the top-k cut (per window in the dense
+        accumulator). ``factor_field`` defaults to the scored field's own
+        doc length."""
+        self._maybe_auto_refresh()
+        all_terms = query_terms(query, _field_analyzer(self.stats, field))
+        idf = self._idf(field, all_terms)
+        terms = [t for t in all_terms if t in idf]
+        if not terms or self.term_ds is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        dl = self._dl_for(field)
+        fv = (dl if factor_field in (None, field, "word_count")
+              else self._dl_for(factor_field))
+        if modifier == "log1p":
+            def mod(sc, loc):
+                return sc * np.log(1.0 + fv[loc])
+        elif modifier == "sqrt":
+            def mod(sc, loc):
+                return sc * np.sqrt(fv[loc])
+        elif modifier == "none":
+            def mod(sc, loc):
+                return sc * fv[loc]
+        else:
+            raise ValueError(f"unknown modifier {modifier!r}")
+        return self._search_or_fulldecode(
+            field, terms, k, idf, dl, _avgdl(self.stats, field),
+            score_mod=mod)
 
     def search_bool(self, bq: dict, k: int = 10,
                     field: str = DEFAULT_FIELD

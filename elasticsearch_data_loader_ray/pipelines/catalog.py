@@ -1151,6 +1151,31 @@ def _sql_bm25_topk() -> str:
     )
 
 
+def q_function_score_topk(sf_dir: str):
+    """ES function_score (field_value_factor, log1p modifier): BM25 score
+    scaled by ln(1 + word_count), modifier applied before the top-k cut
+    (exhaustive accumulation; the factor breaks block-max bounds)."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        ids, sc = lo.search_function_score(q, k=DOC_K + 20)
+        for d, s in zip(ids, sc):
+            rows.append((qid, int(dmap[int(d)]), float(s)))
+    res = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_function_score_topk() -> str:
+    base = _sql_bm25_topk()
+    old = ") AS score "
+    assert old in base
+    return base.replace(old, ") * ln(1 + max(dl.dl)) AS score ", 1)
+
+
 def q_search_after_page(sf_dir: str):
     """ES search_after keyset pagination: page 2 of the BM25 ranking.
     Page 1 (k=10) supplies the (score, doc_id) cursor — its own last row —
@@ -3187,6 +3212,7 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "bm25_topk": q_bm25_topk,
         "search_after_page": q_search_after_page,
+        "function_score_topk": q_function_score_topk,
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
@@ -3259,6 +3285,7 @@ def oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
         "search_after_page": _sql_search_after_page(),
+        "function_score_topk": _sql_function_score_topk(),
         # append gate: build(first half) + append(second half) must equal
         # the FULL-corpus BM25 — the same SQL is the oracle by construction
         "incremental_append": _sql_bm25_topk(),

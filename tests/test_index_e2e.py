@@ -301,3 +301,28 @@ def test_search_after_windowed_path_tiles(index_dir, monkeypatch):
         cursor = (float(sc[-1]), int(ids[-1]))
     assert pages_ids == full_ids.tolist()
     assert pages_sc == full_sc.tolist()
+
+
+def test_function_score_modifier_applied_before_cut(index_dir, monkeypatch):
+    """Top-k under the multiplied score == modify-then-sort of the FULL
+    exact ranking (the factor reorders docs, so a post-cut modifier would
+    be wrong); sparse and windowed layouts agree bitwise."""
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, _ = index_dir
+    s = LocalSearcher(idx)
+    full_ids, full_sc = s.search("the data search", k=s.n_docs,
+                                 or_strategy="exact")
+    dl = s._dl_for("text")
+    want_sc = full_sc * np.log(1.0 + dl[full_ids])
+    order = np.lexsort((full_ids, -want_sc))[:10]
+    got_ids, got_sc = s.search_function_score("the data search", k=10)
+    assert got_ids.tolist() == full_ids[order].tolist()
+    assert got_sc.tolist() == want_sc[order].tolist()
+    # the modifier must actually reorder at least once on this corpus for
+    # the test to be meaningful
+    assert got_ids.tolist() != full_ids[:10].tolist()
+    monkeypatch.setattr(LocalSearcher, "_DENSE_MIN_POSTINGS", 1)
+    got2_ids, got2_sc = s.search_function_score("the data search", k=10)
+    assert got2_ids.tolist() == got_ids.tolist()
+    assert got2_sc.tolist() == got_sc.tolist()
