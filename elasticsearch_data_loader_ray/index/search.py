@@ -414,6 +414,47 @@ def expand_wildcard(index_dir: str, field: str, pattern: str) -> list[str]:
     return sorted(tbl.filter(m)["term"].to_pylist())
 
 
+def suggest_terms(index_dir: str, inputs: list[str],
+                  field: str = DEFAULT_FIELD, max_edits: int = 2,
+                  prefix_length: int = 1, size: int = 5) -> pa.Table:
+    """ES term suggester (did-you-mean): for each input token, dictionary
+    terms within ``max_edits`` classic Levenshtein (transpositions count
+    2, matching the DuckDB oracle) sharing the first ``prefix_length``
+    chars, ranked (distance asc, df desc, term asc), top ``size``.
+    Distance-0 hits are excluded (the input itself needs no suggestion).
+    Each input reads only its prefix's dictionary slice."""
+    out_i, out_s, out_d, out_f = [], [], [], []
+    for q in inputs:
+        q = q.lower()
+        tbl = _read_term_dict(index_dir, field, q[:prefix_length])
+        if tbl.num_rows == 0:
+            continue
+        lens = pc.binary_length(tbl["term"]).to_numpy()
+        near = np.abs(lens - len(q.encode())) <= max_edits
+        tbl = tbl.filter(pa.array(near))
+        if tbl.num_rows == 0:
+            continue
+        d = levenshtein_vec(q, tbl["term"])
+        ok = (d >= 1) & (d <= max_edits)
+        if not ok.any():
+            continue
+        terms = np.array(tbl.filter(pa.array(ok))["term"].to_pylist(),
+                         dtype=object)
+        dfs = tbl.filter(pa.array(ok))["df"].to_numpy()
+        dd = d[ok]
+        order = np.lexsort((terms, -dfs, dd))[:size]
+        out_i.extend([q] * len(order))
+        out_s.extend(terms[order].tolist())
+        out_d.extend(dd[order].tolist())
+        out_f.extend(dfs[order].tolist())
+    return pa.table({
+        "input": pa.array(out_i, pa.string()),
+        "suggestion": pa.array(out_s, pa.string()),
+        "distance": pa.array(out_d, pa.int64()),
+        "df": pa.array(out_f, pa.int64()),
+    })
+
+
 def expand_prefix(index_dir: str, field: str, prefix: str,
                   max_expansions: int = 50) -> list[str]:
     """ES prefix / match_phrase_prefix term expansion: dictionary terms

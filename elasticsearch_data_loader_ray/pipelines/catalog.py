@@ -1768,6 +1768,40 @@ def _sql_delete_by_query() -> str:
     )
 
 
+SUGGEST_INPUTS = ["qery", "scna", "tabel", "merg", "xylophone"]
+
+
+def q_term_suggest(sf_dir: str):
+    """ES term suggester: per misspelled input, dictionary terms within
+    edit distance 2 sharing the first char, ranked (distance asc, df
+    desc, term asc) — vectorized Levenshtein over prefix-pruned
+    dictionary slices."""
+    from ..index.search import suggest_terms
+
+    idx = _ensure_doc_index(sf_dir)
+    return suggest_terms(idx, SUGGEST_INPUTS)
+
+
+def _sql_term_suggest() -> str:
+    vals = ", ".join(f"('{t}')" for t in SUGGEST_INPUTS)
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY 1), "
+        f"inp(input) AS (VALUES {vals}), "
+        "cand AS (SELECT input, term, levenshtein(input, term) AS d, df "
+        "FROM inp JOIN df ON substr(term, 1, 1) = substr(input, 1, 1)) "
+        "SELECT input, term AS suggestion, d::BIGINT AS distance, "
+        "df::BIGINT AS df FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY input "
+        "ORDER BY d ASC, df DESC, term ASC) AS rn FROM cand "
+        "WHERE d BETWEEN 1 AND 2) WHERE rn <= 5"
+    )
+
+
 SIG_QUERY = "dup"  # the duplicate-cluster docs: a skewed foreground
 SIG_SIZE = 10
 
@@ -3227,6 +3261,7 @@ def queries() -> dict:
         "significant_terms_match": q_significant_terms_match,
         "match_count": q_match_count,
         "term_vectors": q_term_vectors,
+        "term_suggest": q_term_suggest,
         "delete_by_query": q_delete_by_query,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
@@ -3302,6 +3337,7 @@ def oracle_sql() -> dict:
         "significant_terms_match": _sql_significant_terms_match(),
         "match_count": _sql_match_count(),
         "term_vectors": _sql_term_vectors(),
+        "term_suggest": _sql_term_suggest(),
         "delete_by_query": _sql_delete_by_query(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),

@@ -133,3 +133,24 @@ def test_wildcard_constant_score_doc_order(fz_index):
             if any(t.startswith("dat") for t in tk)]
     assert ids.tolist() == want
     assert np.all(sc == 1.0)
+
+
+def test_suggest_terms_matches_brute(fz_index):
+    from elasticsearch_data_loader_ray.index.search import suggest_terms
+
+    idx, texts = fz_index
+    toks = [analyze("standard", t) for t in texts]
+    vocab: dict[str, int] = {}
+    for tk in toks:
+        for w in set(tk):
+            vocab[w] = vocab.get(w, 0) + 1
+    got = suggest_terms(idx, ["quer", "dtae", "zzz"]).to_pandas()
+    for inp in ("quer", "dtae"):
+        rows = got[got["input"] == inp]
+        cand = [(w, _ref_lev(inp, w), df) for w, df in vocab.items()
+                if w[0] == inp[0] and 1 <= _ref_lev(inp, w) <= 2]
+        cand.sort(key=lambda r: (r[1], -r[2], r[0]))
+        want = cand[:5]
+        assert [(r.suggestion, int(r.distance), int(r.df))
+                for r in rows.itertuples()] == want
+    assert (got["input"] == "zzz").sum() == 0
