@@ -1848,6 +1848,46 @@ class LocalSearcher:
         order = np.lexsort((cand, -sc))[:k]
         return cand[order].astype(np.int64), sc[order]
 
+    def more_like_this(self, doc_url: str, k: int = 10,
+                       field: str = DEFAULT_FIELD,
+                       max_query_terms: int = 5,
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """ES more_like_this: find docs similar to one document. The
+        source doc's terms are ranked by ``round(tf * idf, 6)`` (ties:
+        term asc — rounding makes the selection reproducible across
+        engines), the top ``max_query_terms`` become a standard BM25 OR
+        query, and the source doc itself is excluded from the hits
+        (Lucene MLT semantics)."""
+        from .export import term_vectors
+
+        tv = term_vectors(self.index_dir, [doc_url], field)
+        if tv.num_rows == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        terms = tv["term"].to_pylist()
+        tfs = tv["tf"].to_numpy().astype(np.float64)
+        idf = self._idf(field, terms)
+        sel_score = np.round(
+            tfs * np.array([idf.get(t, 0.0) for t in terms]), 6)
+        t_arr = np.array(terms, dtype=object)
+        order = np.lexsort((t_arr, -sel_score))[:max_query_terms]
+        selected = sorted(t_arr[order].tolist())
+        # source doc's engine id: url-filtered docs-table reads (row
+        # groups prune on the url range; stop at the first hit)
+        src = None
+        for seg in self.seg_ids:
+            docs = pq.read_table(seg_docs_path(self.index_dir, seg),
+                                 columns=["doc_id"],
+                                 filters=[("url", "==", doc_url)])
+            if docs.num_rows:
+                src = int(docs["doc_id"][0].as_py())
+                break
+        ids, sc = self.search(" ".join(selected), k=k + 1, field=field,
+                              or_strategy="exact")
+        if src is not None:
+            keep = ids != src
+            ids, sc = ids[keep], sc[keep]
+        return ids[:k], sc[:k]
+
     def explain(self, query: str, doc_id: int,
                 field: str = DEFAULT_FIELD) -> dict:
         """ES ``_explain`` analogue: per-term BM25 contribution breakdown

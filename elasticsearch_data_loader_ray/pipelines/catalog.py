@@ -1176,6 +1176,68 @@ def _sql_function_score_topk() -> str:
     return base.replace(old, ") * ln(1 + max(dl.dl)) AS score ", 1)
 
 
+MLT_DOC_IDS = [7, 123, 321]
+MLT_TERMS = 5
+
+
+def q_more_like_this(sf_dir: str):
+    """ES more_like_this: per source doc, the top tf*idf terms (rounded
+    selection, ties term-asc) become a BM25 OR query; the source doc is
+    excluded from the hits."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    rows = []
+    for qid, orig in enumerate(MLT_DOC_IDS):
+        ids, sc = lo.more_like_this(f"{orig:015d}", k=DOC_K + 20,
+                                    max_query_terms=MLT_TERMS)
+        for d, s in zip(ids, sc):
+            rows.append((qid, int(dmap[int(d)]), float(s)))
+    res = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_more_like_this() -> str:
+    src_vals = ", ".join(f"({i}, {d})" for i, d in enumerate(MLT_DOC_IDS))
+    k1, b = codec.BM25_K1, codec.BM25_B
+    idf = "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))"
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"src(query_id, src_doc) AS (VALUES {src_vals}), "
+        "sel AS (SELECT query_id, src_doc, term FROM ("
+        "SELECT s.query_id, s.src_doc, tf.term, "
+        f"row_number() OVER (PARTITION BY s.query_id ORDER BY "
+        f"round(tf.tf * {idf}, 6) DESC, tf.term ASC) AS rn "
+        "FROM src s JOIN tf ON tf.doc_id = s.src_doc "
+        "JOIN df ON df.term = tf.term CROSS JOIN stats st) "
+        f"WHERE rn <= {MLT_TERMS}), "
+        "scored AS (SELECT sel.query_id, tf.doc_id, "
+        f"sum({idf} * tf.tf * {k1 + 1.0} / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS score "
+        "FROM sel JOIN tf ON tf.term = sel.term "
+        "JOIN df ON df.term = sel.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats st "
+        "WHERE tf.doc_id <> sel.src_doc GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 def q_search_after_page(sf_dir: str):
     """ES search_after keyset pagination: page 2 of the BM25 ranking.
     Page 1 (k=10) supplies the (score, doc_id) cursor — its own last row —
@@ -3247,6 +3309,7 @@ def queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
+        "more_like_this": q_more_like_this,
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
@@ -3321,6 +3384,7 @@ def oracle_sql() -> dict:
         "bm25_topk": _sql_bm25_topk(),
         "search_after_page": _sql_search_after_page(),
         "function_score_topk": _sql_function_score_topk(),
+        "more_like_this": _sql_more_like_this(),
         # append gate: build(first half) + append(second half) must equal
         # the FULL-corpus BM25 — the same SQL is the oracle by construction
         "incremental_append": _sql_bm25_topk(),
