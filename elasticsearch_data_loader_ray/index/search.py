@@ -1888,6 +1888,39 @@ class LocalSearcher:
             ids, sc = ids[keep], sc[keep]
         return ids[:k], sc[:k]
 
+    def rescore(self, query: str, phrase: str | None = None,
+                k: int = 10, window_size: int = 50,
+                query_weight: float = 1.0, rescore_weight: float = 2.0,
+                field: str = DEFAULT_FIELD,
+                ) -> tuple[np.ndarray, np.ndarray]:
+        """ES rescore API: re-rank the top ``window_size`` docs of the
+        BM25 ranking with a phrase query —
+        ``new = query_weight * bm25 + rescore_weight * phrase_score``
+        (phrase_score 0 when the phrase doesn't occur; the documented
+        PhraseSearcher convention otherwise). ``phrase`` defaults to the
+        query itself (ES's common usage). With non-negative weights and
+        k <= window_size the global top-k provably lives inside the
+        window, so nothing outside it is scored twice."""
+        if k > window_size:
+            raise ValueError("rescore requires k <= window_size")
+        # the window cut uses ROUNDED primary scores (6 dp) with doc-id
+        # tie-break — the repo-wide determinism convention, so the window
+        # membership is reproducible across engines and runs
+        ids, sc = self.search(query, k=window_size + 20, field=field,
+                              or_strategy="exact")
+        if len(ids) == 0:
+            return ids, sc
+        cut = np.lexsort((ids, -np.round(sc, 6)))[:window_size]
+        ids, sc = ids[cut], sc[cut]
+        p_ids, p_sc, _fq = PhraseSearcher(self).search(
+            phrase or query, k=self.n_docs or 1, field=field)
+        ph = dict(zip(p_ids.tolist(), p_sc.tolist()))
+        new = (query_weight * sc
+               + rescore_weight * np.array([ph.get(int(d), 0.0)
+                                            for d in ids]))
+        order = np.lexsort((ids, -new))[:k]
+        return ids[order], new[order]
+
     def explain(self, query: str, doc_id: int,
                 field: str = DEFAULT_FIELD) -> dict:
         """ES ``_explain`` analogue: per-term BM25 contribution breakdown

@@ -1176,6 +1176,90 @@ def _sql_function_score_topk() -> str:
     return base.replace(old, ") * ln(1 + max(dl.dl)) AS score ", 1)
 
 
+RESCORE_QUERY = "the data search"
+RESCORE_PHRASE = "data search"  # 2 tokens, no border -> clean SQL oracle
+RESCORE_WINDOW = 20
+RESCORE_QW, RESCORE_RW = 1.0, 2.0
+
+
+def q_rescore_topk(sf_dir: str):
+    """ES rescore API: the top-window BM25 docs re-ranked by
+    query_weight * bm25 + rescore_weight * phrase_score (phrase score 0
+    when absent) — window membership cut on rounded primary scores."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir, positions=True)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    # fetch the whole window, then rank on ROUNDED final scores (the
+    # repo-wide determinism convention) before cutting to k
+    ids, sc = lo.rescore(RESCORE_QUERY, RESCORE_PHRASE, k=RESCORE_WINDOW,
+                         window_size=RESCORE_WINDOW,
+                         query_weight=RESCORE_QW,
+                         rescore_weight=RESCORE_RW)
+    r = np.round(sc, 6)
+    order = np.lexsort((ids, -r))[:DOC_K]
+    return pa.table({
+        "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+        "doc_id": pa.array(dmap[ids[order]], pa.int64()),
+        "score": pa.array(r[order], pa.float64()),
+    })
+
+
+def _sql_rescore_topk() -> str:
+    from ..functions.analyzers import analyze
+    from ..index.search import query_terms
+
+    k1, b = codec.BM25_K1, codec.BM25_B
+    idf = "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))"
+    qvals = ", ".join(f"('{t}')" for t in query_terms(RESCORE_QUERY))
+    p1, p2 = analyze("standard", RESCORE_PHRASE)
+    phr_idf = (
+        f"((SELECT {idf} FROM df CROSS JOIN stats st WHERE term = '{p1}')"
+        f" + (SELECT {idf} FROM df CROSS JOIN stats st "
+        f"WHERE term = '{p2}'))")
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        "ptoks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term, "
+        "unnest(generate_series(1, len(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')))) AS pos FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM ptoks "
+        "GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM ptoks GROUP BY 1) "
+        "c USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {qvals}), "
+        "prim AS (SELECT tf.doc_id, "
+        f"sum({idf} * tf.tf * {k1 + 1.0} / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats st "
+        "GROUP BY 1), "
+        "win AS (SELECT doc_id, score FROM ("
+        "SELECT doc_id, score, row_number() OVER ("
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rn FROM prim) "
+        f"WHERE rn <= {RESCORE_WINDOW}), "
+        "pf AS (SELECT a.doc_id, count(*) AS freq FROM ptoks a "
+        "JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        f"WHERE a.term = '{p1}' AND b.term = '{p2}' GROUP BY 1), "
+        "ph AS (SELECT pf.doc_id, "
+        f"{phr_idf} * freq * {k1 + 1.0} / "
+        f"(freq + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl)) AS pscore "
+        "FROM pf JOIN dl ON dl.doc_id = pf.doc_id CROSS JOIN stats st) "
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)"
+        "::BIGINT AS rank, doc_id, score FROM ("
+        f"SELECT w.doc_id, round({RESCORE_QW} * w.score + {RESCORE_RW} * "
+        "coalesce(ph.pscore, 0), 6) AS score "
+        "FROM win w LEFT JOIN ph USING (doc_id)) "
+        f"ORDER BY rank LIMIT {DOC_K}"
+    )
+
+
 MLT_DOC_IDS = [7, 123, 321]
 MLT_TERMS = 5
 
@@ -3310,6 +3394,7 @@ def queries() -> dict:
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
         "more_like_this": q_more_like_this,
+        "rescore_topk": q_rescore_topk,
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
@@ -3385,6 +3470,7 @@ def oracle_sql() -> dict:
         "search_after_page": _sql_search_after_page(),
         "function_score_topk": _sql_function_score_topk(),
         "more_like_this": _sql_more_like_this(),
+        "rescore_topk": _sql_rescore_topk(),
         # append gate: build(first half) + append(second half) must equal
         # the FULL-corpus BM25 — the same SQL is the oracle by construction
         "incremental_append": _sql_bm25_topk(),

@@ -231,3 +231,29 @@ def test_highlight_first_positions_match_brute(pos_index):
     # deterministic order
     assert got.sort_values(["doc_id", "term"]).reset_index(drop=True).equals(
         got.reset_index(drop=True))
+
+
+def test_rescore_combines_primary_and_phrase(pos_index):
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, t = pos_index
+    lo = LocalSearcher(idx)
+    W, QW, RW = 15, 1.0, 2.0
+    ids, sc = lo.rescore("the data search", "the data", k=10,
+                         window_size=W, query_weight=QW, rescore_weight=RW)
+    # brute: rounded-score window cut over the exact primary ranking,
+    # then the documented combination
+    p_ids, p_sc = lo.search("the data search", k=W + 20,
+                            or_strategy="exact")
+    cut = np.lexsort((p_ids, -np.round(p_sc, 6)))[:W]
+    w_ids, w_sc = p_ids[cut], p_sc[cut]
+    ph = brute_phrase(t, "the data")
+    new = QW * w_sc + RW * np.array(
+        [ph.get(int(d), (0, 0.0))[1] for d in w_ids])
+    order = np.lexsort((w_ids, -new))[:10]
+    assert ids.tolist() == w_ids[order].tolist()
+    assert np.allclose(sc, new[order], rtol=1e-12)
+    # the phrase must actually reorder the window for the test to bite
+    assert ids.tolist() != w_ids[:10].tolist()
+    with pytest.raises(ValueError, match="window"):
+        lo.rescore("the data", k=20, window_size=10)
