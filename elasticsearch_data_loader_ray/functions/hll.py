@@ -30,6 +30,12 @@ def fnv64_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type)
+            or pa.types.is_large_binary(arr.type)):
+        # numeric / other columns hash via their string form — the same
+        # identity the exact cardinality path uses (str(value))
+        arr = arr.cast(pa.string())
     arr = arr.cast(pa.large_binary())
     n = len(arr)
     if n == 0:
@@ -67,10 +73,14 @@ def hll_partial(keys: np.ndarray) -> np.ndarray:
     top = rest[nz]
     lz = np.int64(63) - np.floor(
         np.log2(top.astype(np.float64))).astype(np.int64)
-    # float rounding guard at powers of two
+    # float-rounding guard: the MSB must sit exactly at bit (63 - lz) —
+    # top >> (63 - lz) == 0 means lz is one too small (log2 rounded up
+    # across a power of two); >= 2 means one too large. One step covers
+    # the <=1-ulp log error either way.
     lz = np.clip(lz, 0, 63)
-    too_hi = (top >> (np.uint64(63) - lz.astype(np.uint64))) == 0
-    lz[too_hi] -= 1
+    probe = top >> (np.uint64(63) - lz.astype(np.uint64))
+    lz[probe == 0] += 1
+    lz[probe >= 2] -= 1
     rank[nz] = lz + 1
     regs = np.zeros(1 << HLL_P, dtype=np.int64)
     np.maximum.at(regs, idx, rank)

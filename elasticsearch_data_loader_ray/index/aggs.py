@@ -75,6 +75,37 @@ def _dv_path(index_dir: str, column: str, seg_id: int) -> str:
                         f"segment={seg_id:06d}.parquet")
 
 
+def corpus_slice_for(corpus_files: list[str], urls,
+                     columns: list[str]) -> pa.Table:
+    """URL-range-pruned corpus read for a url set, ONE row per url.
+
+    The single place that owns two join invariants every corpus consumer
+    needs (doc-values, export, snippets, term vectors, significant_terms):
+
+    * dedup — corpus files keep pre-dedup rows and append generations
+      re-add upserted urls, so a url can appear several times; a join
+      against a fanned slice double-counts or mis-joins.
+    * generation resolution — ``_corpus_files`` lists the base corpus
+      BEFORE append generations, so the LAST occurrence is the newest
+      (visible) document; keep-first would serve the tombstoned old text
+      for an upserted url.
+
+    ``url`` is cast to plain string; callers cast their side to match.
+    """
+    mm = pc.min_max(urls)
+    sl = pq.read_table(
+        corpus_files, columns=["url", *columns],
+        filters=[("url", ">=", mm["min"].as_py()),
+                 ("url", "<=", mm["max"].as_py())])
+    sl = sl.set_column(0, "url", pc.cast(sl["url"], pa.string()))
+    u = np.asarray(sl["url"])
+    uniq, first_rev = np.unique(u[::-1], return_index=True)
+    if len(uniq) != sl.num_rows:
+        keep = (len(u) - 1) - first_rev  # last occurrence per url
+        sl = sl.take(pa.array(np.sort(keep)))
+    return sl
+
+
 def _build_dv_shard(index_dir: str, seg_id: int, column: str,
                     corpus_files: list[str]) -> None:
     """(doc_id, value) shard for one segment: url-range-pruned corpus read
@@ -87,11 +118,9 @@ def _build_dv_shard(index_dir: str, seg_id: int, column: str,
                          columns=["doc_id", "url"])
     if docs.num_rows == 0:
         return
-    mm = pc.min_max(docs["url"])
-    sl = pq.read_table(
-        corpus_files, columns=["url", column],
-        filters=[("url", ">=", mm["min"].as_py()),
-                 ("url", "<=", mm["max"].as_py())])
+    sl = corpus_slice_for(corpus_files, docs["url"], [column])
+    docs = docs.set_column(docs.column_names.index("url"), "url",
+                           pc.cast(docs["url"], pa.string()))
     j = docs.join(sl, keys="url", join_type="left outer")
     j = j.sort_by("doc_id").select(["doc_id", column])
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -121,15 +150,14 @@ def build_doc_values(index_dir: str, column: str) -> None:
      .materialize())
 
 
-def _matched_ids(index_dir: str, seg_id: int, field: str,
-                 terms: list[str], mode: str = "or") -> np.ndarray:
-    """Sorted doc ids in the segment matching the query terms — union for
-    ``mode="or"`` (ES match default), intersection for ``mode="and"``
-    (match with operator=and). Aggregations and exports consume the full
-    matched set, not top-k."""
+def _segment_postings(index_dir: str, seg_id: int, field: str,
+                      terms: list[str]) -> dict[str, list[np.ndarray]]:
+    """term -> decoded doc-id runs for one segment, ONE filtered read for
+    the whole term list (callers with many queries union their term lists
+    and share this read instead of re-opening the file per query)."""
     filters = _term_filters({field: terms})
     if filters is None:
-        return np.empty(0, np.int64)
+        return {}
     path = seg_terms_path(index_dir, seg_id)
     schema = pq.read_schema(path)
     if blobs.has_sidecar(schema):
@@ -144,14 +172,21 @@ def _matched_ids(index_dir: str, seg_id: int, field: str,
                            columns=["field", "term", "df", "doc_ids_enc",
                                     "tfs_enc"],
                            filters=filters)
-    runs = []
+    out: dict[str, list[np.ndarray]] = {}
     for i in range(tt.num_rows):
         ids, _tfs = codec.decode_postings(
             tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
             int(tt["df"][i].as_py()))
-        runs.append(ids)
+        out.setdefault(tt["term"][i].as_py(), []).append(ids)
+    return out
+
+
+def _ids_from_runs(runs_by_term: dict[str, list[np.ndarray]],
+                   terms: list[str], mode: str) -> np.ndarray:
+    """Combine a term subset's runs: union (``or``) or intersection
+    (``and`` — a term absent from the segment empties it)."""
+    runs = [r for t in set(terms) for r in runs_by_term.get(t, [])]
     if mode == "and":
-        # a term absent from the segment has no row -> empty intersection
         if len(runs) < len(set(terms)):
             return np.empty(0, np.int64)
         out = runs[0]
@@ -163,6 +198,16 @@ def _matched_ids(index_dir: str, seg_id: int, field: str,
     if not runs:
         return np.empty(0, np.int64)
     return runs[0] if len(runs) == 1 else np.unique(np.concatenate(runs))
+
+
+def _matched_ids(index_dir: str, seg_id: int, field: str,
+                 terms: list[str], mode: str = "or") -> np.ndarray:
+    """Sorted doc ids in the segment matching the query terms — union for
+    ``mode="or"`` (ES match default), intersection for ``mode="and"``
+    (match with operator=and). Aggregations and exports consume the full
+    matched set, not top-k."""
+    return _ids_from_runs(
+        _segment_postings(index_dir, seg_id, field, terms), terms, mode)
 
 
 class _TermsAggWorker:
@@ -475,13 +520,10 @@ class _SigTermsWorker:
                 columns=["doc_id", "url"])
             base = int(docs["doc_id"][0].as_py())
             rows = docs.take(pa.array(ids - base))
-            mm = pc.min_max(rows["url"])
-            sl = pq.read_table(
-                self.corpus_files, columns=["url", "text"],
-                filters=[("url", ">=", mm["min"].as_py()),
-                         ("url", "<=", mm["max"].as_py())])
-            sl = sl.join(rows.select(["url"]), keys="url",
-                         join_type="inner")
+            sl = corpus_slice_for(self.corpus_files, rows["url"], ["text"])
+            sl = sl.join(pa.table({"url": pc.cast(rows["url"],
+                                                  pa.string())}),
+                         keys="url", join_type="inner")
             doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
             if len(doc_idx) == 0:
                 continue
@@ -721,7 +763,9 @@ class _CardAggWorker:
             dv_ids = dv["doc_id"].to_numpy()
             pos = np.searchsorted(dv_ids, ids)
             seg_vals = dv[self.column].combine_chunks().take(pa.array(pos))
-            distinct = pc.unique(seg_vals)
+            # ES cardinality ignores missing values; dropping nulls here
+            # also keeps the exact and sketch paths' identities consistent
+            distinct = pc.drop_null(pc.unique(seg_vals))
             if len(distinct) <= self.threshold:
                 vals.extend(str(v) for v in distinct.to_pylist())
             else:

@@ -39,6 +39,7 @@ from .aggs import (
     _matched_ids,
     _pool_size,
     build_doc_values,
+    corpus_slice_for,
 )
 from .build import seg_docs_path
 from .search import (
@@ -100,20 +101,8 @@ class _ExportWorker:
                                       pa.int64()),
             })
             if self.stored:
-                mm = pc.min_max(rows["url"])
-                sl = pq.read_table(
-                    self.corpus_files,
-                    columns=["url", *self.stored],
-                    filters=[("url", ">=", mm["min"].as_py()),
-                             ("url", "<=", mm["max"].as_py())])
-                sl = sl.set_column(0, "url", pc.cast(sl["url"], pa.string()))
-                # duplicate input urls were deduped into the docs table at
-                # build time; keep one corpus row per url so the join
-                # cannot fan rows out
-                _u, first = np.unique(np.asarray(sl["url"]),
-                                      return_index=True)
-                if len(_u) != sl.num_rows:
-                    sl = sl.take(pa.array(np.sort(first)))
+                sl = corpus_slice_for(self.corpus_files, rows["url"],
+                                      list(self.stored))
                 for c in self.stored:
                     if sl[c].type != pa.string():
                         sl = sl.set_column(sl.column_names.index(c), c,
@@ -172,13 +161,18 @@ class _CountWorker:
         self._deleted = _load_deleted(index_dir, stats)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .aggs import _ids_from_runs, _segment_postings
+
+        union = sorted({t for ts in self.term_lists for t in ts})
         ns = np.zeros(len(self.term_lists), dtype=np.int64)
         for seg_id in batch["segment_id"].to_pylist():
+            # ONE filtered read per segment covers every query's terms
+            runs = _segment_postings(self.index_dir, int(seg_id),
+                                     self.field, union)
             for qi, terms in enumerate(self.term_lists):
                 if not terms:
                     continue
-                ids = _matched_ids(self.index_dir, int(seg_id),
-                                   self.field, terms, self.mode)
+                ids = _ids_from_runs(runs, terms, self.mode)
                 if len(self._deleted) and len(ids):
                     ids = ids[_drop_deleted(self._deleted, ids)]
                 ns[qi] += len(ids)
@@ -268,10 +262,11 @@ def term_vectors(index_dir: str, urls: list[str],
                        filters=flt)
     if sl.num_rows == 0:
         return empty
-    _u, first = np.unique(np.asarray(pc.cast(sl["url"], pa.string())),
-                          return_index=True)
-    if len(_u) != sl.num_rows:  # build-time dedup kept one doc per url
-        sl = sl.take(pa.array(np.sort(first)))
+    sl = sl.set_column(0, "url", pc.cast(sl["url"], pa.string()))
+    u = np.asarray(sl["url"])
+    uniq, first_rev = np.unique(u[::-1], return_index=True)
+    if len(uniq) != sl.num_rows:  # keep the NEWEST generation per url
+        sl = sl.take(pa.array(np.sort((len(u) - 1) - first_rev)))
     doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
     if len(doc_idx) == 0:
         return empty
@@ -400,22 +395,12 @@ class _SnippetWorker:
                 columns=["doc_id", "url"])
             base = int(docs["doc_id"][0].as_py())
             rows = docs.take(pa.array(ids - base))
-            mm = pc.min_max(rows["url"])
-            sl = pq.read_table(
-                self.corpus_files, columns=["url", "text"],
-                filters=[("url", ">=", mm["min"].as_py()),
-                         ("url", "<=", mm["max"].as_py())])
-            _u, first = np.unique(np.asarray(pc.cast(sl["url"],
-                                                     pa.string())),
-                                  return_index=True)
-            if len(_u) != sl.num_rows:
-                sl = sl.take(pa.array(np.sort(first)))
-            j = pa.table({"url": rows["url"],
+            sl = corpus_slice_for(self.corpus_files, rows["url"],
+                                  ["text"])
+            j = pa.table({"url": pc.cast(rows["url"], pa.string()),
                           "doc_id": rows["doc_id"],
                           "anchor_pos": pa.array(anchor, pa.int64())}) \
-                .join(sl.set_column(0, "url",
-                                    pc.cast(sl["url"], rows["url"].type)),
-                      keys="url", join_type="left outer") \
+                .join(sl, keys="url", join_type="left outer") \
                 .sort_by("doc_id")
             doc_idx, tokens, dl = an.standard_tokenize_batch(j["text"])
             dl64 = dl.astype(np.int64)

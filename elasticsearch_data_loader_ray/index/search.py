@@ -362,6 +362,34 @@ def _read_term_dict(index_dir: str, field: str,
     return pq.read_table(files, columns=["term", "df"], filters=flt)
 
 
+def _fuzzy_candidates(index_dir: str, field: str, q: str,
+                      max_dist: int, prefix_length: int,
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dictionary terms within classic Levenshtein ``max_dist`` of ``q``
+    sharing its first ``prefix_length`` chars — the candidate step shared
+    by fuzzy expansion and the term suggester. Returns (terms, dfs,
+    distances); the prefix prunes the dictionary read and a byte-length
+    prefilter skips the Levenshtein for hopeless rows. Distances are
+    byte-domain (like levenshtein_vec — see its docstring caveat)."""
+    empty = (np.empty(0, object), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    tbl = _read_term_dict(index_dir, field, q[:prefix_length])
+    if tbl.num_rows == 0:
+        return empty
+    lens = pc.binary_length(tbl["term"]).to_numpy()
+    near = np.abs(lens - len(q.encode())) <= max_dist
+    tbl = tbl.filter(pa.array(near))
+    if tbl.num_rows == 0:
+        return empty
+    d = levenshtein_vec(q, tbl["term"])
+    ok = d <= max_dist
+    if not ok.any():
+        return empty
+    sel = tbl.filter(pa.array(ok))
+    return (np.array(sel["term"].to_pylist(), dtype=object),
+            sel["df"].to_numpy(), d[ok])
+
+
 def expand_fuzzy(index_dir: str, field: str, qterm: str,
                  fuzziness="AUTO", prefix_length: int = 1,
                  max_expansions: int = 50) -> list[str]:
@@ -376,21 +404,14 @@ def expand_fuzzy(index_dir: str, field: str, qterm: str,
     full-vocabulary scan."""
     f = (_auto_fuzziness(qterm)
          if str(fuzziness).upper() == "AUTO" else int(fuzziness))
-    tbl = _read_term_dict(index_dir, field, qterm[:prefix_length])
-    if tbl.num_rows == 0:
-        return []
     if f == 0:
+        tbl = _read_term_dict(index_dir, field, qterm[:prefix_length])
+        if tbl.num_rows == 0:
+            return []
         m = pc.equal(tbl["term"], qterm)
         return tbl.filter(m)["term"].to_pylist()
-    lens = pc.binary_length(tbl["term"]).to_numpy()
-    near = np.abs(lens - len(qterm.encode())) <= f
-    tbl = tbl.filter(pa.array(near))
-    if tbl.num_rows == 0:
-        return []
-    d = levenshtein_vec(qterm, tbl["term"])
-    ok = tbl.filter(pa.array(d <= f))
-    terms = np.array(ok["term"].to_pylist(), dtype=object)
-    dfs = ok["df"].to_numpy()
+    terms, dfs, _d = _fuzzy_candidates(index_dir, field, qterm, f,
+                                       prefix_length)
     order = np.lexsort((terms, -dfs))[:max_expansions]
     return terms[order].tolist()
 
@@ -426,22 +447,12 @@ def suggest_terms(index_dir: str, inputs: list[str],
     out_i, out_s, out_d, out_f = [], [], [], []
     for q in inputs:
         q = q.lower()
-        tbl = _read_term_dict(index_dir, field, q[:prefix_length])
-        if tbl.num_rows == 0:
+        terms, dfs, dd = _fuzzy_candidates(index_dir, field, q,
+                                           max_edits, prefix_length)
+        keep = dd >= 1  # the input itself needs no suggestion
+        terms, dfs, dd = terms[keep], dfs[keep], dd[keep]
+        if len(terms) == 0:
             continue
-        lens = pc.binary_length(tbl["term"]).to_numpy()
-        near = np.abs(lens - len(q.encode())) <= max_edits
-        tbl = tbl.filter(pa.array(near))
-        if tbl.num_rows == 0:
-            continue
-        d = levenshtein_vec(q, tbl["term"])
-        ok = (d >= 1) & (d <= max_edits)
-        if not ok.any():
-            continue
-        terms = np.array(tbl.filter(pa.array(ok))["term"].to_pylist(),
-                         dtype=object)
-        dfs = tbl.filter(pa.array(ok))["df"].to_numpy()
-        dd = d[ok]
         order = np.lexsort((terms, -dfs, dd))[:size]
         out_i.extend([q] * len(order))
         out_s.extend(terms[order].tolist())
@@ -1913,7 +1924,8 @@ class LocalSearcher:
         cut = np.lexsort((ids, -np.round(sc, 6)))[:window_size]
         ids, sc = ids[cut], sc[cut]
         p_ids, p_sc, _fq = PhraseSearcher(self).search(
-            phrase or query, k=self.n_docs or 1, field=field)
+            phrase or query, k=window_size, field=field,
+            within=np.sort(ids))
         ph = dict(zip(p_ids.tolist(), p_sc.tolist()))
         new = (query_weight * sc
                + rescore_weight * np.array([ph.get(int(d), 0.0)
@@ -2329,7 +2341,12 @@ class PhraseSearcher:
         self.local = local
 
     def search(self, query: str, k: int = 10,
-               field: str = DEFAULT_FIELD) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+               field: str = DEFAULT_FIELD,
+               within: np.ndarray | None = None,
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``within``: optional sorted doc-id array restricting the
+        candidate set (the rescore window) — positions are still read
+        term-major, but the per-doc scoring loop is bounded by it."""
         lo = self.local
         if (lo.term_ds is not None
                 and not blobs.has_positions(lo.term_ds.schema)):
@@ -2367,6 +2384,11 @@ class PhraseSearcher:
             docs_t = np.sort(docs_t)
             cand = docs_t if cand is None else np.intersect1d(
                 cand, docs_t, assume_unique=True)
+            if len(cand) == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.float64),
+                        np.empty(0, np.int64))
+        if within is not None:
+            cand = np.intersect1d(cand, within, assume_unique=True)
             if len(cand) == 0:
                 return (np.empty(0, np.int64), np.empty(0, np.float64),
                         np.empty(0, np.int64))

@@ -217,3 +217,35 @@ def test_delete_by_query_tombstones_matches(tmp_path):
     # unrelated second delete stacks
     assert delete_by_query(idx, "zeta") == 3
     assert count_matches(idx, "epsilon") == 0
+
+
+def test_export_serves_newest_generation_after_upsert(tmp_path):
+    """Corpus-backed reads (export stored fields, term vectors) must
+    resolve an upserted url to the NEW generation's text, not the
+    tombstoned original (keep-LAST corpus dedup)."""
+    from elasticsearch_data_loader_ray.index.append import (
+        append_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.export import (
+        export_matches,
+        term_vectors,
+    )
+
+    idx = str(tmp_path / "gen_idx")
+    urls = [f"{i:08d}" for i in range(6)]
+    old_texts = ["alpha beta"] * 6
+    build_index_from_corpus(rd.from_arrow(_corpus_table(urls, old_texts)),
+                            idx, BuildConfig(docs_per_segment=4))
+    # upsert url 2 with new text (old doc tombstoned, new doc appended)
+    append_index_from_corpus(
+        rd.from_arrow(_corpus_table([urls[2]], ["gamma delta epsilon"])),
+        idx, BuildConfig(docs_per_segment=4))
+    got = export_matches(idx, "gamma", stored_columns=("text",)).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["text"] == "gamma delta epsilon"
+    assert got.iloc[0]["word_count"] == 3
+    tv = term_vectors(idx, [urls[2]]).to_pandas()
+    assert set(tv["term"]) == {"gamma", "delta", "epsilon"}
+    # non-upserted urls still export their original text
+    got2 = export_matches(idx, "alpha", stored_columns=("text",)).to_pandas()
+    assert len(got2) == 5 and (got2["text"] == "alpha beta").all()
