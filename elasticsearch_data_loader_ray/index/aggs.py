@@ -53,13 +53,24 @@ from .search import (
 )
 
 
-def _pool_size(concurrency: int | None, n_segments: int) -> int:
-    """Actor-pool size: the CPU budget by default (a pinned small pool
-    starves multi-core boxes), always capped by the number of segments."""
-    from .build import _ncpus
+from functools import lru_cache
 
-    want = _ncpus() if concurrency is None else int(concurrency)
-    return max(1, min(want, n_segments))
+
+@lru_cache(maxsize=64)
+def _state_cached(index_dir: str, stats_mtime_ns: int):
+    stats = _load_stats(index_dir)
+    return stats, _load_deleted(index_dir, stats)
+
+
+def worker_state(index_dir: str):
+    """(stats, tombstones) cached per worker PROCESS, keyed by stats.json
+    mtime so a delete/append invalidates it. This is what lets the
+    per-segment stages run as plain TASKS instead of actor pools:
+    re-loading trivial state per task is nearly free, while the per-call
+    actor-pool spawn dominated agg latency (measured 4.3s -> 0.35s for a
+    warm 1M-doc histogram agg)."""
+    mt = os.stat(os.path.join(index_dir, "stats.json")).st_mtime_ns
+    return _state_cached(index_dir, mt)
 
 
 def _corpus_files(index_dir: str) -> list[str]:
@@ -210,137 +221,116 @@ def _matched_ids(index_dir: str, seg_id: int, field: str,
         _segment_postings(index_dir, seg_id, field, terms), terms, mode)
 
 
-class _TermsAggWorker:
-    """Actor: per-segment terms-agg partials for one broadcast query."""
-
-    def __init__(self, index_dir: str, column: str, field: str,
-                 terms_ref, metric_field: str | None):
-        self.index_dir = index_dir
-        self.column = column
-        self.field = field
-        self.terms = (ray.get(terms_ref)
-                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
-        self.metric_field = metric_field
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, counts, msums = [], [], []
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids = _matched_ids(self.index_dir, seg_id, self.field,
-                               self.terms)
-            if len(self._deleted) and len(ids):
-                ids = ids[_drop_deleted(self._deleted, ids)]
-            if len(ids) == 0:
-                continue
-            dvp = _dv_path(self.index_dir, self.column, seg_id)
-            dv = pq.read_table(dvp, columns=["doc_id", self.column])
-            dv_ids = dv["doc_id"].to_numpy()
-            pos = np.searchsorted(dv_ids, ids)
-            vals = dv[self.column].combine_chunks().take(pa.array(pos))
-            enc = pc.dictionary_encode(vals)
-            codes = np.asarray(enc.indices)
-            nbuck = len(enc.dictionary)
-            cnt = np.bincount(codes, minlength=nbuck)
-            if self.metric_field is not None:
-                docs = pq.read_table(
-                    seg_docs_path(self.index_dir, seg_id),
-                    columns=["doc_id", _dl_column(self.metric_field)])
-                dlv = docs[_dl_column(self.metric_field)].to_numpy()
-                base = int(docs["doc_id"][0].as_py())
-                msum = np.bincount(codes, weights=dlv[ids - base],
-                                   minlength=nbuck)
-            else:
-                msum = np.zeros(nbuck)
-            keys.extend(enc.dictionary.to_pylist())
-            counts.extend(cnt.tolist())
-            msums.extend(msum.tolist())
-        return pa.table({
-            "key": pa.array([str(k) for k in keys], pa.string()),
-            "doc_count": pa.array(counts, pa.int64()),
-            "metric_sum": pa.array(msums, pa.float64()),
-        })
+def _terms_agg_partials(batch: pa.Table, *, index_dir: str,
+                        column: str, field: str, terms: list[str],
+                        metric_field: str | None) -> pa.Table:
+    """Task: per-segment terms-agg partials for one broadcast query."""
+    _stats, deleted = worker_state(index_dir)
+    keys, counts, msums = [], [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field,
+                           terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        dvp = _dv_path(index_dir, column, seg_id)
+        dv = pq.read_table(dvp, columns=["doc_id", column])
+        dv_ids = dv["doc_id"].to_numpy()
+        pos = np.searchsorted(dv_ids, ids)
+        vals = dv[column].combine_chunks().take(pa.array(pos))
+        enc = pc.dictionary_encode(vals)
+        codes = np.asarray(enc.indices)
+        nbuck = len(enc.dictionary)
+        cnt = np.bincount(codes, minlength=nbuck)
+        if metric_field is not None:
+            docs = pq.read_table(
+                seg_docs_path(index_dir, seg_id),
+                columns=["doc_id", _dl_column(metric_field)])
+            dlv = docs[_dl_column(metric_field)].to_numpy()
+            base = int(docs["doc_id"][0].as_py())
+            msum = np.bincount(codes, weights=dlv[ids - base],
+                               minlength=nbuck)
+        else:
+            msum = np.zeros(nbuck)
+        keys.extend(enc.dictionary.to_pylist())
+        counts.extend(cnt.tolist())
+        msums.extend(msum.tolist())
+    return pa.table({
+        "key": pa.array([str(k) for k in keys], pa.string()),
+        "doc_count": pa.array(counts, pa.int64()),
+        "metric_sum": pa.array(msums, pa.float64()),
+    })
 
 
-class _DlAggWorker:
-    """Actor: per-segment partials over the matched docs' token counts —
+def _dl_agg_partials(batch: pa.Table, *, index_dir: str, field: str,
+                     terms: list[str], metric_field: str,
+                     interval: int | None,
+                     ranges: list[tuple] | None = None) -> pa.Table:
+    """Task: per-segment partials over the matched docs' token counts —
     histogram buckets when ``interval`` is set, range-bucket counts when
     ``ranges`` is set, else running (count, min, max, sum) stats. Doc
     lengths come from the segment's docs table, so no doc-values shard is
     needed."""
-
-    def __init__(self, index_dir: str, field: str, terms_ref,
-                 metric_field: str, interval: int | None,
-                 ranges: list[tuple] | None = None):
-        self.index_dir = index_dir
-        self.field = field
-        self.terms = (ray.get(terms_ref)
-                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
-        self.metric_field = metric_field
-        self.interval = interval
-        self.ranges = ranges
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        hist: dict[int, int] = {}
-        rcnt = np.zeros(len(self.ranges or ()), dtype=np.int64)
-        cnt, mn, mx, sm = 0, None, None, 0
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids = _matched_ids(self.index_dir, seg_id, self.field,
-                               self.terms)
-            if len(self._deleted) and len(ids):
-                ids = ids[_drop_deleted(self._deleted, ids)]
-            if len(ids) == 0:
-                continue
-            docs = pq.read_table(
-                seg_docs_path(self.index_dir, seg_id),
-                columns=["doc_id", _dl_column(self.metric_field)])
-            dlv = docs[_dl_column(self.metric_field)].to_numpy()
-            base = int(docs["doc_id"][0].as_py())
-            v = dlv[ids - base].astype(np.int64)
-            if self.ranges is not None:
-                # ES range agg: from inclusive, to exclusive, ends
-                # optional, ranges may overlap (each counted independently)
-                for ri, (frm, to) in enumerate(self.ranges):
-                    ok = np.ones(len(v), dtype=bool)
-                    if frm is not None:
-                        ok &= v >= frm
-                    if to is not None:
-                        ok &= v < to
-                    rcnt[ri] += int(ok.sum())
-            elif self.interval is not None:
-                keys = (v // self.interval) * self.interval
-                uk, uc = np.unique(keys, return_counts=True)
-                for kk, cc in zip(uk.tolist(), uc.tolist()):
-                    hist[kk] = hist.get(kk, 0) + cc
-            else:
-                cnt += len(v)
-                sm += int(v.sum())
-                mn = int(v.min()) if mn is None else min(mn, int(v.min()))
-                mx = int(v.max()) if mx is None else max(mx, int(v.max()))
-        if self.ranges is not None:
-            return pa.table({
-                "range_idx": pa.array(range(len(rcnt)), pa.int64()),
-                "doc_count": pa.array(rcnt, pa.int64()),
-            })
-        if self.interval is not None:
-            ks = sorted(hist)
-            return pa.table({
-                "key": pa.array(ks, pa.int64()),
-                "doc_count": pa.array([hist[kk] for kk in ks], pa.int64()),
-            })
-        if cnt == 0:
-            return pa.table({"doc_count": pa.array([], pa.int64()),
-                             "min_v": pa.array([], pa.int64()),
-                             "max_v": pa.array([], pa.int64()),
-                             "sum_v": pa.array([], pa.int64())})
-        return pa.table({"doc_count": pa.array([cnt], pa.int64()),
-                         "min_v": pa.array([mn], pa.int64()),
-                         "max_v": pa.array([mx], pa.int64()),
-                         "sum_v": pa.array([sm], pa.int64())})
+    _stats, deleted = worker_state(index_dir)
+    hist: dict[int, int] = {}
+    rcnt = np.zeros(len(ranges or ()), dtype=np.int64)
+    cnt, mn, mx, sm = 0, None, None, 0
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field,
+                           terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        docs = pq.read_table(
+            seg_docs_path(index_dir, seg_id),
+            columns=["doc_id", _dl_column(metric_field)])
+        dlv = docs[_dl_column(metric_field)].to_numpy()
+        base = int(docs["doc_id"][0].as_py())
+        v = dlv[ids - base].astype(np.int64)
+        if ranges is not None:
+            # ES range agg: from inclusive, to exclusive, ends
+            # optional, ranges may overlap (each counted independently)
+            for ri, (frm, to) in enumerate(ranges):
+                ok = np.ones(len(v), dtype=bool)
+                if frm is not None:
+                    ok &= v >= frm
+                if to is not None:
+                    ok &= v < to
+                rcnt[ri] += int(ok.sum())
+        elif interval is not None:
+            keys = (v // interval) * interval
+            uk, uc = np.unique(keys, return_counts=True)
+            for kk, cc in zip(uk.tolist(), uc.tolist()):
+                hist[kk] = hist.get(kk, 0) + cc
+        else:
+            cnt += len(v)
+            sm += int(v.sum())
+            mn = int(v.min()) if mn is None else min(mn, int(v.min()))
+            mx = int(v.max()) if mx is None else max(mx, int(v.max()))
+    if ranges is not None:
+        return pa.table({
+            "range_idx": pa.array(range(len(rcnt)), pa.int64()),
+            "doc_count": pa.array(rcnt, pa.int64()),
+        })
+    if interval is not None:
+        ks = sorted(hist)
+        return pa.table({
+            "key": pa.array(ks, pa.int64()),
+            "doc_count": pa.array([hist[kk] for kk in ks], pa.int64()),
+        })
+    if cnt == 0:
+        return pa.table({"doc_count": pa.array([], pa.int64()),
+                         "min_v": pa.array([], pa.int64()),
+                         "max_v": pa.array([], pa.int64()),
+                         "sum_v": pa.array([], pa.int64())})
+    return pa.table({"doc_count": pa.array([cnt], pa.int64()),
+                     "min_v": pa.array([mn], pa.int64()),
+                     "max_v": pa.array([mx], pa.int64()),
+                     "sum_v": pa.array([sm], pa.int64())})
 
 
 def histogram_agg(index_dir: str, query: str, interval: int,
@@ -364,14 +354,13 @@ def histogram_agg(index_dir: str, query: str, interval: int,
     per_seg = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _DlAggWorker,
-            fn_constructor_kwargs={
-                "index_dir": index_dir, "field": field,
-                "terms_ref": ray.put(terms),
+            _dl_agg_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "field": field, "terms": terms,
                 "metric_field": metric_field or field,
                 "interval": int(interval)},
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
     )
     merged = per_seg.groupby("key").aggregate(Sum("doc_count")).to_pandas()
     if len(merged) == 0:
@@ -404,14 +393,13 @@ def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
     per_seg = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _DlAggWorker,
-            fn_constructor_kwargs={
-                "index_dir": index_dir, "field": field,
-                "terms_ref": ray.put(terms),
+            _dl_agg_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "field": field, "terms": terms,
                 "metric_field": metric_field or field,
                 "interval": None},
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
         .to_pandas()
     )
     if len(per_seg) == 0 or per_seg["doc_count"].sum() == 0:
@@ -453,13 +441,13 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
     per_seg = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _TermsAggWorker,
-            fn_constructor_kwargs={
+            _terms_agg_partials,
+            fn_kwargs={
                 "index_dir": index_dir, "column": column, "field": field,
-                "terms_ref": ray.put(terms), "metric_field": metric_field,
+                "terms": terms, "metric_field": metric_field,
             },
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
     )
     merged = (per_seg.groupby("key")
               .aggregate(Sum("doc_count"), Sum("metric_sum"))
@@ -479,76 +467,62 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
     return pa.table(out)
 
 
-class _SigTermsWorker:
-    """Actor: per-segment foreground doc-frequency partials — the matched
+def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
+                        field: str, terms: list[str],
+                        corpus_files: list[str]) -> pa.Table:
+    """Task: per-segment foreground doc-frequency partials — the matched
     docs' stored text re-tokenized, one (term, fg_count) row per distinct
     term. Work is O(matched docs' tokens), not O(segment vocabulary):
     when the query matches a sliver of a 100-TB corpus, only that sliver
     is read (url-range-pruned) and tokenized."""
+    _stats, deleted = worker_state(index_dir)
+    from ..functions import analyzers as an
 
-    def __init__(self, index_dir: str, field: str, terms_ref,
-                 corpus_files: list[str]):
-        self.index_dir = index_dir
-        self.field = field
-        self.terms = (ray.get(terms_ref)
-                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
-        self.corpus_files = corpus_files
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-        analyzer = _field_analyzer(stats, self.field)
-        if analyzer != "standard":
-            raise ValueError(
-                f"significant_terms re-tokenizes stored text and requires "
-                f"the standard analyzer on {field!r}, got {analyzer!r}")
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions import analyzers as an
-
-        outs = []
-        n_matched = 0
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids = _matched_ids(self.index_dir, seg_id, self.field,
-                               self.terms)
-            if len(self._deleted) and len(ids):
-                ids = ids[_drop_deleted(self._deleted, ids)]
-            if len(ids) == 0:
-                continue
-            n_matched += len(ids)
-            docs = pq.read_table(
-                seg_docs_path(self.index_dir, seg_id),
-                columns=["doc_id", "url"])
-            base = int(docs["doc_id"][0].as_py())
-            rows = docs.take(pa.array(ids - base))
-            sl = corpus_slice_for(self.corpus_files, rows["url"], ["text"])
-            sl = sl.join(pa.table({"url": pc.cast(rows["url"],
-                                                  pa.string())}),
-                         keys="url", join_type="inner")
-            doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
-            if len(doc_idx) == 0:
-                continue
-            # distinct (doc, term): doc frequency, not term frequency
-            enc = pc.dictionary_encode(tokens.combine_chunks()
-                                       if isinstance(tokens,
-                                                     pa.ChunkedArray)
-                                       else tokens)
-            codes = np.asarray(enc.indices, dtype=np.int64)
-            pair = np.unique(doc_idx.astype(np.int64)
-                             * len(enc.dictionary) + codes)
-            term_code = pair % len(enc.dictionary)
-            cnt = np.bincount(term_code, minlength=len(enc.dictionary))
-            nz = np.flatnonzero(cnt)
-            outs.append(pa.table({
-                "term": pc.cast(enc.dictionary.take(pa.array(nz)),
-                                pa.string()),
-                "fg_count": pa.array(cnt[nz], pa.int64()),
-                "fg_docs": pa.array([0] * len(nz), pa.int64()),
-            }))
-        tot = pa.table({"term": pa.array([""], pa.string()),
-                        "fg_count": pa.array([0], pa.int64()),
-                        "fg_docs": pa.array([n_matched], pa.int64())})
-        outs.append(tot)
-        return pa.concat_tables(outs)
+    outs = []
+    n_matched = 0
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field,
+                           terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        n_matched += len(ids)
+        docs = pq.read_table(
+            seg_docs_path(index_dir, seg_id),
+            columns=["doc_id", "url"])
+        base = int(docs["doc_id"][0].as_py())
+        rows = docs.take(pa.array(ids - base))
+        sl = corpus_slice_for(corpus_files, rows["url"], ["text"])
+        sl = sl.join(pa.table({"url": pc.cast(rows["url"],
+                                              pa.string())}),
+                     keys="url", join_type="inner")
+        doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
+        if len(doc_idx) == 0:
+            continue
+        # distinct (doc, term): doc frequency, not term frequency
+        enc = pc.dictionary_encode(tokens.combine_chunks()
+                                   if isinstance(tokens,
+                                                 pa.ChunkedArray)
+                                   else tokens)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        pair = np.unique(doc_idx.astype(np.int64)
+                         * len(enc.dictionary) + codes)
+        term_code = pair % len(enc.dictionary)
+        cnt = np.bincount(term_code, minlength=len(enc.dictionary))
+        nz = np.flatnonzero(cnt)
+        outs.append(pa.table({
+            "term": pc.cast(enc.dictionary.take(pa.array(nz)),
+                            pa.string()),
+            "fg_count": pa.array(cnt[nz], pa.int64()),
+            "fg_docs": pa.array([0] * len(nz), pa.int64()),
+        }))
+    tot = pa.table({"term": pa.array([""], pa.string()),
+                    "fg_count": pa.array([0], pa.int64()),
+                    "fg_docs": pa.array([n_matched], pa.int64())})
+    outs.append(tot)
+    return pa.concat_tables(outs)
 
 
 def significant_terms_agg(index_dir: str, query: str, size: int = 10,
@@ -567,7 +541,12 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
     from .search import _read_term_dict
 
     stats = _load_stats(index_dir)
-    terms = query_terms(query, _field_analyzer(stats, field))
+    analyzer = _field_analyzer(stats, field)
+    if analyzer != "standard":
+        raise ValueError(
+            f"significant_terms re-tokenizes stored text and requires "
+            f"the standard analyzer on {field!r}, got {analyzer!r}")
+    terms = query_terms(query, analyzer)
     seg_ids, _vis = _visible_seg_ids(index_dir, stats)
     empty = pa.table({"term": pa.array([], pa.string()),
                       "fg_count": pa.array([], pa.int64()),
@@ -578,13 +557,13 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
     merged = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _SigTermsWorker,
-            fn_constructor_kwargs={
+            _sig_terms_partials,
+            fn_kwargs={
                 "index_dir": index_dir, "field": field,
-                "terms_ref": ray.put(sorted(set(terms))),
+                "terms": sorted(set(terms)),
                 "corpus_files": _corpus_files(index_dir)},
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
         .groupby("term")
         .aggregate(Sum("fg_count", alias_name="fg_count"),
                    Sum("fg_docs", alias_name="fg_docs"))
@@ -673,14 +652,13 @@ def range_agg(index_dir: str, query: str, ranges: list[tuple],
     per_seg = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _DlAggWorker,
-            fn_constructor_kwargs={
-                "index_dir": index_dir, "field": field,
-                "terms_ref": ray.put(terms),
+            _dl_agg_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "field": field, "terms": terms,
                 "metric_field": metric_field or field,
                 "interval": None, "ranges": norm},
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
     )
     merged = (per_seg.groupby("range_idx").aggregate(Sum("doc_count"))
               .to_pandas().rename(columns={"sum(doc_count)": "doc_count"}))
@@ -723,8 +701,10 @@ def percentiles_agg(index_dir: str, query: str,
     return pa.table(out)
 
 
-class _CardAggWorker:
-    """Actor: per-segment cardinality partials for one broadcast query.
+def _card_agg_partials(batch: pa.Table, *, index_dir: str,
+                       column: str, field: str, terms: list[str],
+                       threshold: int) -> pa.Table:
+    """Task: per-segment cardinality partials for one broadcast query.
 
     ES ``cardinality`` semantics: exact below ``precision_threshold``,
     HyperLogLog above. A segment whose matched-distinct count fits the
@@ -733,53 +713,41 @@ class _CardAggWorker:
     sketch only if the union outgrows the threshold — like ES's
     sparse-to-dense HLL++ promotion, the answer is exact whenever the true
     cardinality is under the threshold."""
+    _stats, deleted = worker_state(index_dir)
+    from ..functions.hll import fnv64_strings, hll_partial
 
-    def __init__(self, index_dir: str, column: str, field: str,
-                 terms_ref, threshold: int):
-        self.index_dir = index_dir
-        self.column = column
-        self.field = field
-        self.terms = (ray.get(terms_ref)
-                      if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
-        self.threshold = threshold
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hll import fnv64_strings, hll_partial
-
-        vals: list[str] = []
-        regs = None
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids = _matched_ids(self.index_dir, seg_id, self.field,
-                               self.terms)
-            if len(self._deleted) and len(ids):
-                ids = ids[_drop_deleted(self._deleted, ids)]
-            if len(ids) == 0:
-                continue
-            dvp = _dv_path(self.index_dir, self.column, seg_id)
-            dv = pq.read_table(dvp, columns=["doc_id", self.column])
-            dv_ids = dv["doc_id"].to_numpy()
-            pos = np.searchsorted(dv_ids, ids)
-            seg_vals = dv[self.column].combine_chunks().take(pa.array(pos))
-            # ES cardinality ignores missing values; dropping nulls here
-            # also keeps the exact and sketch paths' identities consistent
-            distinct = pc.drop_null(pc.unique(seg_vals))
-            if len(distinct) <= self.threshold:
-                vals.extend(str(v) for v in distinct.to_pylist())
-            else:
-                part = hll_partial(fnv64_strings(distinct))
-                regs = part if regs is None else np.maximum(regs, part)
-        rows_v = sorted(set(vals))
-        out_regs: list = [None] * len(rows_v)
-        if regs is not None:
-            rows_v.append(None)
-            out_regs.append(regs.tolist())
-        return pa.table({
-            "value": pa.array(rows_v, pa.string()),
-            "regs": pa.array(out_regs, pa.list_(pa.int64())),
-        })
+    vals: list[str] = []
+    regs = None
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field,
+                           terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        dvp = _dv_path(index_dir, column, seg_id)
+        dv = pq.read_table(dvp, columns=["doc_id", column])
+        dv_ids = dv["doc_id"].to_numpy()
+        pos = np.searchsorted(dv_ids, ids)
+        seg_vals = dv[column].combine_chunks().take(pa.array(pos))
+        # ES cardinality ignores missing values; dropping nulls here
+        # also keeps the exact and sketch paths' identities consistent
+        distinct = pc.drop_null(pc.unique(seg_vals))
+        if len(distinct) <= threshold:
+            vals.extend(str(v) for v in distinct.to_pylist())
+        else:
+            part = hll_partial(fnv64_strings(distinct))
+            regs = part if regs is None else np.maximum(regs, part)
+    rows_v = sorted(set(vals))
+    out_regs: list = [None] * len(rows_v)
+    if regs is not None:
+        rows_v.append(None)
+        out_regs.append(regs.tolist())
+    return pa.table({
+        "value": pa.array(rows_v, pa.string()),
+        "regs": pa.array(out_regs, pa.list_(pa.int64())),
+    })
 
 
 def cardinality_agg(index_dir: str, query: str, column: str,
@@ -803,13 +771,13 @@ def cardinality_agg(index_dir: str, query: str, column: str,
     parts = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _CardAggWorker,
-            fn_constructor_kwargs={
+            _card_agg_partials,
+            fn_kwargs={
                 "index_dir": index_dir, "column": column, "field": field,
-                "terms_ref": ray.put(terms),
+                "terms": terms,
                 "threshold": int(precision_threshold)},
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
         .take_all()  # bounded: <= threshold values or one register row
     )
     exact: set = set()

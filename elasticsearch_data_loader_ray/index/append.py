@@ -310,49 +310,38 @@ def _run_append(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
     return out
 
 
-class _DeleteWorker:
-    """Actor: per-segment tombstone writer for one broadcast query.
+def _delete_partials(batch: pa.Table, *, index_dir: str, field: str,
+                     terms: list[str], mode: str, qhash: str) -> pa.Table:
+    """Task: per-segment tombstone writer for one query.
 
     Writes ``tombstones/dbq-<qhash>-seg<K>.json`` atomically with a
     DETERMINISTIC name, so task retries overwrite the same payload and
     re-running the same delete is idempotent. Files are inert until the
-    driver's stats.json rewrite lists them (the single visibility point)."""
+    driver's stats.json rewrite lists them (the single visibility point).
+    The (stats, tombstones) state comes from the mtime-keyed worker cache,
+    so already-deleted docs are excluded from the new counts."""
+    from .aggs import _matched_ids, worker_state
+    from .search import _drop_deleted
 
-    def __init__(self, index_dir: str, field: str, terms: list[str],
-                 mode: str, qhash: str):
-        from .aggs import _matched_ids  # noqa: F401 (bound below)
-        from .search import _drop_deleted, _load_deleted, _load_stats
-
-        self.index_dir = index_dir
-        self.field = field
-        self.terms = terms
-        self.mode = mode
-        self.qhash = qhash
-        self._matched_ids = _matched_ids
-        self._drop = _drop_deleted
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        paths, counts = [], []
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids = self._matched_ids(self.index_dir, seg_id, self.field,
-                                    self.terms, self.mode)
-            if len(self._deleted) and len(ids):
-                ids = ids[self._drop(self._deleted, ids)]
-            if len(ids) == 0:
-                continue
-            rel = os.path.join(
-                "tombstones", f"dbq-{self.qhash}-seg{seg_id:06d}.json")
-            mf.write_json_atomic(
-                os.path.join(self.index_dir, rel),
-                {"query_hash": self.qhash, "segment_id": seg_id,
-                 "deleted_doc_ids": [int(d) for d in ids]})
-            paths.append(rel)
-            counts.append(len(ids))
-        return pa.table({"path": pa.array(paths, pa.string()),
-                         "n": pa.array(counts, pa.int64())})
+    _stats, deleted = worker_state(index_dir)
+    paths, counts = [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field, terms, mode)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        rel = os.path.join(
+            "tombstones", f"dbq-{qhash}-seg{seg_id:06d}.json")
+        mf.write_json_atomic(
+            os.path.join(index_dir, rel),
+            {"query_hash": qhash, "segment_id": seg_id,
+             "deleted_doc_ids": [int(d) for d in ids]})
+        paths.append(rel)
+        counts.append(len(ids))
+    return pa.table({"path": pa.array(paths, pa.string()),
+                     "n": pa.array(counts, pa.int64())})
 
 
 def delete_by_query(index_dir: str, query: str, field: str | None = None,
@@ -368,7 +357,6 @@ def delete_by_query(index_dir: str, query: str, field: str | None = None,
     drops tombstoned ids. Returns the number of docs deleted."""
     import hashlib
 
-    from .aggs import _pool_size
     from .search import DEFAULT_FIELD, _field_analyzer, _load_stats, \
         _visible_seg_ids, query_terms
 
@@ -383,12 +371,12 @@ def delete_by_query(index_dir: str, query: str, field: str | None = None,
     parts = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _DeleteWorker,
-            fn_constructor_kwargs={
+            _delete_partials,
+            fn_kwargs={
                 "index_dir": index_dir, "field": field, "terms": terms,
                 "mode": mode, "qhash": qhash},
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
         .take_all()  # one (path, count) row per touched segment
     )
     new_files = [p["path"] for p in parts]

@@ -35,9 +35,9 @@ import ray.data as rd
 
 from .aggs import (
     _corpus_files,
+    worker_state,
     _dv_path,
     _matched_ids,
-    _pool_size,
     build_doc_values,
     corpus_slice_for,
 )
@@ -63,57 +63,46 @@ def _export_schema(stored_columns: tuple[str, ...]) -> pa.Schema:
     return pa.schema(fields)
 
 
-class _ExportWorker:
-    """Actor: one segment per batch -> that segment's matched doc rows."""
-
-    def __init__(self, index_dir: str, field: str, terms: list[str],
-                 mode: str, stored_columns: tuple[str, ...],
-                 corpus_files: list[str]):
-        self.index_dir = index_dir
-        self.field = field
-        self.terms = terms
-        self.mode = mode
-        self.stored = tuple(stored_columns)
-        self.corpus_files = corpus_files
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-        self._schema = _export_schema(self.stored)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = []
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids = _matched_ids(self.index_dir, seg_id, self.field,
-                               self.terms, self.mode)
-            if len(self._deleted) and len(ids):
-                ids = ids[_drop_deleted(self._deleted, ids)]
-            if len(ids) == 0:
-                continue
-            docs = pq.read_table(
-                seg_docs_path(self.index_dir, seg_id),
-                columns=["doc_id", "url", _dl_column(self.field)])
-            base = int(docs["doc_id"][0].as_py())
-            rows = docs.take(pa.array(ids - base))
-            out = pa.table({
-                "doc_id": rows["doc_id"],
-                "url": pc.cast(rows["url"], pa.string()),
-                "word_count": pc.cast(rows[_dl_column(self.field)],
-                                      pa.int64()),
-            })
-            if self.stored:
-                sl = corpus_slice_for(self.corpus_files, rows["url"],
-                                      list(self.stored))
-                for c in self.stored:
-                    if sl[c].type != pa.string():
-                        sl = sl.set_column(sl.column_names.index(c), c,
-                                           pc.cast(sl[c], pa.string()))
-                out = out.join(sl, keys="url", join_type="left outer")
-                out = out.sort_by("doc_id")
-            outs.append(out.select(self._schema.names)
-                        .cast(self._schema))
-        if not outs:
-            return self._schema.empty_table()
-        return pa.concat_tables(outs)
+def _export_rows(batch: pa.Table, *, index_dir: str, field: str,
+                 terms: list[str], mode: str,
+                 stored: tuple, corpus_files: list[str]) -> pa.Table:
+    """Task: one segment per batch -> that segment's matched doc rows."""
+    _stats, deleted = worker_state(index_dir)
+    schema = _export_schema(tuple(stored))
+    outs = []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field,
+                           terms, mode)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        docs = pq.read_table(
+            seg_docs_path(index_dir, seg_id),
+            columns=["doc_id", "url", _dl_column(field)])
+        base = int(docs["doc_id"][0].as_py())
+        rows = docs.take(pa.array(ids - base))
+        out = pa.table({
+            "doc_id": rows["doc_id"],
+            "url": pc.cast(rows["url"], pa.string()),
+            "word_count": pc.cast(rows[_dl_column(field)],
+                                  pa.int64()),
+        })
+        if stored:
+            sl = corpus_slice_for(corpus_files, rows["url"],
+                                  list(stored))
+            for c in stored:
+                if sl[c].type != pa.string():
+                    sl = sl.set_column(sl.column_names.index(c), c,
+                                       pc.cast(sl[c], pa.string()))
+            out = out.join(sl, keys="url", join_type="left outer")
+            out = out.sort_by("doc_id")
+        outs.append(out.select(schema.names)
+                    .cast(schema))
+    if not outs:
+        return schema.empty_table()
+    return pa.concat_tables(outs)
 
 
 def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
@@ -135,51 +124,42 @@ def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
     return (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _ExportWorker,
-            fn_constructor_kwargs={
+            _export_rows,
+            fn_kwargs={
                 "index_dir": index_dir, "field": field,
                 "terms": sorted(set(terms)), "mode": mode,
-                "stored_columns": tuple(stored_columns),
+                "stored": tuple(stored_columns),
                 "corpus_files": _corpus_files(index_dir)},
             batch_format="pyarrow", batch_size=1,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
     )
 
 
-class _CountWorker:
-    """Actor: per-segment matched-doc counts for a broadcast query LIST
+def _count_partials(batch: pa.Table, *, index_dir: str, field: str,
+                    term_lists: list, mode: str) -> pa.Table:
+    """Task: per-segment matched-doc counts for a broadcast query LIST
     (one postings pass per (segment, query); all queries share the pool
     and the segment loop, so N queries cost one Dataset job)."""
+    _stats, deleted = worker_state(index_dir)
+    from .aggs import _ids_from_runs, _segment_postings
 
-    def __init__(self, index_dir: str, field: str,
-                 term_lists: list[list[str]], mode: str):
-        self.index_dir = index_dir
-        self.field = field
-        self.term_lists = term_lists
-        self.mode = mode
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from .aggs import _ids_from_runs, _segment_postings
-
-        union = sorted({t for ts in self.term_lists for t in ts})
-        ns = np.zeros(len(self.term_lists), dtype=np.int64)
-        for seg_id in batch["segment_id"].to_pylist():
-            # ONE filtered read per segment covers every query's terms
-            runs = _segment_postings(self.index_dir, int(seg_id),
-                                     self.field, union)
-            for qi, terms in enumerate(self.term_lists):
-                if not terms:
-                    continue
-                ids = _ids_from_runs(runs, terms, self.mode)
-                if len(self._deleted) and len(ids):
-                    ids = ids[_drop_deleted(self._deleted, ids)]
-                ns[qi] += len(ids)
-        return pa.table({
-            "query_id": pa.array(range(len(ns)), pa.int64()),
-            "n": pa.array(ns, pa.int64()),
-        })
+    union = sorted({t for ts in term_lists for t in ts})
+    ns = np.zeros(len(term_lists), dtype=np.int64)
+    for seg_id in batch["segment_id"].to_pylist():
+        # ONE filtered read per segment covers every query's terms
+        runs = _segment_postings(index_dir, int(seg_id),
+                                 field, union)
+        for qi, terms in enumerate(term_lists):
+            if not terms:
+                continue
+            ids = _ids_from_runs(runs, terms, mode)
+            if len(deleted) and len(ids):
+                ids = ids[_drop_deleted(deleted, ids)]
+            ns[qi] += len(ids)
+    return pa.table({
+        "query_id": pa.array(range(len(ns)), pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+    })
 
 
 def count_matches_many(index_dir: str, queries: list[str],
@@ -202,12 +182,12 @@ def count_matches_many(index_dir: str, queries: list[str],
     merged = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _CountWorker,
-            fn_constructor_kwargs={
+            _count_partials,
+            fn_kwargs={
                 "index_dir": index_dir, "field": field,
                 "term_lists": term_lists, "mode": mode},
             batch_format="pyarrow", batch_size=8,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
         .groupby("query_id")
         .aggregate(Sum("n", alias_name="n_matched"))
         .to_pandas()
@@ -298,8 +278,77 @@ def term_vectors(index_dir: str, urls: list[str],
     return out.sort_by([("url", "ascending"), ("term", "ascending")])
 
 
-class _SnippetWorker:
-    """Actor: one segment per batch -> (doc_id, anchor_pos, snippet).
+def _segment_anchors(index_dir: str, field: str, terms: list[str],
+                     seg_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted matched doc ids, per-doc min first-position)."""
+    from . import blobs, codec
+    from .build import seg_terms_path
+
+    filters = _term_filters({field: terms})
+    path = seg_terms_path(index_dir, seg_id)
+    schema = pq.read_schema(path)
+    if blobs.has_sidecar(schema):
+        if "pos_nbytes" not in schema.names:
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig.index_positions=True required)")
+        cols = ["field", "term", "df", "segment_id",
+                *blobs.RANGE_COLUMNS]
+        tt = pq.read_table(path, columns=cols, filters=filters)
+        tt = blobs.materialize_enc(tt, lambda _s: path,
+                                   want_positions=True)
+    else:
+        tt = pq.read_table(
+            path, columns=["field", "term", "df", "doc_ids_enc",
+                           "tfs_enc", "positions_enc"],
+            filters=filters)
+    all_ids, all_firsts = [], []
+    for i in range(tt.num_rows):
+        enc_pos = tt["positions_enc"][i].as_py()
+        if enc_pos is None:
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig.index_positions=True required)")
+        ids, tfs = codec.decode_postings(
+            tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+            int(tt["df"][i].as_py()))
+        starts = np.r_[0, np.cumsum(tfs)[:-1]].astype(np.int64)
+        vals = codec.varint_decode(
+            np.frombuffer(enc_pos, dtype=np.uint8), int(tfs.sum()))
+        all_ids.append(ids)
+        all_firsts.append(vals[starts])
+    if not all_ids:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = np.concatenate(all_ids)
+    firsts = np.concatenate(all_firsts).astype(np.int64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    anchor = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(anchor, inv, firsts)
+    return uniq, anchor
+
+
+def _sort_values(index_dir: str, sort_field: str, stats: dict,
+                 seg_id: int, ids: np.ndarray) -> np.ndarray:
+    fields = set(stats.get("field_analyzers",
+                           {DEFAULT_FIELD: "standard"})) | {"word_count"}
+    if sort_field in fields:  # doc-length-backed
+        src = (DEFAULT_FIELD if sort_field == "word_count"
+               else sort_field)
+        docs = pq.read_table(
+            seg_docs_path(index_dir, seg_id),
+            columns=["doc_id", _dl_column(src)])
+        base = int(docs["doc_id"][0].as_py())
+        return docs[_dl_column(src)].to_numpy()[ids - base]             .astype(np.int64)
+    dv = pq.read_table(_dv_path(index_dir, sort_field, seg_id),
+                       columns=["doc_id", sort_field])
+    pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+    return np.asarray(dv[sort_field].take(pa.array(pos)))         .astype(np.int64)
+
+
+def _snippet_rows(batch: pa.Table, *, index_dir: str, field: str,
+                  terms: list[str], window: int,
+                  corpus_files: list[str]) -> pa.Table:
+    """Task: one segment per batch -> (doc_id, anchor_pos, snippet).
 
     ES unified-highlighter analogue with a documented deterministic
     convention: the fragment anchors on the EARLIEST occurrence of any
@@ -309,125 +358,60 @@ class _SnippetWorker:
     ``window``-token neighbourhood re-tokenized from the stored text.
     Segment-local end to end: postings, positions, docs slice and the
     url-range-pruned corpus read all stay within the segment."""
+    _stats, deleted = worker_state(index_dir)
+    from ..functions import analyzers as an
 
-    def __init__(self, index_dir: str, field: str, terms: list[str],
-                 window: int, corpus_files: list[str]):
-        from . import blobs  # noqa: F401  (sidecar probe below)
-
-        self.index_dir = index_dir
-        self.field = field
-        self.terms = terms
-        self.window = int(window)
-        self.corpus_files = corpus_files
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-        analyzer = _field_analyzer(stats, field)
-        if analyzer != "standard":
-            raise ValueError(
-                f"snippet_matches re-tokenizes stored text and requires "
-                f"the standard analyzer on {field!r}, got {analyzer!r}")
-
-    def _anchors(self, seg_id: int) -> tuple[np.ndarray, np.ndarray]:
-        """(sorted matched doc ids, per-doc min first-position)."""
-        from . import blobs, codec
-        from .build import seg_terms_path
-
-        filters = _term_filters({self.field: self.terms})
-        path = seg_terms_path(self.index_dir, seg_id)
-        schema = pq.read_schema(path)
-        if blobs.has_sidecar(schema):
-            if "pos_nbytes" not in schema.names:
-                raise ValueError(
-                    "index was built without positions "
-                    "(BuildConfig.index_positions=True required)")
-            cols = ["field", "term", "df", "segment_id",
-                    *blobs.RANGE_COLUMNS]
-            tt = pq.read_table(path, columns=cols, filters=filters)
-            tt = blobs.materialize_enc(tt, lambda _s: path,
-                                       want_positions=True)
-        else:
-            tt = pq.read_table(
-                path, columns=["field", "term", "df", "doc_ids_enc",
-                               "tfs_enc", "positions_enc"],
-                filters=filters)
-        all_ids, all_firsts = [], []
-        for i in range(tt.num_rows):
-            enc_pos = tt["positions_enc"][i].as_py()
-            if enc_pos is None:
-                raise ValueError(
-                    "index was built without positions "
-                    "(BuildConfig.index_positions=True required)")
-            ids, tfs = codec.decode_postings(
-                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
-                int(tt["df"][i].as_py()))
-            starts = np.r_[0, np.cumsum(tfs)[:-1]].astype(np.int64)
-            vals = codec.varint_decode(
-                np.frombuffer(enc_pos, dtype=np.uint8), int(tfs.sum()))
-            all_ids.append(ids)
-            all_firsts.append(vals[starts])
-        if not all_ids:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        ids = np.concatenate(all_ids)
-        firsts = np.concatenate(all_firsts).astype(np.int64)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        anchor = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(anchor, inv, firsts)
-        return uniq, anchor
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions import analyzers as an
-
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "url": pa.array([], pa.string()),
-                          "anchor_pos": pa.array([], pa.int64()),
-                          "snippet": pa.array([], pa.string())})
-        outs = []
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids, anchor = self._anchors(seg_id)
-            if len(self._deleted) and len(ids):
-                keep = _drop_deleted(self._deleted, ids)
-                ids, anchor = ids[keep], anchor[keep]
-            if len(ids) == 0:
-                continue
-            docs = pq.read_table(
-                seg_docs_path(self.index_dir, seg_id),
-                columns=["doc_id", "url"])
-            base = int(docs["doc_id"][0].as_py())
-            rows = docs.take(pa.array(ids - base))
-            sl = corpus_slice_for(self.corpus_files, rows["url"],
-                                  ["text"])
-            j = pa.table({"url": pc.cast(rows["url"], pa.string()),
-                          "doc_id": rows["doc_id"],
-                          "anchor_pos": pa.array(anchor, pa.int64())}) \
-                .join(sl, keys="url", join_type="left outer") \
-                .sort_by("doc_id")
-            doc_idx, tokens, dl = an.standard_tokenize_batch(j["text"])
-            dl64 = dl.astype(np.int64)
-            tstarts = np.r_[0, np.cumsum(dl64)].astype(np.int64)
-            p = j["anchor_pos"].to_numpy()
-            w = self.window
-            s = tstarts[:-1] + np.maximum(0, p - w)
-            e = tstarts[:-1] + np.minimum(dl64, p + w + 1)
-            lens = np.maximum(0, e - s)
-            loffs = np.r_[0, np.cumsum(lens)].astype(np.int64)
-            flat_idx = (np.repeat(s, lens)
-                        + np.arange(int(lens.sum()), dtype=np.int64)
-                        - np.repeat(loffs[:-1], lens))
-            if isinstance(tokens, pa.ChunkedArray):
-                tokens = tokens.combine_chunks()
-            kept = tokens.take(pa.array(flat_idx))
-            lst = pa.ListArray.from_arrays(
-                pa.array(loffs.astype(np.int32), pa.int32()),
-                pc.cast(kept, pa.string()))
-            snip = pc.binary_join(lst, " ")
-            outs.append(pa.table({
-                "doc_id": j["doc_id"],
-                "url": pc.cast(j["url"], pa.string()),
-                "anchor_pos": j["anchor_pos"],
-                "snippet": pc.cast(snip, pa.string()),
-            }))
-        return pa.concat_tables(outs) if outs else empty
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "url": pa.array([], pa.string()),
+                      "anchor_pos": pa.array([], pa.int64()),
+                      "snippet": pa.array([], pa.string())})
+    outs = []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids, anchor = _segment_anchors(index_dir, field, terms, seg_id)
+        if len(deleted) and len(ids):
+            keep = _drop_deleted(deleted, ids)
+            ids, anchor = ids[keep], anchor[keep]
+        if len(ids) == 0:
+            continue
+        docs = pq.read_table(
+            seg_docs_path(index_dir, seg_id),
+            columns=["doc_id", "url"])
+        base = int(docs["doc_id"][0].as_py())
+        rows = docs.take(pa.array(ids - base))
+        sl = corpus_slice_for(corpus_files, rows["url"],
+                              ["text"])
+        j = pa.table({"url": pc.cast(rows["url"], pa.string()),
+                      "doc_id": rows["doc_id"],
+                      "anchor_pos": pa.array(anchor, pa.int64())}) \
+            .join(sl, keys="url", join_type="left outer") \
+            .sort_by("doc_id")
+        doc_idx, tokens, dl = an.standard_tokenize_batch(j["text"])
+        dl64 = dl.astype(np.int64)
+        tstarts = np.r_[0, np.cumsum(dl64)].astype(np.int64)
+        p = j["anchor_pos"].to_numpy()
+        w = window
+        s = tstarts[:-1] + np.maximum(0, p - w)
+        e = tstarts[:-1] + np.minimum(dl64, p + w + 1)
+        lens = np.maximum(0, e - s)
+        loffs = np.r_[0, np.cumsum(lens)].astype(np.int64)
+        flat_idx = (np.repeat(s, lens)
+                    + np.arange(int(lens.sum()), dtype=np.int64)
+                    - np.repeat(loffs[:-1], lens))
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        kept = tokens.take(pa.array(flat_idx))
+        lst = pa.ListArray.from_arrays(
+            pa.array(loffs.astype(np.int32), pa.int32()),
+            pc.cast(kept, pa.string()))
+        snip = pc.binary_join(lst, " ")
+        outs.append(pa.table({
+            "doc_id": j["doc_id"],
+            "url": pc.cast(j["url"], pa.string()),
+            "anchor_pos": j["anchor_pos"],
+            "snippet": pc.cast(snip, pa.string()),
+        }))
+    return pa.concat_tables(outs) if outs else empty
 
 
 def snippet_matches(index_dir: str, query: str, window: int = 2,
@@ -438,7 +422,12 @@ def snippet_matches(index_dir: str, query: str, window: int = 2,
     term occurrence, re-tokenized from stored text. Lazy Dataset — the ES
     highlight analogue as a batch extraction."""
     stats = _load_stats(index_dir)
-    terms = query_terms(query, _field_analyzer(stats, field))
+    analyzer = _field_analyzer(stats, field)
+    if analyzer != "standard":
+        raise ValueError(
+            f"snippet_matches re-tokenizes stored text and requires "
+            f"the standard analyzer on {field!r}, got {analyzer!r}")
+    terms = query_terms(query, analyzer)
     seg_ids, _vis = _visible_seg_ids(index_dir, stats)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "url": pa.array([], pa.string()),
@@ -449,75 +438,44 @@ def snippet_matches(index_dir: str, query: str, window: int = 2,
     return (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _SnippetWorker,
-            fn_constructor_kwargs={
+            _snippet_rows,
+            fn_kwargs={
                 "index_dir": index_dir, "field": field,
                 "terms": sorted(set(terms)), "window": int(window),
                 "corpus_files": _corpus_files(index_dir)},
             batch_format="pyarrow", batch_size=1,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
     )
 
 
-class _SortWorker:
-    """Actor: per-segment top-k of the matched docs by a numeric field."""
-
-    def __init__(self, index_dir: str, field: str, terms: list[str],
-                 mode: str, sort_field: str, k: int, ascending: bool):
-        self.index_dir = index_dir
-        self.field = field
-        self.terms = terms
-        self.mode = mode
-        self.sort_field = sort_field
-        self.k = k
-        self.ascending = ascending
-        stats = _load_stats(index_dir)
-        self._deleted = _load_deleted(index_dir, stats)
-        self._fields = set(stats.get("field_analyzers",
-                                     {DEFAULT_FIELD: "standard"})) | {
-            "word_count"}
-
-    def _values(self, seg_id: int, ids: np.ndarray) -> np.ndarray:
-        if self.sort_field in self._fields:  # doc-length-backed
-            src = (DEFAULT_FIELD if self.sort_field == "word_count"
-                   else self.sort_field)
-            docs = pq.read_table(
-                seg_docs_path(self.index_dir, seg_id),
-                columns=["doc_id", _dl_column(src)])
-            base = int(docs["doc_id"][0].as_py())
-            return docs[_dl_column(src)].to_numpy()[ids - base] \
-                .astype(np.int64)
-        dv = pq.read_table(_dv_path(self.index_dir, self.sort_field,
-                                    seg_id),
-                           columns=["doc_id", self.sort_field])
-        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
-        return np.asarray(dv[self.sort_field].take(pa.array(pos))) \
-            .astype(np.int64)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out_ids, out_vals = [], []
-        for seg_id in batch["segment_id"].to_pylist():
-            seg_id = int(seg_id)
-            ids = _matched_ids(self.index_dir, seg_id, self.field,
-                               self.terms, self.mode)
-            if len(self._deleted) and len(ids):
-                ids = ids[_drop_deleted(self._deleted, ids)]
-            if len(ids) == 0:
-                continue
-            v = self._values(seg_id, ids)
-            sv = v if self.ascending else -v
-            # stable top-k with doc_id-asc ties: ids are ascending, so a
-            # stable sort on the value keeps the tie order
-            order = np.argsort(sv, kind="stable")[:self.k]
-            out_ids.append(ids[order])
-            out_vals.append(v[order])
-        if not out_ids:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "sort_value": pa.array([], pa.int64())})
-        return pa.table({
-            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
-            "sort_value": pa.array(np.concatenate(out_vals), pa.int64()),
-        })
+def _sort_partials(batch: pa.Table, *, index_dir: str, field: str,
+                   terms: list[str], mode: str, sort_field: str,
+                   k: int, ascending: bool) -> pa.Table:
+    """Task: per-segment top-k of the matched docs by a numeric field."""
+    _stats, deleted = worker_state(index_dir)
+    out_ids, out_vals = [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field,
+                           terms, mode)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        v = _sort_values(index_dir, sort_field, _stats, seg_id, ids)
+        sv = v if ascending else -v
+        # stable top-k with doc_id-asc ties: ids are ascending, so a
+        # stable sort on the value keeps the tie order
+        order = np.argsort(sv, kind="stable")[:k]
+        out_ids.append(ids[order])
+        out_vals.append(v[order])
+    if not out_ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sort_value": pa.array([], pa.int64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+        "sort_value": pa.array(np.concatenate(out_vals), pa.int64()),
+    })
 
 
 def sorted_matches(index_dir: str, query: str, sort_field: str,
@@ -545,14 +503,14 @@ def sorted_matches(index_dir: str, query: str, sort_field: str,
     partials = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
-            _SortWorker,
-            fn_constructor_kwargs={
+            _sort_partials,
+            fn_kwargs={
                 "index_dir": index_dir, "field": field,
                 "terms": sorted(set(terms)), "mode": mode,
                 "sort_field": sort_field, "k": int(k),
                 "ascending": bool(ascending)},
             batch_format="pyarrow", batch_size=4,
-            concurrency=_pool_size(concurrency, len(seg_ids)))
+            concurrency=concurrency)
         .to_arrow_refs()
     )
     import ray as _ray
