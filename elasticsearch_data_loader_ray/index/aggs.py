@@ -86,39 +86,86 @@ def _dv_path(index_dir: str, column: str, seg_id: int) -> str:
                         f"segment={seg_id:06d}.parquet")
 
 
-def corpus_slice_for(corpus_files: list[str], urls,
-                     columns: list[str]) -> pa.Table:
-    """URL-range-pruned corpus read for a url set, ONE row per url.
+def _generation_files(index_dir: str) -> list[tuple[int, list[str]]]:
+    """[(generation segment-id block, corpus files)] oldest-first: the
+    base build (block 0) then each append generation in commit order."""
+    out = [(0, sorted(glob.glob(
+        os.path.join(index_dir, "corpus", "*.parquet"))))]
+    gen_root = os.path.join(index_dir, "corpus_gen")
+    if os.path.isdir(gen_root):
+        for d in sorted(os.listdir(gen_root)):
+            files = sorted(glob.glob(os.path.join(gen_root, d,
+                                                  "*.parquet")))
+            if files:
+                out.append((int(d.split("-")[-1]), files))
+    return out
 
-    The single place that owns two join invariants every corpus consumer
-    needs (doc-values, export, snippets, term vectors, significant_terms):
 
-    * dedup — corpus files keep pre-dedup rows and append generations
-      re-add upserted urls, so a url can appear several times; a join
-      against a fanned slice double-counts or mis-joins.
-    * generation resolution — ``_corpus_files`` lists the base corpus
-      BEFORE append generations, so the LAST occurrence is the newest
-      (visible) document; keep-first would serve the tombstoned old text
-      for an upserted url.
+def _keep_first_by_url_ts(t: pa.Table) -> pa.Table:
+    """The build's intra-generation dedup rule: sort (url asc, warc_ts
+    asc), keep the first row per url — so a duplicated url resolves to
+    exactly the document the index kept."""
+    t = t.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+    u = np.asarray(t["url"])
+    _uniq, first = np.unique(u, return_index=True)
+    if len(_uniq) != t.num_rows:
+        t = t.take(pa.array(np.sort(first)))
+    return t
 
-    ``url`` is cast to plain string; callers cast their side to match.
+
+def read_resolved(index_dir: str, columns: list[str],
+                  filters) -> pa.Table:
+    """Corpus read that resolves each url to its VISIBLE document's row.
+
+    The single place that owns the two resolution invariants every corpus
+    consumer needs (doc-values, export, snippets, term vectors,
+    significant_terms):
+
+    * within a generation: the build keeps the FIRST row by (url asc,
+      warc_ts asc) when an input duplicates a url — the stored fields
+      must come from that same row;
+    * across generations: an append upserts the url, so the NEWEST
+      generation containing it wins (the older doc is tombstoned).
+
+    Reads each generation's files separately (generation identity is the
+    directory, not a column), applies the intra-generation rule, then
+    keeps the last occurrence across the oldest-first concatenation.
+    ``url`` comes back as plain string, ``warc_ts`` is dropped.
     """
-    mm = pc.min_max(urls)
-    sl = pq.read_table(
-        corpus_files, columns=["url", *columns],
-        filters=[("url", ">=", mm["min"].as_py()),
-                 ("url", "<=", mm["max"].as_py())])
-    sl = sl.set_column(0, "url", pc.cast(sl["url"], pa.string()))
-    u = np.asarray(sl["url"])
+    per_gen = []
+    for _base, files in _generation_files(index_dir):
+        if not files:
+            continue
+        t = pq.read_table(files, columns=["url", "warc_ts", *columns],
+                          filters=filters)
+        if t.num_rows == 0:
+            continue
+        t = t.set_column(0, "url", pc.cast(t["url"], pa.string()))
+        per_gen.append(_keep_first_by_url_ts(t))
+    if not per_gen:
+        sch = pq.read_schema(_corpus_files(index_dir)[0])
+        return pa.schema([pa.field("url", pa.string())]
+                         + [sch.field(c) for c in columns]).empty_table()
+    cat = pa.concat_tables(per_gen, promote_options="default")
+    u = np.asarray(cat["url"])
     uniq, first_rev = np.unique(u[::-1], return_index=True)
-    if len(uniq) != sl.num_rows:
-        keep = (len(u) - 1) - first_rev  # last occurrence per url
-        sl = sl.take(pa.array(np.sort(keep)))
-    return sl
+    if len(uniq) != cat.num_rows:
+        keep = (len(u) - 1) - first_rev  # newest generation wins
+        cat = cat.take(pa.array(np.sort(keep)))
+    return cat.drop_columns(["warc_ts"])
 
 
-def _build_dv_shard(index_dir: str, seg_id: int, column: str,
-                    corpus_files: list[str]) -> None:
+def corpus_slice_for(index_dir: str, urls, columns: list[str]) -> pa.Table:
+    """URL-range-pruned resolved corpus read (see :func:`read_resolved`)
+    for a url set, ONE row per url."""
+    mm = pc.min_max(urls)
+    return read_resolved(
+        index_dir, columns,
+        [("url", ">=", mm["min"].as_py()),
+         ("url", "<=", mm["max"].as_py())])
+
+
+def _build_dv_shard(index_dir: str, seg_id: int, column: str) -> None:
     """(doc_id, value) shard for one segment: url-range-pruned corpus read
     joined to the segment's docs; atomic tmp+rename (idempotent under
     retries, committed shards skipped)."""
@@ -129,7 +176,7 @@ def _build_dv_shard(index_dir: str, seg_id: int, column: str,
                          columns=["doc_id", "url"])
     if docs.num_rows == 0:
         return
-    sl = corpus_slice_for(corpus_files, docs["url"], [column])
+    sl = corpus_slice_for(index_dir, docs["url"], [column])
     docs = docs.set_column(docs.column_names.index("url"), "url",
                            pc.cast(docs["url"], pa.string()))
     j = docs.join(sl, keys="url", join_type="left outer")
@@ -140,23 +187,111 @@ def _build_dv_shard(index_dir: str, seg_id: int, column: str,
     os.replace(tmp, out)
 
 
+def _url_min_of_segment(index_dir: str, seg_id: int) -> str:
+    """Lower url bound of a segment from its docs parquet footer stats."""
+    md = pq.ParquetFile(seg_docs_path(index_dir, seg_id)).metadata
+    ci = None
+    lo = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        if ci is None:
+            ci = {rg.column(i).path_in_schema: i
+                  for i in range(rg.num_columns)}["url"]
+        st = rg.column(ci).statistics
+        lo = st.min if lo is None else min(lo, st.min)
+    return str(lo)
+
+
+def _build_dv_shards_onepass(index_dir: str, column: str,
+                             files: list[str], segs: list[int]) -> None:
+    """All of one generation's missing shards from ONE corpus pass.
+
+    Corpus files are written in extract-stream order, so their url
+    min/max spans the whole keyspace and per-segment range-filtered reads
+    degrade to a full corpus scan PER SEGMENT (measured 2.2 s/segment for
+    a 1M-doc index = O(S x corpus) total). Instead: read the generation's
+    corpus once, range-partition rows to segments by the segments' url
+    lower bounds (the same boundaries the build used), and write each
+    shard from its group — one exchange, O(corpus) total. Rows of
+    already-built segments ride along and are dropped by the per-group
+    docs join."""
+    bounds = sorted((_url_min_of_segment(index_dir, s), s) for s in segs)
+    mins = np.array([b[0] for b in bounds], dtype=object)
+    seg_arr = np.array([b[1] for b in bounds], dtype=np.int64)
+    want = set(int(s) for s in segs)
+
+    def assign(t: pa.Table) -> pa.Table:
+        u = np.asarray(pc.cast(t["url"], pa.string()))
+        b = np.clip(np.searchsorted(mins, u, side="right") - 1,
+                    0, len(seg_arr) - 1)
+        return t.append_column("segment_id",
+                               pa.array(seg_arr[b], pa.int64()))
+
+    def write_group(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        seg_id = int(g["segment_id"][0].as_py())
+        if seg_id not in want:
+            return pa.table({"segment_id": pa.array([seg_id], pa.int64())})
+        out = _dv_path(index_dir, column, seg_id)
+        if not os.path.exists(out):
+            g = g.set_column(g.column_names.index("url"), "url",
+                             pc.cast(g["url"], pa.string()))
+            g = _keep_first_by_url_ts(g)
+            docs = pq.read_table(seg_docs_path(index_dir, seg_id),
+                                 columns=["doc_id", "url"])
+            docs = docs.set_column(docs.column_names.index("url"), "url",
+                                   pc.cast(docs["url"], pa.string()))
+            j = docs.join(g.select(["url", column]), keys="url",
+                          join_type="left outer")
+            j = j.sort_by("doc_id").select(["doc_id", column])
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+            pq.write_table(j, tmp)
+            os.replace(tmp, out)
+        return pa.table({"segment_id": pa.array([seg_id], pa.int64())})
+
+    from .build import _ncpus
+
+    (rd.read_parquet(files, columns=["url", "warc_ts", column],
+                     override_num_blocks=max(2 * _ncpus(), len(segs)))
+     .map_batches(assign, batch_format="pyarrow")
+     .groupby("segment_id")
+     .map_groups(write_group, batch_format="pyarrow")
+     .materialize())
+
+
 def build_doc_values(index_dir: str, column: str) -> None:
-    """Materialize doc-values shards for every visible segment that lacks
-    one — one Ray task per segment, segment-bounded memory."""
+    """Materialize doc-values / stored-field shards for every visible
+    segment that lacks one. Whole-generation groups build from ONE corpus
+    pass (range-partition exchange, see _build_dv_shards_onepass); merged
+    segments (which may span generations) and stragglers fall back to a
+    per-segment resolved range read."""
     stats = _load_stats(index_dir)
     seg_ids, _vis = _visible_seg_ids(index_dir, stats)
     missing = [s for s in seg_ids
                if not os.path.exists(_dv_path(index_dir, column, s))]
     if not missing:
         return
-    corpus_files = _corpus_files(index_dir)
+    gen_files = dict(_generation_files(index_dir))
+    by_block: dict[int, list[int]] = {}
+    for s in missing:
+        by_block.setdefault((s // 1_000_000) * 1_000_000, []).append(s)
+    fallback: list[int] = []
+    for block, segs in sorted(by_block.items()):
+        files = gen_files.get(block)
+        if files is None or len(segs) <= 2:
+            fallback.extend(segs)  # merged / cross-gen / tiny remainder
+            continue
+        _build_dv_shards_onepass(index_dir, column, files, segs)
+    if not fallback:
+        return
 
     def _one(batch: pa.Table) -> pa.Table:
         for s in batch["segment_id"].to_pylist():
-            _build_dv_shard(index_dir, int(s), column, corpus_files)
+            _build_dv_shard(index_dir, int(s), column)
         return pa.table({"segment_id": batch["segment_id"]})
 
-    (rd.from_items([{"segment_id": s} for s in missing])
+    (rd.from_items([{"segment_id": s} for s in fallback])
      .map_batches(_one, batch_format="pyarrow", batch_size=1)
      .materialize())
 
@@ -468,8 +603,7 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
 
 
 def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
-                        field: str, terms: list[str],
-                        corpus_files: list[str]) -> pa.Table:
+                        field: str, terms: list[str]) -> pa.Table:
     """Task: per-segment foreground doc-frequency partials — the matched
     docs' stored text re-tokenized, one (term, fg_count) row per distinct
     term. Work is O(matched docs' tokens), not O(segment vocabulary):
@@ -492,13 +626,11 @@ def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
         docs = pq.read_table(
             seg_docs_path(index_dir, seg_id),
             columns=["doc_id", "url"])
-        base = int(docs["doc_id"][0].as_py())
-        rows = docs.take(pa.array(ids - base))
-        sl = corpus_slice_for(corpus_files, rows["url"], ["text"])
-        sl = sl.join(pa.table({"url": pc.cast(rows["url"],
-                                              pa.string())}),
-                     keys="url", join_type="inner")
-        doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
+        dv = pq.read_table(_dv_path(index_dir, "text", seg_id),
+                           columns=["doc_id", "text"])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+        texts = dv["text"].combine_chunks().take(pa.array(pos))
+        doc_idx, tokens, _dl = an.standard_tokenize_batch(texts)
         if len(doc_idx) == 0:
             continue
         # distinct (doc, term): doc frequency, not term frequency
@@ -554,14 +686,14 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
                       "score": pa.array([], pa.float64())})
     if not terms or not seg_ids:
         return empty
+    build_doc_values(index_dir, "text")  # stored-field shards, built once
     merged = (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
             _sig_terms_partials,
             fn_kwargs={
                 "index_dir": index_dir, "field": field,
-                "terms": sorted(set(terms)),
-                "corpus_files": _corpus_files(index_dir)},
+                "terms": sorted(set(terms))},
             batch_format="pyarrow", batch_size=8,
             concurrency=concurrency)
         .groupby("term")

@@ -34,7 +34,6 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .aggs import (
-    _corpus_files,
     worker_state,
     _dv_path,
     _matched_ids,
@@ -63,10 +62,22 @@ def _export_schema(stored_columns: tuple[str, ...]) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _stored_values(index_dir: str, column: str, seg_id: int,
+                   ids: np.ndarray) -> pa.Array:
+    """Matched docs' stored values from the segment's doc-values shard
+    (built once per (index, column); positionally aligned to doc ids)."""
+    dv = pq.read_table(_dv_path(index_dir, column, seg_id),
+                       columns=["doc_id", column])
+    pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+    return dv[column].combine_chunks().take(pa.array(pos))
+
+
 def _export_rows(batch: pa.Table, *, index_dir: str, field: str,
                  terms: list[str], mode: str,
-                 stored: tuple, corpus_files: list[str]) -> pa.Table:
-    """Task: one segment per batch -> that segment's matched doc rows."""
+                 stored: tuple) -> pa.Table:
+    """Task: one segment per batch -> that segment's matched doc rows.
+    Stored fields come from the per-segment shards (Lucene stored-fields
+    layout) — no corpus scan on the serving path."""
     _stats, deleted = worker_state(index_dir)
     schema = _export_schema(tuple(stored))
     outs = []
@@ -83,23 +94,16 @@ def _export_rows(batch: pa.Table, *, index_dir: str, field: str,
             columns=["doc_id", "url", _dl_column(field)])
         base = int(docs["doc_id"][0].as_py())
         rows = docs.take(pa.array(ids - base))
-        out = pa.table({
+        cols = {
             "doc_id": rows["doc_id"],
             "url": pc.cast(rows["url"], pa.string()),
             "word_count": pc.cast(rows[_dl_column(field)],
                                   pa.int64()),
-        })
-        if stored:
-            sl = corpus_slice_for(corpus_files, rows["url"],
-                                  list(stored))
-            for c in stored:
-                if sl[c].type != pa.string():
-                    sl = sl.set_column(sl.column_names.index(c), c,
-                                       pc.cast(sl[c], pa.string()))
-            out = out.join(sl, keys="url", join_type="left outer")
-            out = out.sort_by("doc_id")
-        outs.append(out.select(schema.names)
-                    .cast(schema))
+        }
+        for c in stored:
+            cols[c] = pc.cast(_stored_values(index_dir, c, seg_id, ids),
+                              pa.string())
+        outs.append(pa.table(cols).cast(schema))
     if not outs:
         return schema.empty_table()
     return pa.concat_tables(outs)
@@ -121,6 +125,8 @@ def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
     schema = _export_schema(tuple(stored_columns))
     if not terms or not seg_ids:
         return rd.from_arrow(schema.empty_table())
+    for c in stored_columns:  # one corpus pass per column, then reused
+        build_doc_values(index_dir, c)
     return (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
@@ -128,8 +134,7 @@ def export_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
             fn_kwargs={
                 "index_dir": index_dir, "field": field,
                 "terms": sorted(set(terms)), "mode": mode,
-                "stored": tuple(stored_columns),
-                "corpus_files": _corpus_files(index_dir)},
+                "stored": tuple(stored_columns)},
             batch_format="pyarrow", batch_size=1,
             concurrency=concurrency)
     )
@@ -236,17 +241,13 @@ def term_vectors(index_dir: str, urls: list[str],
 
     import pyarrow.dataset as pads
 
+    from .aggs import read_resolved
+
     flt = functools.reduce(operator.or_,
                            [pads.field("url") == u for u in urls])
-    sl = pq.read_table(_corpus_files(index_dir), columns=["url", "text"],
-                       filters=flt)
+    sl = read_resolved(index_dir, ["text"], flt)
     if sl.num_rows == 0:
         return empty
-    sl = sl.set_column(0, "url", pc.cast(sl["url"], pa.string()))
-    u = np.asarray(sl["url"])
-    uniq, first_rev = np.unique(u[::-1], return_index=True)
-    if len(uniq) != sl.num_rows:  # keep the NEWEST generation per url
-        sl = sl.take(pa.array(np.sort((len(u) - 1) - first_rev)))
     doc_idx, tokens, _dl = an.standard_tokenize_batch(sl["text"])
     if len(doc_idx) == 0:
         return empty
@@ -346,8 +347,7 @@ def _sort_values(index_dir: str, sort_field: str, stats: dict,
 
 
 def _snippet_rows(batch: pa.Table, *, index_dir: str, field: str,
-                  terms: list[str], window: int,
-                  corpus_files: list[str]) -> pa.Table:
+                  terms: list[str], window: int) -> pa.Table:
     """Task: one segment per batch -> (doc_id, anchor_pos, snippet).
 
     ES unified-highlighter analogue with a documented deterministic
@@ -355,9 +355,9 @@ def _snippet_rows(batch: pa.Table, *, index_dir: str, field: str,
     query term in the doc (min over the terms' first positions, decoded
     as positions_stream[run_starts] — each run's first value is stored
     absolute, so no full position decode), and the snippet is the
-    ``window``-token neighbourhood re-tokenized from the stored text.
-    Segment-local end to end: postings, positions, docs slice and the
-    url-range-pruned corpus read all stay within the segment."""
+    ``window``-token neighbourhood re-tokenized from the stored-field
+    shard's text. Segment-local end to end: postings, positions, docs
+    slice and the text shard all stay within the segment."""
     _stats, deleted = worker_state(index_dir)
     from ..functions import analyzers as an
 
@@ -379,13 +379,11 @@ def _snippet_rows(batch: pa.Table, *, index_dir: str, field: str,
             columns=["doc_id", "url"])
         base = int(docs["doc_id"][0].as_py())
         rows = docs.take(pa.array(ids - base))
-        sl = corpus_slice_for(corpus_files, rows["url"],
-                              ["text"])
         j = pa.table({"url": pc.cast(rows["url"], pa.string()),
                       "doc_id": rows["doc_id"],
-                      "anchor_pos": pa.array(anchor, pa.int64())}) \
-            .join(sl, keys="url", join_type="left outer") \
-            .sort_by("doc_id")
+                      "anchor_pos": pa.array(anchor, pa.int64()),
+                      "text": _stored_values(index_dir, "text", seg_id,
+                                             ids)})
         doc_idx, tokens, dl = an.standard_tokenize_batch(j["text"])
         dl64 = dl.astype(np.int64)
         tstarts = np.r_[0, np.cumsum(dl64)].astype(np.int64)
@@ -435,14 +433,14 @@ def snippet_matches(index_dir: str, query: str, window: int = 2,
                       "snippet": pa.array([], pa.string())})
     if not terms or not seg_ids:
         return rd.from_arrow(empty)
+    build_doc_values(index_dir, "text")  # stored-field shards, built once
     return (
         rd.from_items([{"segment_id": s} for s in seg_ids])
         .map_batches(
             _snippet_rows,
             fn_kwargs={
                 "index_dir": index_dir, "field": field,
-                "terms": sorted(set(terms)), "window": int(window),
-                "corpus_files": _corpus_files(index_dir)},
+                "terms": sorted(set(terms)), "window": int(window)},
             batch_format="pyarrow", batch_size=1,
             concurrency=concurrency)
     )
