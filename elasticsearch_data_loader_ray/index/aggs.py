@@ -35,11 +35,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-import ray
 import ray.data as rd
 
 from . import blobs, codec
 from .build import seg_docs_path, seg_terms_path
+from functools import lru_cache
+
 from .search import (
     DEFAULT_FIELD,
     _dl_column,
@@ -51,9 +52,6 @@ from .search import (
     _visible_seg_ids,
     query_terms,
 )
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
@@ -93,7 +91,10 @@ def _generation_files(index_dir: str) -> list[tuple[int, list[str]]]:
         os.path.join(index_dir, "corpus", "*.parquet"))))]
     gen_root = os.path.join(index_dir, "corpus_gen")
     if os.path.isdir(gen_root):
-        for d in sorted(os.listdir(gen_root)):
+        # NUMERIC order: lexicographic listdir would put gen-10000000
+        # before gen-2000000 and flip newest-wins resolution
+        for d in sorted(os.listdir(gen_root),
+                        key=lambda d: int(d.split("-")[-1])):
             files = sorted(glob.glob(os.path.join(gen_root, d,
                                                   "*.parquet")))
             if files:
@@ -132,12 +133,13 @@ def read_resolved(index_dir: str, columns: list[str],
     keeps the last occurrence across the oldest-first concatenation.
     ``url`` comes back as plain string, ``warc_ts`` is dropped.
     """
+    read_cols = ["url", "warc_ts"] + [c for c in columns
+                                      if c not in ("url", "warc_ts")]
     per_gen = []
     for _base, files in _generation_files(index_dir):
         if not files:
             continue
-        t = pq.read_table(files, columns=["url", "warc_ts", *columns],
-                          filters=filters)
+        t = pq.read_table(files, columns=read_cols, filters=filters)
         if t.num_rows == 0:
             continue
         t = t.set_column(0, "url", pc.cast(t["url"], pa.string()))
@@ -152,7 +154,9 @@ def read_resolved(index_dir: str, columns: list[str],
     if len(uniq) != cat.num_rows:
         keep = (len(u) - 1) - first_rev  # newest generation wins
         cat = cat.take(pa.array(np.sort(keep)))
-    return cat.drop_columns(["warc_ts"])
+    if "warc_ts" not in columns:
+        cat = cat.drop_columns(["warc_ts"])
+    return cat
 
 
 def corpus_slice_for(index_dir: str, urls, columns: list[str]) -> pa.Table:
@@ -188,18 +192,12 @@ def _build_dv_shard(index_dir: str, seg_id: int, column: str) -> None:
 
 
 def _url_min_of_segment(index_dir: str, seg_id: int) -> str:
-    """Lower url bound of a segment from its docs parquet footer stats."""
-    md = pq.ParquetFile(seg_docs_path(index_dir, seg_id)).metadata
-    ci = None
-    lo = None
-    for g in range(md.num_row_groups):
-        rg = md.row_group(g)
-        if ci is None:
-            ci = {rg.column(i).path_in_schema: i
-                  for i in range(rg.num_columns)}["url"]
-        st = rg.column(ci).statistics
-        lo = st.min if lo is None else min(lo, st.min)
-    return str(lo)
+    """Lower url bound of a segment: its FIRST docs row. Doc ids are
+    global url ranks, so the docs table's doc_id order IS url order —
+    exact, and immune to missing/truncated parquet column statistics."""
+    f = pq.ParquetFile(seg_docs_path(index_dir, seg_id))
+    t = f.read_row_group(0, columns=["url"])
+    return str(t["url"][0].as_py())
 
 
 def _build_dv_shards_onepass(index_dir: str, column: str,
@@ -221,6 +219,9 @@ def _build_dv_shards_onepass(index_dir: str, column: str,
     want = set(int(s) for s in segs)
 
     def assign(t: pa.Table) -> pa.Table:
+        from .build import pin_worker_threads
+
+        pin_worker_threads()
         u = np.asarray(pc.cast(t["url"], pa.string()))
         b = np.clip(np.searchsorted(mins, u, side="right") - 1,
                     0, len(seg_arr) - 1)
@@ -228,6 +229,9 @@ def _build_dv_shards_onepass(index_dir: str, column: str,
                                pa.array(seg_arr[b], pa.int64()))
 
     def write_group(g: pa.Table) -> pa.Table:
+        from .build import pin_worker_threads
+
+        pin_worker_threads()
         g = g.combine_chunks()
         seg_id = int(g["segment_id"][0].as_py())
         if seg_id not in want:
@@ -252,7 +256,9 @@ def _build_dv_shards_onepass(index_dir: str, column: str,
 
     from .build import _ncpus
 
-    (rd.read_parquet(files, columns=["url", "warc_ts", column],
+    read_cols = (["url", "warc_ts"]
+                 + ([column] if column not in ("url", "warc_ts") else []))
+    (rd.read_parquet(files, columns=read_cols,
                      override_num_blocks=max(2 * _ncpus(), len(segs)))
      .map_batches(assign, batch_format="pyarrow")
      .groupby("segment_id")
@@ -267,20 +273,46 @@ def build_doc_values(index_dir: str, column: str) -> None:
     segments (which may span generations) and stragglers fall back to a
     per-segment resolved range read."""
     stats = _load_stats(index_dir)
-    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    seg_ids, vis = _visible_seg_ids(index_dir, stats)
     missing = [s for s in seg_ids
                if not os.path.exists(_dv_path(index_dir, column, s))]
     if not missing:
         return
+    # map each segment to its generation by DOC RANGE containment (ids
+    # are not usable: a merge after an append allocates the merged
+    # segment's id inside the newest generation's id block). A segment
+    # whose doc range crosses a generation boundary (cross-generation
+    # merge) sources rows from several corpora -> per-segment fallback.
     gen_files = dict(_generation_files(index_dir))
-    by_block: dict[int, list[int]] = {}
-    for s in missing:
-        by_block.setdefault((s // 1_000_000) * 1_000_000, []).append(s)
+    gens = sorted(stats.get("generations", []),
+                  key=lambda g: int(g["doc_id_base"]))
+    base_hi = (int(gens[0]["doc_id_base"]) if gens
+               else int(stats.get("n_docs", 0)))
+    ranges = [(0, 0, base_hi)] + [
+        (int(g["generation"]), int(g["doc_id_base"]),
+         int(g["doc_id_base"]) + int(g["n_docs"])) for g in gens]
+
+    def gen_of(seg_id: int) -> int | None:
+        m = vis.get(seg_id, {})
+        lo = int(m.get("doc_id_base", -1))
+        hi = lo + int(m.get("n_docs", 0))
+        for gen, glo, ghi in ranges:
+            if glo <= lo and hi <= ghi:
+                return gen
+        return None
+
+    by_gen: dict[int, list[int]] = {}
     fallback: list[int] = []
-    for block, segs in sorted(by_block.items()):
-        files = gen_files.get(block)
+    for sid in missing:
+        g = gen_of(sid)
+        if g is None:
+            fallback.append(sid)
+        else:
+            by_gen.setdefault(g, []).append(sid)
+    for gen, segs in sorted(by_gen.items()):
+        files = gen_files.get(gen)
         if files is None or len(segs) <= 2:
-            fallback.extend(segs)  # merged / cross-gen / tiny remainder
+            fallback.extend(segs)
             continue
         _build_dv_shards_onepass(index_dir, column, files, segs)
     if not fallback:
@@ -607,8 +639,9 @@ def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
     """Task: per-segment foreground doc-frequency partials — the matched
     docs' stored text re-tokenized, one (term, fg_count) row per distinct
     term. Work is O(matched docs' tokens), not O(segment vocabulary):
-    when the query matches a sliver of a 100-TB corpus, only that sliver
-    is read (url-range-pruned) and tokenized."""
+    texts come positionally from the segment's stored-field shard, so a
+    query matching a sliver of a 100-TB corpus tokenizes only that
+    sliver."""
     _stats, deleted = worker_state(index_dir)
     from ..functions import analyzers as an
 
@@ -623,9 +656,6 @@ def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
         if len(ids) == 0:
             continue
         n_matched += len(ids)
-        docs = pq.read_table(
-            seg_docs_path(index_dir, seg_id),
-            columns=["doc_id", "url"])
         dv = pq.read_table(_dv_path(index_dir, "text", seg_id),
                            columns=["doc_id", "text"])
         pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)

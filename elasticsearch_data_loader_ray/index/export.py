@@ -34,11 +34,10 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .aggs import (
-    worker_state,
     _dv_path,
     _matched_ids,
     build_doc_values,
-    corpus_slice_for,
+    worker_state,
 )
 from .build import seg_docs_path
 from .search import (

@@ -249,3 +249,53 @@ def test_export_serves_newest_generation_after_upsert(tmp_path):
     # non-upserted urls still export their original text
     got2 = export_matches(idx, "alpha", stored_columns=("text",)).to_pandas()
     assert len(got2) == 5 and (got2["text"] == "alpha beta").all()
+
+
+def test_stored_shards_after_cross_generation_merge(tmp_path):
+    """A merge after an append produces segments whose ids land in the
+    newest generation's id block and whose doc ranges span generations —
+    shard building must source each doc's text from the right corpus
+    (doc-range generation mapping + per-segment fallback), never nulls."""
+    from elasticsearch_data_loader_ray.index.append import (
+        append_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.export import export_matches
+    from elasticsearch_data_loader_ray.index.merge import compact_to
+
+    idx = str(tmp_path / "xgen_idx")
+    urls = [f"{i:08d}" for i in range(8)]
+    texts = [f"alpha base{i}" for i in range(8)]
+    build_index_from_corpus(rd.from_arrow(_corpus_table(urls, texts)), idx,
+                            BuildConfig(docs_per_segment=2))
+    new_urls = [f"{i:08d}" for i in range(8, 12)]
+    new_texts = [f"alpha gen{i}" for i in range(8, 12)]
+    append_index_from_corpus(
+        rd.from_arrow(_corpus_table(new_urls, new_texts)), idx,
+        BuildConfig(docs_per_segment=2))
+    compact_to(idx, 2)  # merged ids allocate above the append block
+    got = export_matches(idx, "alpha",
+                         stored_columns=("text",)).to_pandas()
+    assert len(got) == 12
+    assert got["text"].notna().all()
+    by_url = got.set_index("url")["text"]
+    for i in range(8):
+        assert by_url[urls[i]] == f"alpha base{i}"
+    for i, u in enumerate(new_urls):
+        assert by_url[u] == f"alpha gen{8 + i}"
+
+
+def test_stored_shard_warc_ts_column(tmp_path):
+    """warc_ts is both the dedup key and a storable column."""
+    from elasticsearch_data_loader_ray.index.aggs import (
+        build_doc_values,
+        _dv_path,
+    )
+
+    idx = str(tmp_path / "ts_idx")
+    build_index_from_corpus(
+        rd.from_arrow(_corpus_table([f"{i:04d}" for i in range(6)],
+                                    ["alpha beta"] * 6)),
+        idx, BuildConfig(docs_per_segment=3))
+    build_doc_values(idx, "warc_ts")
+    shard = pq.read_table(_dv_path(idx, "warc_ts", 0))
+    assert shard.num_rows == 3 and "warc_ts" in shard.column_names
