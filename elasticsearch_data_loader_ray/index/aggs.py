@@ -6,12 +6,15 @@ optionally carrying metric sub-aggregations. The reference delegates this
 to ElasticSearch; here it is a Ray Data job shaped like Lucene's per-shard
 global-ordinals pattern:
 
-* **doc-values shards** (``docvalues/<column>/segment=K.parquet``): one
-  (doc_id, value) file per segment, built once per (index, column) by a
-  per-segment task that joins the segment's docs table to a url-range-
-  pruned read of the corpus (parquet footer min/max on ``url`` prunes row
-  groups, so each task reads only its slice) — the Lucene doc-values
-  analogue, and the piece that makes aggregation segment-local.
+* **doc-values / stored-field shards**
+  (``docvalues/<column>/segment=K.parquet``): one (doc_id, value) file
+  per segment, built once per (index, column). A whole generation's
+  shards come from ONE range-partition exchange over its corpus (rows
+  routed to segments by the build's own url boundaries, joined to each
+  segment's docs table) — corpus files span the full url keyspace, so
+  per-segment filtered reads would each scan the whole corpus. The
+  Lucene doc-values / stored-fields analogue, and the piece that makes
+  aggregation, export and snippeting segment-local.
 * **partials**: one task per segment unions the query terms' postings
   (the match's doc set within the segment), drops tombstoned docs, and
   bincounts the matched docs' dictionary-encoded values — emitting
