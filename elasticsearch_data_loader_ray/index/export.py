@@ -45,7 +45,6 @@ from .search import (
     _dl_column,
     _drop_deleted,
     _field_analyzer,
-    _load_deleted,
     _load_stats,
     _term_filters,
     _visible_seg_ids,
