@@ -261,8 +261,13 @@ def _build_dv_shards_onepass(index_dir: str, column: str,
 
     read_cols = (["url", "warc_ts"]
                  + ([column] if column not in ("url", "warc_ts") else []))
+    # block count sized to the CPU budget, NOT the segment count: the
+    # sort-shuffle's sample/sort/fragment cost grows with upstream block
+    # count (measured 11s -> 146s at 1M -> 4M docs with blocks =
+    # n_segments); map_groups still yields every segment's group inside
+    # the fewer reduce tasks
     (rd.read_parquet(files, columns=read_cols,
-                     override_num_blocks=max(2 * _ncpus(), len(segs)))
+                     override_num_blocks=2 * _ncpus())
      .map_batches(assign, batch_format="pyarrow")
      .groupby("segment_id")
      .map_groups(write_group, batch_format="pyarrow")
