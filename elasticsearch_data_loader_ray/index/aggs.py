@@ -337,7 +337,8 @@ def build_doc_values(index_dir: str, column: str) -> None:
 
 
 def _segment_postings(index_dir: str, seg_id: int, field: str,
-                      terms: list[str]) -> dict[str, list[np.ndarray]]:
+                      terms: list[str],
+                      with_tf: bool = False) -> dict[str, list]:
     """term -> decoded doc-id runs for one segment, ONE filtered read for
     the whole term list (callers with many queries union their term lists
     and share this read instead of re-opening the file per query)."""
@@ -358,12 +359,13 @@ def _segment_postings(index_dir: str, seg_id: int, field: str,
                            columns=["field", "term", "df", "doc_ids_enc",
                                     "tfs_enc"],
                            filters=filters)
-    out: dict[str, list[np.ndarray]] = {}
+    out: dict[str, list] = {}
     for i in range(tt.num_rows):
-        ids, _tfs = codec.decode_postings(
+        ids, tfs = codec.decode_postings(
             tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
             int(tt["df"][i].as_py()))
-        out.setdefault(tt["term"][i].as_py(), []).append(ids)
+        out.setdefault(tt["term"][i].as_py(), []).append(
+            (ids, tfs) if with_tf else ids)
     return out
 
 

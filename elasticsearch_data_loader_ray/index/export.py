@@ -8,9 +8,9 @@ downstream extractions), and sort hits by document fields
 * **export_matches**: the inverted index acts as a pushdown FILTER over
   the corpus — one task per segment unions (or intersects) the query
   terms' postings, drops tombstoned docs, slices the segment's docs
-  table positionally, and joins stored fields from a url-range-pruned
-  corpus read (parquet footer min/max on ``url`` keeps each task's read
-  to its own slice). The result is a streaming ``ray.data.Dataset`` —
+  table positionally, and reads stored fields from the segment's
+  stored-field shard (Lucene layout; built once per column by a single
+  range-partition pass). The result is a streaming ``ray.data.Dataset`` —
   nothing materializes on the driver; consumers ``write_parquet`` /
   ``iter_batches`` the full matched set with backpressure. At 100 TB
   this is the "extract every doc mentioning X" pipeline.
@@ -210,6 +210,115 @@ def count_matches(index_dir: str, query: str, field: str = DEFAULT_FIELD,
     """Single-query ES ``_count``: see :func:`count_matches_many`."""
     t = count_matches_many(index_dir, [query], field, mode, concurrency)
     return int(t["n_matched"][0].as_py())
+
+
+def _collapse_partials(batch: pa.Table, *, index_dir: str, field: str,
+                       terms: list[str], collapse: str, idf: dict,
+                       avgdl: float) -> pa.Table:
+    """Task: per-segment best hit per collapse-key for one OR query.
+
+    Scores the segment's matched docs with the global-idf BM25 convention
+    (term-major lexicographic accumulation — identical to the serving
+    paths), rounds to 6 dp (the repo-wide determinism convention), looks
+    the collapse values up in the segment's doc-values shard, and emits
+    ONE row per distinct key: partials are bounded by the segment's key
+    cardinality, never its doc count."""
+    from . import codec
+    from .aggs import _segment_postings
+
+    _stats, deleted = worker_state(index_dir)
+    out_k, out_d, out_s = [], [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        runs = _segment_postings(index_dir, seg_id, field, terms,
+                                 with_tf=True)
+        if not runs:
+            continue
+        all_ids = [ids for rs in runs.values() for ids, _tfs in rs]
+        loc = np.unique(np.concatenate(all_ids))
+        docs = pq.read_table(seg_docs_path(index_dir, seg_id),
+                             columns=["doc_id", _dl_column(field)])
+        base = int(docs["doc_id"][0].as_py())
+        dl = docs[_dl_column(field)].to_numpy().astype(np.float64)
+        sc = np.zeros(len(loc), dtype=np.float64)
+        for t in terms:  # lexicographic accumulation order
+            for ids, tfs in runs.get(t, []):
+                contrib = idf[t] * codec.bm25_tf_impact(
+                    tfs.astype(np.float64), dl[ids - base], avgdl)
+                sc[np.searchsorted(loc, ids)] += contrib
+        if len(deleted):
+            keep = _drop_deleted(deleted, loc)
+            loc, sc = loc[keep], sc[keep]
+        if len(loc) == 0:
+            continue
+        r = np.round(sc, 6)
+        dv = pq.read_table(_dv_path(index_dir, collapse, seg_id),
+                           columns=["doc_id", collapse])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), loc)
+        vals = dv[collapse].combine_chunks().take(pa.array(pos))
+        enc = pc.dictionary_encode(vals)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        order = np.lexsort((loc, -r))  # best first per key
+        _u, first = np.unique(codes[order], return_index=True)
+        keep = order[np.sort(first)]
+        out_k.extend(str(v) for v in
+                     enc.dictionary.take(pa.array(codes[keep])).to_pylist())
+        out_d.extend(loc[keep].tolist())
+        out_s.extend(r[keep].tolist())
+    return pa.table({"key": pa.array(out_k, pa.string()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def collapse_matches(index_dir: str, query: str, collapse: str,
+                     k: int = 10, field: str = DEFAULT_FIELD,
+                     concurrency: int | None = None) -> pa.Table:
+    """ES field collapsing: the top-``k`` hits of an OR match query with
+    at most ONE hit (the best-scoring) per value of ``collapse`` —
+    per-segment best-per-key partials (bounded by key cardinality), then
+    a keys-by-segments driver merge. Returns (rank, key, doc_id, score),
+    ordered (score desc, doc_id asc)."""
+    from .search import _avgdl, load_global_idf
+
+    stats = _load_stats(index_dir)
+    terms = sorted(set(query_terms(query, _field_analyzer(stats, field))))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "key": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not terms or not seg_ids:
+        return empty
+    idf_map, _dfs, _n = load_global_idf(index_dir, {field: terms})
+    idf = {t: v for (f, t), v in idf_map.items() if f == field}
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return empty
+    build_doc_values(index_dir, collapse)
+    parts = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _collapse_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "field": field, "terms": terms,
+                "collapse": collapse, "idf": idf,
+                "avgdl": _avgdl(stats, field)},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()  # keys x segments rows
+    )
+    if len(parts) == 0:
+        return empty
+    best = (parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+            .drop_duplicates("key", keep="first")
+            .head(k))
+    return pa.table({
+        "rank": pa.array(range(1, len(best) + 1), pa.int64()),
+        "key": pa.array(best["key"].tolist(), pa.string()),
+        "doc_id": pa.array(best["doc_id"].to_numpy(), pa.int64()),
+        "score": pa.array(best["score"].to_numpy(), pa.float64()),
+    })
 
 
 def term_vectors(index_dir: str, urls: list[str],

@@ -1260,6 +1260,64 @@ def _sql_rescore_topk() -> str:
     )
 
 
+COLLAPSE_QUERY = "the data"
+COLLAPSE_K = 10
+
+
+def q_collapse_topk(sf_dir: str):
+    """ES field collapsing: top-k hits with at most ONE (best-scoring)
+    hit per source — per-segment best-per-key partials bounded by key
+    cardinality, keys-by-segments driver merge."""
+    from ..index.export import collapse_matches
+
+    idx = _ensure_doc_index(sf_dir)
+    t = collapse_matches(idx, COLLAPSE_QUERY, "source", k=COLLAPSE_K)
+    ids = (_docid_map(idx)[t["doc_id"].to_numpy()]
+           if t.num_rows else np.empty(0, np.int64))
+    return pa.table({"rank": t["rank"],
+                     "key": t["key"],
+                     "doc_id": pa.array(ids, pa.int64()),
+                     "score": t["score"]})
+
+
+def _sql_collapse_topk() -> str:
+    from ..index.search import query_terms
+
+    k1, b = codec.BM25_K1, codec.BM25_B
+    idf = "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))"
+    vals = ", ".join(f"('{t}')" for t in query_terms(COLLAPSE_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, source, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) "
+        "c USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "scored AS (SELECT tf.doc_id, "
+        f"round(sum({idf} * tf.tf * {k1 + 1.0} / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))), 6) "
+        "AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats st "
+        "GROUP BY 1), "
+        "best AS (SELECT * FROM ("
+        "SELECT d.source AS key, s.doc_id, s.score, "
+        "row_number() OVER (PARTITION BY d.source "
+        "ORDER BY s.score DESC, s.doc_id ASC) AS rn "
+        "FROM scored s JOIN docs d USING (doc_id)) WHERE rn = 1) "
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)"
+        "::BIGINT AS rank, key, doc_id, score FROM best "
+        f"ORDER BY rank LIMIT {COLLAPSE_K}"
+    )
+
+
 MLT_DOC_IDS = [7, 123, 321]
 MLT_TERMS = 5
 
@@ -3394,6 +3452,7 @@ def queries() -> dict:
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
         "more_like_this": q_more_like_this,
+        "collapse_topk": q_collapse_topk,
         "rescore_topk": q_rescore_topk,
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
@@ -3470,6 +3529,7 @@ def oracle_sql() -> dict:
         "search_after_page": _sql_search_after_page(),
         "function_score_topk": _sql_function_score_topk(),
         "more_like_this": _sql_more_like_this(),
+        "collapse_topk": _sql_collapse_topk(),
         "rescore_topk": _sql_rescore_topk(),
         # append gate: build(first half) + append(second half) must equal
         # the FULL-corpus BM25 — the same SQL is the oracle by construction

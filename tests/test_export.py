@@ -180,3 +180,26 @@ def test_term_vectors_brute_force(exp_index):
             want[k][0] += 1
     assert {(r.url, r.term): [int(r.tf), int(r.first_pos)]
             for r in got.itertuples()} == want
+
+
+def test_collapse_matches_brute_force(exp_index):
+    from elasticsearch_data_loader_ray.index.export import collapse_matches
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, texts, lg = exp_index
+    got = collapse_matches(idx, "the data", "lang", k=3).to_pandas()
+    # brute: full exact ranking, best per lang, top-3
+    lo = LocalSearcher(idx)
+    ids, sc = lo.search("the data", k=lo.n_docs, or_strategy="exact")
+    r = np.round(sc, 6)
+    best = {}
+    for d, s in sorted(zip(ids.tolist(), r.tolist()),
+                       key=lambda x: (-x[1], x[0])):
+        k = lg[d]
+        if k not in best:
+            best[k] = (d, s)
+    want = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))[:3]
+    assert [(row.key, int(row.doc_id), row.score)
+            for row in got.itertuples()] == \
+        [(k, d, s) for k, (d, s) in want]
+    assert got["rank"].tolist() == [1, 2, 3]
