@@ -113,3 +113,102 @@ def test_unicode_corpus_engine_equals_oracle(tmp_path, seed):
     want = oracle.bm25_topk(t, queries).to_pandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["score"].tolist() == want["score"].tolist()  # bitwise
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_unicode_serving_apis_equal_brute(tmp_path, seed):
+    """The stored-text serving APIs (highlight anchors, snippets, term
+    vectors, counts, export word counts) must agree with a brute oracle
+    on corpora that force the tokenizer's unicode fallback — the risk is
+    positional drift between index-time tokens and re-tokenized stored
+    text."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pyarrow as pa
+
+    from elasticsearch_data_loader_ray.functions.analyzers import analyze
+    from elasticsearch_data_loader_ray.index.export import (
+        count_matches,
+        export_matches,
+        snippet_matches,
+        term_vectors,
+    )
+    from elasticsearch_data_loader_ray.index.search import (
+        LocalSearcher,
+        highlight_matches,
+    )
+
+    rng = np.random.default_rng(seed)
+    exotic = ["中文", "分词", "東京", "İstanbul", "µmetre", "Σσς",
+              "🎉party", "naïve", "ñandú", "ß", "ＦＵＬＬ", "ﬁligree"]
+    ascii_w = ["alpha", "beta", "data", "search", "the"]
+    rows = []
+    base = datetime(2024, 1, 1)
+    for i in range(120):
+        k = int(rng.integers(3, 30))
+        words = [str(rng.choice(exotic if rng.random() < 0.35 else ascii_w))
+                 for _ in range(k)]
+        text = " ".join(words)
+        rows.append((f"https://s{seed}.example/{i:04d}",
+                     base + timedelta(seconds=i),
+                     fixtures._render_html(text, i), text, "mix"))
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "text": pa.array([r[3] for r in rows], pa.large_string()),
+        "lang": pa.array([r[4] for r in rows], pa.string()),
+    })
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildConfig(docs_per_segment=40, index_positions=True))
+    url_of = {}
+    import pyarrow.parquet as pq_
+    from elasticsearch_data_loader_ray.index import manifest as mf
+    from elasticsearch_data_loader_ray.index.build import seg_docs_path
+    for s in sorted(mf.committed_segments(idx)):
+        d = pq_.read_table(seg_docs_path(idx, s), columns=["doc_id", "url"])
+        url_of.update(zip(d["doc_id"].to_pylist(), d["url"].to_pylist()))
+    text_of = dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    toks_of = {u: analyze("standard", x) for u, x in text_of.items()}
+
+    q = "中文 data σσς"
+    qterms = set(analyze("standard", q))
+    # highlight anchors
+    got = highlight_matches(LocalSearcher(idx), q).to_pandas()
+    want = {}
+    for d, u in url_of.items():
+        for w in qterms:
+            if w in toks_of[u]:
+                want[(d, w)] = toks_of[u].index(w)
+    assert {(int(r.doc_id), r.term): int(r.first_pos)
+            for r in got.itertuples()} == want
+    # snippets (window 2, earliest anchor)
+    sn = snippet_matches(idx, q, window=2).to_pandas()
+    want_sn = {}
+    for d, u in url_of.items():
+        pos = [j for j, w in enumerate(toks_of[u]) if w in qterms]
+        if pos:
+            p = min(pos)
+            want_sn[d] = (p, " ".join(toks_of[u][max(0, p - 2): p + 3]))
+    assert {int(r.doc_id): (int(r.anchor_pos), r.snippet)
+            for r in sn.itertuples()} == want_sn
+    # counts + export word counts
+    assert count_matches(idx, q) == len(want_sn)
+    exp = export_matches(idx, q).to_pandas()
+    assert {int(r.doc_id): int(r.word_count) for r in exp.itertuples()} \
+        == {d: len(toks_of[url_of[d]]) for d in want_sn}
+    # term vectors for a few docs
+    some = list(url_of.values())[:5]
+    tv = term_vectors(idx, some).to_pandas()
+    for u in some:
+        rows_u = tv[tv["url"] == u]
+        want_tf = {}
+        for j, w in enumerate(toks_of[u]):
+            want_tf.setdefault(w, [0, j])[0] += 1
+        assert {r.term: [int(r.tf), int(r.first_pos)]
+                for r in rows_u.itertuples()} == want_tf
