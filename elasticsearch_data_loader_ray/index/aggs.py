@@ -645,7 +645,8 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
 
 
 def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
-                        field: str, terms: list[str]) -> pa.Table:
+                        field: str, terms: list[str],
+                        shard_size: int | None = None) -> pa.Table:
     """Task: per-segment foreground doc-frequency partials — the matched
     docs' stored text re-tokenized, one (term, fg_count) row per distinct
     term. Work is O(matched docs' tokens), not O(segment vocabulary):
@@ -684,6 +685,14 @@ def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
         term_code = pair % len(enc.dictionary)
         cnt = np.bincount(term_code, minlength=len(enc.dictionary))
         nz = np.flatnonzero(cnt)
+        if shard_size is not None and len(nz) > shard_size:
+            # ES shard_size semantics: each shard ships only its top
+            # candidates (fg_count desc, term asc) — the documented
+            # approximation bound for huge foreground vocabularies
+            tnames = np.array(enc.dictionary.take(pa.array(nz))
+                              .to_pylist(), dtype=object)
+            order = np.lexsort((tnames, -cnt[nz]))[:shard_size]
+            nz = nz[order]
         outs.append(pa.table({
             "term": pc.cast(enc.dictionary.take(pa.array(nz)),
                             pa.string()),
@@ -699,6 +708,7 @@ def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
 
 def significant_terms_agg(index_dir: str, query: str, size: int = 10,
                           field: str = DEFAULT_FIELD,
+                          shard_size: int | None = None,
                           concurrency: int | None = None) -> pa.Table:
     """ES ``significant_terms`` aggregation: terms over-represented in the
     docs matching an OR match query vs the whole corpus, scored with the
@@ -707,7 +717,14 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
     frequencies come from re-tokenizing the matched slice; background doc
     frequencies from the global term dictionary (read only for the
     foreground's terms). Scores are rounded to 6 dp so the ordering is
-    reproducible cross-engine."""
+    reproducible cross-engine. ``shard_size`` (ES semantics) caps each
+    partial's candidate terms by fg_count — None is exact; set it when a
+    broad query's foreground vocabulary would swamp the merge. It is a
+    RECALL bound over high-fg-count candidates: reliable when the
+    foreground's signature terms appear in most of its docs (the
+    cluster-analysis / decontamination case), lossy for terms that are
+    significant despite low foreground frequency — the same trade ES's
+    default shard_size makes."""
     from ray.data.aggregate import Sum
 
     from .search import _read_term_dict
@@ -733,7 +750,8 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
             _sig_terms_partials,
             fn_kwargs={
                 "index_dir": index_dir, "field": field,
-                "terms": sorted(set(terms))},
+                "terms": sorted(set(terms)),
+                "shard_size": shard_size},
             batch_format="pyarrow", batch_size=8,
             concurrency=concurrency)
         .groupby("term")

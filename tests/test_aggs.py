@@ -217,3 +217,29 @@ def test_significant_terms_unmatched_empty(agg_index):
     idx, _t, _l = agg_index
     got = significant_terms_agg(idx, "zzqnothing")
     assert got.num_rows == 0
+
+
+def test_significant_terms_shard_size_cap(tmp_path_factory):
+    """shard_size is a recall bound over high-fg-count candidates: when a
+    skewed foreground's signature terms appear in most of its docs (the
+    cluster-analysis case), a small per-segment cap still surfaces them."""
+    texts = (["common filler words here"] * 40
+             + ["common zebra yak okapi"] * 12)
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("sig_cap_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=16))
+    exact = significant_terms_agg(idx, "zebra", size=3).to_pandas()
+    capped = significant_terms_agg(idx, "zebra", size=3,
+                                   shard_size=4).to_pandas()
+    assert set(exact["term"]) == {"zebra", "yak", "okapi"}
+    assert capped["term"].tolist() == exact["term"].tolist()
+    assert capped["score"].tolist() == exact["score"].tolist()
