@@ -223,7 +223,9 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
       excluded. Never scored.
     * ``filter``: non-scoring required context. Supported shapes:
       ``{"term": {"field": f, "value": tok}}`` — raw (unanalyzed) token
-      present in field ``f`` (defaults to the query field), and
+      present in field ``f`` (defaults to the query field);
+      ``{"terms": {"field": f, "values": [...]}}`` — ANY of the raw
+      tokens present (the ES terms query); and
       ``{"range": {"field": "word_count", "gte": x, "lte": y}}`` — per-doc
       token count bounds (both ends optional).
 
@@ -236,10 +238,16 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
     must_not = [query_terms(s, analyzer) for s in bq.get("must_not", ())]
     filter_terms: list[tuple[str, str]] = []
     range_dl: list[tuple[str, float, float]] = []
+    filter_any: list[tuple[str, list[str]]] = []
     for flt in bq.get("filter", ()):
         if "term" in flt:
             f = flt["term"].get("field", field)
             filter_terms.append((f, str(flt["term"]["value"])))
+        elif "terms" in flt:
+            # ES terms query: the doc must contain ANY of the raw tokens
+            f = flt["terms"].get("field", field)
+            filter_any.append((f, sorted({str(v) for v in
+                                          flt["terms"]["values"]})))
         elif "range" in flt:
             r = dict(flt["range"])
             range_dl.append((str(r.get("field", "word_count")),
@@ -249,14 +257,17 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
             raise ValueError(f"unsupported bool filter clause {flt!r}")
     msm = bq.get("minimum_should_match")
     if msm is None:
-        msm = 0 if (must or filter_terms or range_dl) else 1
+        msm = 0 if (must or filter_terms or filter_any or range_dl) else 1
     load: dict[str, list[str]] = {
         field: sorted({t for cl in (*must, *should, *must_not) for t in cl})}
     for f, t in filter_terms:
         load.setdefault(f, []).append(t)
+    for f, vs in filter_any:
+        load.setdefault(f, []).extend(vs)
     load = {f: sorted(set(ts)) for f, ts in load.items() if ts}
     return {"field": field, "must": must, "should": should,
             "must_not": must_not, "filter_terms": filter_terms,
+            "filter_any": filter_any,
             "range_dl": range_dl, "msm": int(msm), "load": load}
 
 
@@ -838,12 +849,18 @@ class SegmentSearcher:
         elif spec["should"]:
             cand = _bool_clause_ids(
                 [t for cl in spec["should"] for t in cl], score_runs)
-        elif spec["filter_terms"]:
+        elif spec["filter_terms"] or spec.get("filter_any"):
             cand = None
         else:  # range-only: every doc in the segment
             cand = np.arange(base, base + n, dtype=np.int64)
         for f, t in spec["filter_terms"]:
             ids = _bool_clause_ids([t], runs_of(f))
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        for f, vs in spec.get("filter_any", ()):
+            ids = _bool_clause_ids(vs, runs_of(f))
             cand = ids if cand is None else np.intersect1d(
                 cand, ids, assume_unique=True)
             if len(cand) == 0:
@@ -2074,7 +2091,7 @@ class LocalSearcher:
         elif spec["should"]:
             cand = _bool_clause_ids(
                 [t for cl in spec["should"] for t in cl], score_runs)
-        elif spec["filter_terms"]:
+        elif spec["filter_terms"] or spec.get("filter_any"):
             cand = None
         else:  # range-only filter context: every doc
             cand = np.arange(self.n_docs, dtype=np.int64)
@@ -2082,6 +2099,14 @@ class LocalSearcher:
             fb = (self._postings_for(f, [t])
                   if self.term_ds is not None else {})
             ids = _bool_clause_ids([t], lambda tt: fb.get(tt, []))
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        for f, vs in spec.get("filter_any", ()):
+            fb = (self._postings_for(f, vs)
+                  if self.term_ds is not None else {})
+            ids = _bool_clause_ids(vs, lambda tt: fb.get(tt, []))
             cand = ids if cand is None else np.intersect1d(
                 cand, ids, assume_unique=True)
             if len(cand) == 0:

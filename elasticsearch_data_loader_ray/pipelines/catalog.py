@@ -1484,6 +1484,8 @@ DOC_BOOL_QUERIES = [
     {"must": ["table part value"], "must_not": ["stream", "window agg"]},
     {"filter": [{"term": {"value": "spark"}},
                 {"range": {"gte": 20, "lte": 60}}]},
+    {"must": ["data"],
+     "filter": [{"terms": {"values": ["vector", "window", "stream"]}}]},
 ]
 
 
@@ -1521,6 +1523,12 @@ def _sql_bm25_bool_topk() -> str:
             if "term" in flt:
                 crows.append(
                     f"({qid}, 'filter', {cid}, '{flt['term']['value']}')")
+                cid += 1
+            elif "terms" in flt:
+                # one clause id, many values: the cm distinct-(cid, doc)
+                # join counts the clause matched if ANY value is present
+                for v in flt["terms"]["values"]:
+                    crows.append(f"({qid}, 'filter', {cid}, '{v}')")
                 cid += 1
             else:
                 r = flt["range"]

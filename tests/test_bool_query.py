@@ -91,6 +91,8 @@ def brute_bool(texts: list[str], bq: dict, k: int = 10):
         for flt in filters:
             if "term" in flt:
                 ok &= flt["term"]["value"] in tfs[d]
+            elif "terms" in flt:
+                ok &= any(v in tfs[d] for v in flt["terms"]["values"])
             else:
                 r = flt["range"]
                 ok &= (r.get("gte", -1e18) <= dl[d] <= r.get("lte", 1e18))
@@ -127,6 +129,9 @@ BOOL_CASES = [
     {"must": ["data", "query", "the"],
      "filter": [{"term": {"value": "join"}},
                 {"range": {"gte": 8}}]},
+    {"must": ["data"],
+     "filter": [{"terms": {"values": ["join", "merge", "zzqnone"]}}]},
+    {"filter": [{"terms": {"values": ["fast", "slow"]}}]},
 ]
 
 
