@@ -257,12 +257,19 @@ def _collapse_partials(batch: pa.Table, *, index_dir: str, field: str,
         pos = np.searchsorted(dv["doc_id"].to_numpy(), loc)
         vals = dv[collapse].combine_chunks().take(pa.array(pos))
         enc = pc.dictionary_encode(vals)
-        codes = np.asarray(enc.indices, dtype=np.int64)
+        # ES collapse semantics: docs missing the field share ONE null
+        # bucket. Null dictionary indices would cast to int64 garbage, so
+        # they get an explicit synthetic code past the dictionary.
+        null_code = len(enc.dictionary)
+        codes = np.asarray(pc.fill_null(enc.indices, null_code),
+                           dtype=np.int64)
         order = np.lexsort((loc, -r))  # best first per key
         _u, first = np.unique(codes[order], return_index=True)
         keep = order[np.sort(first)]
-        out_k.extend(str(v) for v in
-                     enc.dictionary.take(pa.array(codes[keep])).to_pylist())
+        kc = codes[keep]
+        names = enc.dictionary.to_pylist()
+        out_k.extend(None if c == null_code else str(names[c])
+                     for c in kc.tolist())
         out_d.extend(loc[keep].tolist())
         out_s.extend(r[keep].tolist())
     return pa.table({"key": pa.array(out_k, pa.string()),

@@ -220,11 +220,12 @@ def test_significant_terms_unmatched_empty(agg_index):
 
 
 def test_significant_terms_shard_size_cap(tmp_path_factory):
-    """shard_size is a recall bound over high-fg-count candidates: when a
-    skewed foreground's signature terms appear in most of its docs (the
-    cluster-analysis case), a small per-segment cap still surfaces them."""
-    texts = (["common filler words here"] * 40
-             + ["common zebra yak okapi"] * 12)
+    """shard_size is a recall bound over high-fg-count candidates: the
+    foreground vocabulary here (14 distinct terms) exceeds the cap (4),
+    so the per-partial top-N branch actually runs, and the dominant
+    signature term survives it."""
+    texts = (["plain filler common here"] * 40
+             + [f"common zebra n{i:02d}" for i in range(12)])
     n = len(texts)
     corpus = pa.table({
         "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
@@ -238,8 +239,12 @@ def test_significant_terms_shard_size_cap(tmp_path_factory):
     build_index_from_corpus(rd.from_arrow(corpus), idx,
                             BuildConfig(docs_per_segment=16))
     exact = significant_terms_agg(idx, "zebra", size=3).to_pandas()
+    assert exact.iloc[0]["term"] == "zebra"
     capped = significant_terms_agg(idx, "zebra", size=3,
                                    shard_size=4).to_pandas()
-    assert set(exact["term"]) == {"zebra", "yak", "okapi"}
-    assert capped["term"].tolist() == exact["term"].tolist()
-    assert capped["score"].tolist() == exact["score"].tolist()
+    # the cap keeps the highest-fg_count candidates: zebra and common
+    # (fg_count 12) always survive the per-partial cut; noise terms
+    # (fg_count 1) may drop; common's background rate kills its score
+    assert len(capped) <= 3
+    assert capped.iloc[0]["term"] == "zebra"
+    assert set(capped["term"]) <= set(exact["term"]) | {"common"}
