@@ -529,6 +529,12 @@ def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]
             out.append((int(q["query_id"]), field, [str(q["query"])],
                         int(q.get("k", 10)), "wildcard"))
             continue
+        if mode == "function_score":
+            terms = query_terms(q["query"], _field_analyzer(stats, field))
+            out.append((int(q["query_id"]), field, terms,
+                        int(q.get("k", 10)),
+                        f"fscore:{q.get('modifier', 'log1p')}"))
+            continue
         if mode == "phrase":
             # ordered token sequence, duplicates kept (position matching)
             terms = list(analyze(_field_analyzer(stats, field), q["query"]))
@@ -912,6 +918,50 @@ class SegmentSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return cand[order].astype(np.int64), scores[order]
 
+    def _score_function(self, field: str, terms: list[str], k: int,
+                        base: int, n: int, dl: np.ndarray,
+                        postings: dict, modifier: str
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """function_score per segment: exhaustive OR accumulation
+        (the multiplicative factor breaks MaxScore bound admissibility),
+        modifier applied BEFORE the per-segment top-k cut — valid because
+        a doc's postings live entirely in its segment. Bitwise-identical
+        to ``LocalSearcher.search_function_score`` (same accumulation
+        order, same elementwise modifier)."""
+        keys = [(field, t) for t in terms
+                if (field, t) in postings and (field, t) in self.idf]
+        if not keys:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        avgdl = self.avgdl[field]
+        scores = np.zeros(n, dtype=np.float64)
+        touched = np.zeros(n, dtype=bool)
+        for kk in keys:  # lexicographic order fixed by query_terms()
+            ids, tfs, _ = postings[kk]
+            loc = ids - base
+            scores[loc] += self.idf[kk] * codec.bm25_tf_impact(
+                tfs, dl[loc], avgdl)
+            touched[loc] = True
+        loc = np.flatnonzero(touched)
+        sc = scores[loc]
+        if len(self._deleted):
+            keepd = _drop_deleted(self._deleted, loc + base)
+            loc, sc = loc[keepd], sc[keepd]
+        fv = dl[loc]
+        if modifier == "log1p":
+            sc = sc * np.log(1.0 + fv)
+        elif modifier == "sqrt":
+            sc = sc * np.sqrt(fv)
+        elif modifier == "none":
+            sc = sc * fv
+        else:
+            raise ValueError(f"unknown modifier {modifier!r}")
+        if len(loc) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            loc, sc = loc[keep], sc[keep]
+        order = np.lexsort((loc, -sc))[:k]
+        return (loc[order] + base).astype(np.int64), sc[order]
+
     def _score_union_const(self, field: str, terms: list[str], k: int,
                            postings: dict
                            ) -> tuple[np.ndarray, np.ndarray]:
@@ -955,7 +1005,11 @@ class SegmentSearcher:
                     continue
                 if field not in self.by_field:  # no indexed terms: no hits
                     continue
-                if mode == "union_const":
+                if mode.startswith("fscore:"):
+                    ids, sc = self._score_function(
+                        field, terms, int(k), base, n, dl[field],
+                        postings, mode.split(":", 1)[1])
+                elif mode == "union_const":
                     ids, sc = self._score_union_const(field, terms, int(k),
                                                       postings)
                 elif mode == "and":

@@ -326,3 +326,23 @@ def test_function_score_modifier_applied_before_cut(index_dir, monkeypatch):
     got2_ids, got2_sc = s.search_function_score("the data search", k=10)
     assert got2_ids.tolist() == got_ids.tolist()
     assert got2_sc.tolist() == got_sc.tolist()
+
+
+def test_function_score_distributed_matches_local(index_dir):
+    """mode='function_score' query rows route per-segment; the merged
+    distributed top-k must be bitwise-identical to LocalSearcher's."""
+    from elasticsearch_data_loader_ray.index.search import (
+        LocalSearcher,
+        search,
+    )
+
+    idx, _ = index_dir
+    lo = LocalSearcher(idx)
+    for q, mod in [("the data search", "log1p"), ("data", "sqrt"),
+                   ("the", "none")]:
+        want_ids, want_sc = lo.search_function_score(q, k=10, modifier=mod)
+        got = search(idx, [{"query_id": 0, "query": q, "k": 10,
+                            "mode": "function_score", "modifier": mod}]
+                     ).to_pandas()
+        assert got["doc_id"].tolist() == want_ids.tolist()
+        assert got["score"].tolist() == want_sc.tolist()
