@@ -418,9 +418,16 @@ def _terms_agg_partials(batch: pa.Table, *, index_dir: str,
         pos = np.searchsorted(dv_ids, ids)
         vals = dv[column].combine_chunks().take(pa.array(pos))
         enc = pc.dictionary_encode(vals)
-        codes = np.asarray(enc.indices)
+        # ES terms-agg semantics: docs missing the field are SKIPPED. The
+        # dv shard is a left-outer join so nulls are reachable; a null
+        # dictionary index would cast to float64 NaN and crash bincount,
+        # so nulls get a sentinel code whose bucket is dropped (mirrors
+        # export._collapse_partials).
+        null_code = len(enc.dictionary)
+        codes = np.asarray(pc.fill_null(enc.indices, null_code),
+                           dtype=np.int64)
         nbuck = len(enc.dictionary)
-        cnt = np.bincount(codes, minlength=nbuck)
+        cnt = np.bincount(codes, minlength=nbuck + 1)[:nbuck]
         if metric_field is not None:
             docs = pq.read_table(
                 seg_docs_path(index_dir, seg_id),
@@ -428,7 +435,7 @@ def _terms_agg_partials(batch: pa.Table, *, index_dir: str,
             dlv = docs[_dl_column(metric_field)].to_numpy()
             base = int(docs["doc_id"][0].as_py())
             msum = np.bincount(codes, weights=dlv[ids - base],
-                               minlength=nbuck)
+                               minlength=nbuck + 1)[:nbuck]
         else:
             msum = np.zeros(nbuck)
         keys.extend(enc.dictionary.to_pylist())

@@ -228,6 +228,16 @@ def _run_append(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
         deleted_new = (np.unique(np.concatenate(matches))
                        if any(len(m) for m in matches)
                        else np.empty(0, np.int64))
+        if len(deleted_new):
+            # a url re-ingested a SECOND time matches its original doc id
+            # again; without this filter n_deleted / n_upserts inflate
+            # (search is unaffected — _load_deleted dedupes)
+            from .search import _drop_deleted, _load_deleted
+
+            already = _load_deleted(index_dir, stats)
+            if len(already):
+                deleted_new = deleted_new[
+                    _drop_deleted(already, deleted_new)]
     if cfg.strict_duplicates and len(deleted_new):
         raise DuplicateUrlError(
             len(deleted_new),

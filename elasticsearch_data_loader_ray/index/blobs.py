@@ -134,19 +134,30 @@ def split_for_write(terms: pa.Table) -> tuple[pa.Table, bytes]:
 class _FdCache:
     """Tiny keep-open fd cache for sidecar files. POSIX semantics make a
     cached fd safe across merges (the old file stays readable until the fd
-    closes; new segments live at new paths)."""
+    closes; new segments live at new paths). Rebuilds that REUSE a segment
+    path (build --wipe into the same index_dir, crash-resume overwriting an
+    uncommitted segment dir) replace the inode, so each hit revalidates with
+    one stat and reopens when the inode changed — a long-lived searcher must
+    never serve stale postings through a deleted file's fd."""
 
     def __init__(self, cap: int = 128):
         self.cap = cap
-        self._fds: dict[str, int] = {}
+        self._fds: dict[str, tuple[int, int]] = {}  # path -> (fd, st_ino)
 
     def get(self, path: str) -> int:
-        fd = self._fds.get(path)
-        if fd is None:
-            fd = os.open(path, os.O_RDONLY)
-            while len(self._fds) >= self.cap:  # FIFO eviction
-                os.close(self._fds.pop(next(iter(self._fds))))
-            self._fds[path] = fd
+        hit = self._fds.get(path)
+        if hit is not None:
+            fd, ino = hit
+            try:
+                if os.stat(path).st_ino == ino:
+                    return fd
+            except OSError:
+                pass
+            os.close(self._fds.pop(path)[0])
+        fd = os.open(path, os.O_RDONLY)
+        while len(self._fds) >= self.cap:  # FIFO eviction
+            os.close(self._fds.pop(next(iter(self._fds)))[0])
+        self._fds[path] = (fd, os.fstat(fd).st_ino)
         return fd
 
 

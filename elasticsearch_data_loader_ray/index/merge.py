@@ -180,6 +180,17 @@ def merge_segments(index_dir: str, group_size: int = 2,
     """
     cfg = cfg or BuildConfig()
     manifests = mf.committed_segments(index_dir)
+    # VISIBLE segments only: a crashed append can leave committed-but-
+    # invisible segments (doc range beyond stats.n_docs, swept lazily by
+    # append_index). Merging one of those with a visible segment would push
+    # the merged doc_id_base + n_docs past the visibility point and hide
+    # previously-visible docs — input files are deleted after the merge
+    # commit, so the loss would be permanent.
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        n_vis = int(mf.read_json(stats_path).get("n_docs", 0))
+        manifests = {s: m for s, m in manifests.items()
+                     if int(m["doc_id_base"]) + int(m["n_docs"]) <= n_vis}
     # adjacency is by DOC RANGE, not id: merged segments get fresh ids, so
     # sorted ids need not follow doc order after partial merges
     seg_ids = sorted(manifests, key=lambda s: manifests[s]["doc_id_base"])
@@ -271,7 +282,13 @@ def compact_to(index_dir: str, max_segments: int,
     small segments (or many incremental batches) call this once before
     serving; an epoch-swapping ``LocalSearcher`` (``refresh_interval``)
     picks the compacted set up live."""
-    survivors = sorted(mf.committed_segments(index_dir))
+    ms = mf.committed_segments(index_dir)
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        n_vis = int(mf.read_json(stats_path).get("n_docs", 0))
+        ms = {s: m for s, m in ms.items()
+              if int(m["doc_id_base"]) + int(m["n_docs"]) <= n_vis}
+    survivors = sorted(ms)
     while len(survivors) > max_segments:
         group = math.ceil(len(survivors) / max_segments)
         survivors = merge_segments(index_dir, group_size=group, cfg=cfg)

@@ -248,3 +248,29 @@ def test_significant_terms_shard_size_cap(tmp_path_factory):
     assert len(capped) <= 3
     assert capped.iloc[0]["term"] == "zebra"
     assert set(capped["term"]) <= set(exact["term"]) | {"common"}
+
+
+def test_terms_agg_skips_null_values(tmp_path_factory):
+    """ES terms-agg semantics: docs missing the bucketed field are skipped
+    (regression: null dictionary indices cast to float64 NaN and crashed
+    np.bincount)."""
+    texts = [f"common w{i}" for i in range(60)]
+    lg = [None if i % 3 == 0 else LANGS[i % 2] for i in range(60)]
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(lg, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("agg_null_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=16))
+    got = terms_agg(idx, "common", "lang", size=10,
+                    metric_field="text").to_pandas()
+    want = Counter(v for v in lg if v is not None)
+    assert dict(zip(got["key"], got["doc_count"])) == dict(want)
+    # metric sub-agg over the same buckets (every doc has 2 tokens)
+    assert (got["avg_word_count"] == 2.0).all()

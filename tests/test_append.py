@@ -7,6 +7,8 @@ generations -> identical idf). Upserts tombstone the superseded doc."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -299,3 +301,64 @@ def test_stored_shard_warc_ts_column(tmp_path):
     build_doc_values(idx, "warc_ts")
     shard = pq.read_table(_dv_path(idx, "warc_ts", 0))
     assert shard.num_rows == 3 and "warc_ts" in shard.column_names
+
+
+def test_upsert_reingest_same_url_counts_once(tmp_path):
+    """Re-ingesting a url a SECOND time must not re-count the original doc
+    id in n_deleted / the generation's n_upserts (regression: the upsert
+    probe did not exclude already-tombstoned ids)."""
+    urls = [f"https://t/{i:04d}" for i in range(40)]
+    idx = str(tmp_path / "idx")
+    build_index_from_corpus(
+        rd.from_arrow(_corpus_table(urls, [f"base w{i}" for i in range(40)])),
+        idx, BuildConfig(docs_per_segment=10))
+    cfg = BuildConfig(docs_per_segment=10)
+    s1 = append_index_from_corpus(
+        rd.from_arrow(_corpus_table([urls[7]], ["first rewrite"])), idx, cfg)
+    assert s1["n_deleted"] == 1
+    s2 = append_index_from_corpus(
+        rd.from_arrow(_corpus_table([urls[7]], ["second rewrite"])), idx, cfg)
+    # gen 2 tombstones the gen-1 doc only; the base doc is already dead
+    assert s2["n_deleted"] == 2
+    assert s2["generations"][-1]["n_upserts"] == 1
+    s = LocalSearcher(idx)
+    url_of = _url_of(idx)
+    ids, _ = s.search("rewrite", k=10)
+    assert [url_of[int(d)] for d in ids] == [urls[7]]
+    ids, _ = s.search("second", k=10)
+    assert [url_of[int(d)] for d in ids] == [urls[7]]
+
+
+def test_merge_excludes_invisible_segments(tmp_path):
+    """Merging a visible segment with a committed-but-invisible orphan
+    (crashed append) would push the merged range past stats.n_docs and
+    permanently hide previously-visible docs — merge must filter to
+    visible segments (regression)."""
+    from elasticsearch_data_loader_ray.index.merge import merge_segments
+
+    urls = [f"https://m/{i:04d}" for i in range(30)]
+    idx = str(tmp_path / "idx")
+    build_index_from_corpus(
+        rd.from_arrow(_corpus_table(urls, [f"visible w{i}" for i in range(30)])),
+        idx, BuildConfig(docs_per_segment=10))
+    append_index_from_corpus(
+        rd.from_arrow(_corpus_table(["https://m/z1"], ["orphan text"])),
+        idx, BuildConfig(docs_per_segment=10))
+    # simulate the append having crashed before its stats.json rewrite:
+    # roll visibility back to the base build
+    sp = os.path.join(idx, "stats.json")
+    st = mf.read_json(sp)
+    st["n_docs"] = 30
+    st["generations"] = []
+    mf.write_json_atomic(sp, st)
+    before = LocalSearcher(idx)
+    assert len(before.search("visible", k=100)[0]) == 30
+
+    survivors = merge_segments(idx, group_size=10)
+    ms = mf.committed_segments(idx)
+    for sid in survivors:
+        m = ms[sid]
+        assert int(m["doc_id_base"]) + int(m["n_docs"]) <= 30
+    after = LocalSearcher(idx)
+    assert len(after.search("visible", k=100)[0]) == 30
+    assert len(after.search("orphan", k=10)[0]) == 0

@@ -179,3 +179,20 @@ def test_merge_mixed_layouts(tmp_path):
     assert blobs.has_sidecar(pq.read_schema(seg_terms_path(idx, segs[0])))
     ids, _ = LocalSearcher(idx).search("alpha", 10)
     assert len(ids) > 0
+
+
+def test_fd_cache_detects_inode_change(tmp_path):
+    """An in-place rebuild reusing a segment path replaces the inode; the
+    fd cache must not keep serving the deleted old file's bytes."""
+    p = str(tmp_path / "seg.bin")
+    with open(p, "wb") as f:
+        f.write(b"OLD_BYTES_" * 10)
+    starts = np.array([0], dtype=np.int64)
+    ends = np.array([9], dtype=np.int64)
+    assert blobs._read_ranges(p, starts, ends)[0] == b"OLD_BYTES"
+    # replace via tmp+rename (new inode), the build's atomic publish rule
+    q = str(tmp_path / "seg.bin.tmp")
+    with open(q, "wb") as f:
+        f.write(b"NEW_BYTES_" * 10)
+    os.replace(q, p)
+    assert blobs._read_ranges(p, starts, ends)[0] == b"NEW_BYTES"
