@@ -3108,7 +3108,7 @@ def q_multimodal_features(sf_dir: str):
     in stages/multimodal.py — actor-pool decode + feature extraction with
     genuine bytes-in, and a rows-only gate (features aren't
     SQL-expressible)."""
-    from ..stages.multimodal import ImageFeatureStage, encode_ppm
+    from ..stages.multimodal import encode_ppm, image_features_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -3135,11 +3135,11 @@ def q_multimodal_features(sf_dir: str):
             "height": pa.array([48] * n, pa.int32()),
         })
 
+    # task stage, not an actor pool: feature state is an import probe and
+    # a fresh pool per map_batches call cost more than the whole entry
+    # (VERDICT r3 #5); the callable-class form stays for heavy-state use
     feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
-        ImageFeatureStage, batch_format="pyarrow", batch_size=64,
-        # autoscaling actor pool sized to the host (a pinned pool of 2
-        # starved the stage on 32 CPUs; VERDICT r2)
-        concurrency=(2, max(2, _ncpus())))
+        image_features_batch, batch_format="pyarrow", batch_size=64)
 
     def summarize(t: pa.Table) -> pa.Table:
         # scalar summary columns (list columns don't survive generic
@@ -3161,7 +3161,7 @@ def q_audio_features(sf_dir: str):
     -> actor-pool decode + DSP features (duration/rms/zero-cross/spectral
     centroid) via the pure-numpy RIFF decoder. Rows-only gate; the centroid
     column doubles as a self-check (must track the synthesized tone)."""
-    from ..stages.multimodal import AudioFeatureStage, encode_wav
+    from ..stages.multimodal import audio_features_batch, encode_wav
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
@@ -3181,8 +3181,8 @@ def q_audio_features(sf_dir: str):
         })
 
     feats = (ds.map_batches(to_wav, batch_format="pyarrow")
-             .map_batches(AudioFeatureStage, batch_format="pyarrow",
-                          batch_size=128, concurrency=(2, max(2, _ncpus()))))
+             .map_batches(audio_features_batch, batch_format="pyarrow",
+                          batch_size=128))
 
     def summarize(t: pa.Table) -> pa.Table:
         lists = t["features"].to_pylist()
