@@ -729,14 +729,25 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
 # the phase-based path runs instead — fused and phased builds produce
 # identical indexes (doc ids are global url ranks in both).
 
-def _fused_enabled(index_dir: str) -> bool:
+def _fused_route(index_dir: str) -> tuple[bool, dict | None, bool]:
+    """(use_fused, plan_override, corpus_done) routing for a build attempt.
+
+    Fresh indexes run the fused plan. A RESUMED build runs fused too when
+    plan.json survived the crash (boundaries + doc-id offsets are frozen,
+    committed buckets ship no rows through the exchange); the one state
+    fused cannot resume is a corpus committed before any plan landed
+    (phased phase-A crash) — the phased path owns that shape. EDLR_FUSED=0
+    forces the phased path everywhere."""
+    corpus_done = os.path.exists(
+        os.path.join(index_dir, "corpus", "_SUCCESS"))
     if os.environ.get("EDLR_FUSED", "1") == "0":
-        return False
-    return not (
-        os.path.exists(os.path.join(index_dir, "corpus", "_SUCCESS"))
-        or os.path.exists(os.path.join(index_dir, "plan.json"))
-        or mf.committed_segments(index_dir)
-    )
+        return False, None, corpus_done
+    plan_path = os.path.join(index_dir, "plan.json")
+    if os.path.exists(plan_path):
+        return True, mf.read_json(plan_path), corpus_done
+    if corpus_done or mf.committed_segments(index_dir):
+        return False, None, corpus_done
+    return True, None, corpus_done
 
 
 @ray.remote
@@ -774,24 +785,6 @@ def _partition_block(tbl: pa.Table, boundaries: list[str], n_buckets: int,
     return tuple(datas) + tuple(minis)
 
 
-def _bucket_stats_one(minis) -> tuple[int, int, int, list[str]]:
-    """(n_docs, dl_sum, n_dups, dup_examples) for one bucket after
-    keep-first dedup by (url asc, warc_ts asc) — the exact phase-C rule, so
-    plan offsets/avgdl cover exactly the docs that get indexed."""
-    tabs = [m for m in minis if m.num_rows]
-    if not tabs:
-        return 0, 0, 0, []
-    t = pa.concat_tables(tabs).combine_chunks().sort_by(
-        [("url", "ascending"), ("warc_ts", "ascending")])
-    urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
-    first = np.ones(len(urls), dtype=bool)
-    first[1:] = urls[1:] != urls[:-1]
-    dl = t["doc_len"].to_numpy()
-    dup_ex = urls[~first][:3].tolist()
-    return (int(first.sum()), int(dl[first].sum()),
-            int(len(urls) - first.sum()), dup_ex)
-
-
 # buckets per stats task / segments per build task: grouping amortizes the
 # per-task scheduling + arg-serialization cost (485 one-bucket tasks cost
 # ~4s of driver time regardless of CPU count — pure Amdahl overhead).
@@ -799,14 +792,91 @@ def _bucket_stats_one(minis) -> tuple[int, int, int, list[str]]:
 STATS_GROUP = 16
 BUILD_GROUP = 4
 
+# max unfinished corpus-write + partition tasks before the fused bundle
+# loop blocks on ray.wait: bounds how many EXTRACT blocks sit in the object
+# store awaiting their two consumers (backpressure propagates up through
+# the streaming source), so exchange residency stays ~1x corpus (the
+# bucket slices) + this window instead of 2x.
+FUSED_INFLIGHT = max(4 * os.cpu_count() if os.cpu_count() else 32, 32)
+
+
+def _group_cuts(n_buckets: int, group: int) -> np.ndarray:
+    """Bucket-group boundaries: groups are FIXED ranges
+    [g*group, (g+1)*group) so group membership never depends on which
+    buckets happen to be live — every block's slice g covers the same
+    bucket range and can be concatenated downstream."""
+    return np.r_[np.arange(0, n_buckets, group, dtype=np.int64), n_buckets]
+
 
 @ray.remote
-def _bucket_stats_group(n_blocks: int, *minis_flat: pa.Table) -> list[tuple]:
-    """Stats for a RANGE of buckets; ``minis_flat`` is bucket-major
-    (bucket0's n_blocks minis, then bucket1's, ...)."""
+def _partition_block_grouped(tbl: pa.Table, boundaries: list[str],
+                             n_buckets: int, cols: list[str],
+                             skip: frozenset[int]):
+    """One corpus block -> per-bucket-GROUP driver-owned objects:
+    ``ceil(n/BUILD_GROUP)`` data slices (columns ``cols`` + an int32
+    ``bucket`` column, rows bucket-sorted) then ``ceil(n/STATS_GROUP)``
+    count minis (``_MINI_COLS`` + ``bucket``). Grouped returns bound the
+    driver's ref fan-out at O(blocks x buckets / BUILD_GROUP) — the
+    per-(block, bucket) shape was the first thing to break at 8M+ docs
+    (object metadata + residency). Buckets in ``skip`` (resume: already
+    committed) ship no rows. Slices of a taken table serialize compactly
+    (verified: ~row bytes, not buffer bytes)."""
     pin_worker_threads()
-    return [_bucket_stats_one(minis_flat[g * n_blocks:(g + 1) * n_blocks])
-            for g in range(len(minis_flat) // n_blocks)]
+    t = tbl.select(cols).combine_chunks()
+    urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
+    b = _bucket_of(urls, boundaries)
+    if skip:
+        keep = ~np.isin(b, np.fromiter(skip, dtype=np.int32))
+        t = t.filter(pa.array(keep))
+        b = b[keep]
+    t = t.append_column("bucket", pa.array(b.astype(np.int32)))
+    order = np.argsort(b, kind="stable")
+    ts = t.take(pa.array(order))
+    bs = b[order]
+    mini_cols = [*_MINI_COLS, "bucket"]
+    d_cuts = _group_cuts(n_buckets, BUILD_GROUP)
+    s_cuts = _group_cuts(n_buckets, STATS_GROUP)
+    d_pos = np.searchsorted(bs, d_cuts)
+    s_pos = np.searchsorted(bs, s_cuts)
+    datas = [ts.slice(int(d_pos[i]), int(d_pos[i + 1] - d_pos[i]))
+             for i in range(len(d_cuts) - 1)]
+    minis = [ts.select(mini_cols).slice(int(s_pos[i]),
+                                        int(s_pos[i + 1] - s_pos[i]))
+             for i in range(len(s_cuts) - 1)]
+    return tuple(datas) + tuple(minis)
+
+
+@ray.remote
+def _bucket_stats_group(bucket_lo: int, n_in_group: int,
+                        *minis: pa.Table) -> list[tuple]:
+    """Stats for one FIXED bucket range [bucket_lo, bucket_lo+n): per-bucket
+    (n_docs, dl_sum, n_dups, dup_examples) after keep-first dedup by
+    (url asc, warc_ts asc) — the exact phase-C rule, vectorized across the
+    whole group via the carried ``bucket`` column."""
+    pin_worker_threads()
+    tabs = [m for m in minis if m.num_rows]
+    if not tabs:
+        return [(0, 0, 0, [])] * n_in_group
+    t = pa.concat_tables(tabs).combine_chunks().sort_by(
+        [("bucket", "ascending"), ("url", "ascending"),
+         ("warc_ts", "ascending")])
+    urls = np.asarray(t["url"].to_numpy(zero_copy_only=False), dtype=object)
+    bk = t["bucket"].to_numpy().astype(np.int64)
+    first = np.ones(len(urls), dtype=bool)
+    first[1:] = (urls[1:] != urls[:-1]) | (bk[1:] != bk[:-1])
+    dl = t["doc_len"].to_numpy()
+    rel = bk - bucket_lo
+    n_docs = np.bincount(rel[first], minlength=n_in_group)
+    dl_sum = np.bincount(rel[first], weights=dl[first].astype(np.float64),
+                         minlength=n_in_group)
+    n_dups = np.bincount(rel[~first], minlength=n_in_group)
+    examples: dict[int, list[str]] = {}
+    for i in np.flatnonzero(~first)[:3 * n_in_group]:
+        ex = examples.setdefault(int(rel[i]), [])
+        if len(ex) < 3:
+            ex.append(urls[i])
+    return [(int(n_docs[g]), int(dl_sum[g]), int(n_dups[g]),
+             examples.get(g, [])) for g in range(n_in_group)]
 
 
 @ray.remote
@@ -822,100 +892,140 @@ def _build_bucket(index_dir: str, seg_id: int, plan: dict, cfg: BuildConfig,
 
 
 @ray.remote
-def _build_bucket_group(index_dir: str, seg_ids: list[int], plan: dict,
-                        cfg: BuildConfig, n_blocks: int,
-                        *parts_flat: pa.Table) -> list[int]:
-    """Build several segments sequentially in one task; ``parts_flat`` is
-    bucket-major (seg_ids[0]'s n_blocks slices, then seg_ids[1]'s, ...)."""
+def _build_bucket_group(index_dir: str, bucket_lo: int, n_in_group: int,
+                        plan: dict, cfg: BuildConfig,
+                        *parts: pa.Table) -> list[int]:
+    """Build the segments of one FIXED bucket range sequentially in one
+    task; ``parts`` are that range's data slices from every block (rows
+    bucket-sorted, seg id == the carried ``bucket`` value in fresh
+    builds). Empty buckets (or resume-skipped ones, which ship no rows)
+    build nothing."""
     pin_worker_threads()
-    for g, seg_id in enumerate(seg_ids):
-        tabs = [p for p in parts_flat[g * n_blocks:(g + 1) * n_blocks]
-                if p.num_rows]
-        group = pa.concat_tables(tabs)
-        group = group.append_column(
-            "bucket",
-            pa.array(np.full(group.num_rows, seg_id, dtype=np.int32)))
-        _build_segment(group, index_dir, plan, cfg)
-    return list(seg_ids)
+    tabs = [p for p in parts if p.num_rows]
+    if not tabs:
+        return []
+    g = pa.concat_tables(tabs).combine_chunks()
+    bk = g["bucket"].to_numpy()
+    order = np.argsort(bk, kind="stable")
+    gs = g.take(pa.array(order))
+    bs = bk[order]
+    built: list[int] = []
+    starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+    ends = np.r_[starts[1:], len(bs)]
+    for s, e in zip(starts, ends):
+        sub = gs.slice(int(s), int(e - s))
+        _build_segment(sub, index_dir, plan, cfg)
+        built.append(int(bs[s]))
+    return built
 
 
 def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
-               timings: dict[str, float], boundaries: list[str]) -> dict:
+               timings: dict[str, float], boundaries: list[str],
+               plan_override: dict | None = None,
+               write_corpus: bool = True) -> dict:
     """Run the fused exchange+build over ``source`` (extract output or a
-    clean corpus Dataset). See the section comment above for the plan."""
+    clean corpus Dataset). See the section comment above for the plan.
+
+    Resume: ``plan_override`` reuses a committed plan.json (boundaries and
+    doc-id offsets are frozen — the stats wave is skipped and already-
+    committed buckets ship no rows through the exchange); ``write_corpus=
+    False`` skips the corpus part writes when corpus/_SUCCESS already
+    exists and ``source`` is the corpus itself."""
     corpus_dir = os.path.join(index_dir, "corpus")
-    if os.path.isdir(corpus_dir):
-        shutil.rmtree(corpus_dir)
-    os.makedirs(corpus_dir, exist_ok=True)
+    if write_corpus:
+        if os.path.isdir(corpus_dir):
+            shutil.rmtree(corpus_dir)
+        os.makedirs(corpus_dir, exist_ok=True)
     n_buckets = len(boundaries) + 1
+    skip = frozenset(mf.covered_buckets(index_dir)) if plan_override else \
+        frozenset()
     cols = _corpus_columns(cfg)
-    part_task = _partition_block.options(num_returns=2 * n_buckets)
+    d_cuts = _group_cuts(n_buckets, BUILD_GROUP)
+    s_cuts = _group_cuts(n_buckets, STATS_GROUP)
+    n_dg, n_sg = len(d_cuts) - 1, len(s_cuts) - 1
+    part_task = _partition_block_grouped.options(num_returns=n_dg + n_sg)
     t0 = time.perf_counter()
-    write_refs, data_refs, mini_refs = [], [], []
-    keep: list = []
+    write_refs: list = []
+    data_refs: list[list] = []   # [block][data_group]
+    mini_refs: list[list] = []   # [block][stats_group]
+    pending: list = []           # in-flight write+partition, for throttling
     i = 0
     for bundle in source.iter_internal_ref_bundles():
-        keep.append(bundle)
         for block_ref in bundle.block_refs:
-            write_refs.append(_write_corpus_block.remote(
-                block_ref, corpus_dir, f"part-{i:06d}.parquet"))
-            rets = part_task.remote(block_ref, boundaries, n_buckets, cols)
-            data_refs.append(list(rets[:n_buckets]))
-            mini_refs.append(list(rets[n_buckets:]))
+            if write_corpus:
+                w = _write_corpus_block.remote(
+                    block_ref, corpus_dir, f"part-{i:06d}.parquet")
+                write_refs.append(w)
+                pending.append(w)
+            rets = part_task.remote(block_ref, boundaries, n_buckets, cols,
+                                    skip)
+            data_refs.append(list(rets[:n_dg]))
+            mini_refs.append(list(rets[n_dg:]))
+            pending.append(rets[0])
             i += 1
-    # extract blocks stay pinned only by the pending write/partition tasks'
-    # args from here on — they free progressively as those tasks finish
-    del keep
+            # bound extract-block residency: blocks stay pinned only by
+            # their two consumers' args; throttling the consumer backlog
+            # backpressures the streaming source
+            if len(pending) > FUSED_INFLIGHT:
+                done, pending = ray.wait(
+                    pending, num_returns=len(pending) - FUSED_INFLIGHT // 2)
     timings["corpus"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    if mini_refs:
-        n_blk = len(mini_refs)
-        cols = list(zip(*mini_refs))  # per-bucket tuples of per-block refs
-        gtasks = []
-        for s in range(0, n_buckets, STATS_GROUP):
-            flat = [r for b in range(s, min(s + STATS_GROUP, n_buckets))
-                    for r in cols[b]]
-            gtasks.append(_bucket_stats_group.remote(n_blk, *flat))
-        stats_per_bucket = [t for res in ray.get(gtasks) for t in res]
+    if plan_override is not None:
+        plan = plan_override
+        per_bucket = np.asarray(plan["per_segment_docs"], dtype=np.int64)
+        n_docs = int(plan["n_docs"])
+        mini_refs.clear()
     else:
-        stats_per_bucket = []
-    per_bucket = np.array([s[0] for s in stats_per_bucket], dtype=np.int64)
-    if len(per_bucket) == 0:
-        per_bucket = np.zeros(n_buckets, dtype=np.int64)
-    n_docs = int(per_bucket.sum())
-    dl_total = sum(s[1] for s in stats_per_bucket)
-    n_dups = sum(s[2] for s in stats_per_bucket)
-    if cfg.strict_duplicates and n_dups:
-        raise DuplicateUrlError(
-            n_dups, [u for s in stats_per_bucket for u in s[3]][:5])
-    offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
-    plan = {
-        "boundaries": boundaries,
-        "offsets": offsets.tolist(),
-        "per_segment_docs": per_bucket.tolist(),
-        "n_docs": n_docs,
-        "n_duplicates": n_dups,
-        "avgdl": (dl_total / n_docs) if n_docs else 0.0,
-        "dl_total": int(dl_total),
-        "n_segments": n_buckets if n_docs else 0,
-        "seed": cfg.seed,
-    }
-    mf.write_json_atomic(os.path.join(index_dir, "plan.json"), plan)
+        if mini_refs:
+            gtasks = []
+            for g in range(n_sg):
+                flat = [blk[g] for blk in mini_refs]
+                gtasks.append(_bucket_stats_group.remote(
+                    int(s_cuts[g]), int(s_cuts[g + 1] - s_cuts[g]), *flat))
+            stats_per_bucket = [t for res in ray.get(gtasks) for t in res]
+        else:
+            stats_per_bucket = []
+        per_bucket = np.array([s[0] for s in stats_per_bucket],
+                              dtype=np.int64)
+        if len(per_bucket) == 0:
+            per_bucket = np.zeros(n_buckets, dtype=np.int64)
+        n_docs = int(per_bucket.sum())
+        dl_total = sum(s[1] for s in stats_per_bucket)
+        n_dups = sum(s[2] for s in stats_per_bucket)
+        if cfg.strict_duplicates and n_dups:
+            raise DuplicateUrlError(
+                n_dups, [u for s in stats_per_bucket for u in s[3]][:5])
+        offsets = np.r_[0, np.cumsum(per_bucket)[:-1]]
+        plan = {
+            "boundaries": boundaries,
+            "offsets": offsets.tolist(),
+            "per_segment_docs": per_bucket.tolist(),
+            "n_docs": n_docs,
+            "n_duplicates": n_dups,
+            "avgdl": (dl_total / n_docs) if n_docs else 0.0,
+            "dl_total": int(dl_total),
+            "n_segments": n_buckets if n_docs else 0,
+            "seed": cfg.seed,
+        }
+        mf.write_json_atomic(os.path.join(index_dir, "plan.json"), plan)
     timings["plan"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     plan_ref = ray.put(plan)
     del mini_refs  # minis free as soon as their stats tasks finish
     if n_docs:
-        n_blk = len(data_refs)
-        live = [b for b in range(n_buckets) if per_bucket[b] > 0]
         build_refs = []
-        for s in range(0, len(live), BUILD_GROUP):
-            ids = live[s:s + BUILD_GROUP]
-            flat = [blk[b] for b in ids for blk in data_refs]
+        for g in range(n_dg):
+            lo, hi = int(d_cuts[g]), int(d_cuts[g + 1])
+            todo = [b for b in range(lo, hi)
+                    if per_bucket[b] > 0 and b not in skip]
+            if not todo:
+                continue
+            flat = [blk[g] for blk in data_refs]
             build_refs.append(_build_bucket_group.remote(
-                index_dir, ids, plan_ref, cfg, n_blk, *flat))
+                index_dir, lo, hi - lo, plan_ref, cfg, *flat))
         # drop the driver's slice refs NOW: each slice stays pinned only by
         # its pending build task's args, so store memory frees group by
         # group as waveB progresses instead of all-at-once at the end
@@ -927,8 +1037,9 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
 
     t0 = time.perf_counter()
     ray.get(write_refs)
-    with open(os.path.join(corpus_dir, "_SUCCESS"), "w") as f:
-        f.write("")
+    if write_corpus:
+        with open(os.path.join(corpus_dir, "_SUCCESS"), "w") as f:
+            f.write("")
     stats = _finalize(index_dir, plan, cfg, timings)
     timings["finalize"] = round(time.perf_counter() - t0, 3)
     return stats
@@ -1026,14 +1137,25 @@ def build_index_from_corpus(corpus: rd.Dataset, index_dir: str,
     cfg = cfg or BuildConfig()
     os.makedirs(index_dir, exist_ok=True)
     timings: dict[str, float] = {}
-    if _fused_enabled(index_dir):
+    use_fused, plan_override, corpus_done = _fused_route(index_dir)
+    if use_fused:
         t = time.perf_counter()
-        mat = corpus.materialize()
-        n_est = mat.count()
-        boundaries = (_segment_boundaries(mat.select_columns(["url"]),
-                                          n_est, cfg) if n_est else [])
+        if plan_override is not None:
+            boundaries = list(plan_override["boundaries"])
+            if corpus_done:  # committed corpus replaces the caller's input
+                corpus = rd.read_parquet(
+                    os.path.join(index_dir, "corpus"),
+                    override_num_blocks=max(2 * _ncpus(), 16))
+            mat = corpus if corpus_done else corpus.materialize()
+        else:
+            mat = corpus.materialize()
+            n_est = mat.count()
+            boundaries = (_segment_boundaries(mat.select_columns(["url"]),
+                                              n_est, cfg) if n_est else [])
         timings["bounds"] = round(time.perf_counter() - t, 3)
-        return _run_fused(mat, index_dir, cfg, timings, boundaries)
+        return _run_fused(mat, index_dir, cfg, timings, boundaries,
+                          plan_override=plan_override,
+                          write_corpus=not corpus_done)
     corpus_dir = os.path.join(index_dir, "corpus")
     success = os.path.join(corpus_dir, "_SUCCESS")
     t = time.perf_counter()
@@ -1073,16 +1195,36 @@ def build_index(input_path: str, index_dir: str,
     cfg = cfg or BuildConfig()
     os.makedirs(index_dir, exist_ok=True)
     timings: dict[str, float] = {}
-    if _fused_enabled(index_dir):
+    use_fused, plan_override, corpus_done = _fused_route(index_dir)
+    if use_fused:
         t = time.perf_counter()
+        if plan_override is not None and corpus_done:
+            # resume after the corpus committed: source the exchange from
+            # the durable corpus (no re-extract), skip committed buckets
+            boundaries = list(plan_override["boundaries"])
+            src = rd.read_parquet(
+                os.path.join(index_dir, "corpus"),
+                override_num_blocks=max(2 * _ncpus(), 16))
+            timings["bounds"] = round(time.perf_counter() - t, 3)
+            return _run_fused(src, index_dir, cfg, timings, boundaries,
+                              plan_override=plan_override,
+                              write_corpus=False)
         errors_dir = os.path.join(index_dir, "errors")
-        if os.path.isdir(errors_dir):
-            shutil.rmtree(errors_dir)
-        # boundary sample over the INPUT's url column only (pruned read):
-        # reject rows shift quantiles negligibly and never affect doc ids
-        urls_ds = rd.read_parquet(input_path, columns=["url"])
-        n_est = urls_ds.count()
-        boundaries = _segment_boundaries(urls_ds, n_est, cfg) if n_est else []
+        if plan_override is None and os.path.isdir(errors_dir):
+            shutil.rmtree(errors_dir)  # resume keeps retry-safe sinks
+        if plan_override is not None:
+            # corpus never committed: re-extract, but keep the FROZEN
+            # boundaries/offsets so resumed doc ids are bitwise-identical
+            boundaries = list(plan_override["boundaries"])
+            n_est = int(plan_override["n_docs"])
+        else:
+            # boundary sample over the INPUT's url column only (pruned
+            # read): reject rows shift quantiles negligibly and never
+            # affect doc ids
+            urls_ds = rd.read_parquet(input_path, columns=["url"])
+            n_est = urls_ds.count()
+            boundaries = (_segment_boundaries(urls_ds, n_est, cfg)
+                          if n_est else [])
         timings["bounds"] = round(time.perf_counter() - t, 3)
         # block count scales with rows (~125k docs / ~300MB of text per
         # block) so one block + its partition copy stays a small fraction
@@ -1097,7 +1239,9 @@ def build_index(input_path: str, index_dir: str,
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         )
-        return _run_fused(src, index_dir, cfg, timings, boundaries)
+        return _run_fused(src, index_dir, cfg, timings, boundaries,
+                          plan_override=plan_override,
+                          write_corpus=True)
     t = time.perf_counter()
     _build_corpus(input_path, index_dir, cfg)
     timings["corpus"] = round(time.perf_counter() - t, 3)

@@ -346,3 +346,88 @@ def test_function_score_distributed_matches_local(index_dir):
                      ).to_pandas()
         assert got["doc_id"].tolist() == want_ids.tolist()
         assert got["score"].tolist() == want_sc.tolist()
+
+
+def _file_md5s(root):
+    """Digest of every data file + manifest CONTENT (timing fields — the
+    only run-dependent values — dropped)."""
+    import hashlib
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, root)
+            if rel.startswith(("errors", "term_stats")) or f == "stats.json":
+                continue
+            if rel.startswith("manifests"):
+                m = {k: v for k, v in json.load(open(p)).items()
+                     if k not in ("build_secs", "docs_per_sec")}
+                out[rel] = json.dumps(m, sort_keys=True)
+                continue
+            with open(p, "rb") as fh:
+                out[rel] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_fused_resume_bitwise_after_build_crash(webtext, tmp_path_factory):
+    """Crash DURING the build wave (plan + corpus committed, one segment
+    missing): the fused resume must rebuild only that bucket and produce a
+    byte-identical index (VERDICT r3 #8)."""
+    _, src = webtext
+    cfg = BuildConfig(docs_per_segment=200, extract_concurrency=2)
+    clean = str(tmp_path_factory.mktemp("idx_clean"))
+    build_index(src, clean, cfg)
+    want = _file_md5s(clean)
+
+    out = str(tmp_path_factory.mktemp("idx_crash_build"))
+    build_index(src, out, cfg)
+    segs = sorted(mf.committed_segments(out))
+    victim = segs[2]
+    import shutil
+
+    from elasticsearch_data_loader_ray.index.build import (
+        seg_docs_path,
+        seg_terms_path,
+    )
+
+    os.unlink(mf.manifest_path(out, victim))
+    for p in (seg_terms_path(out, victim), seg_docs_path(out, victim)):
+        shutil.rmtree(os.path.dirname(p))
+    os.unlink(os.path.join(out, "stats.json"))
+    shutil.rmtree(os.path.join(out, "term_stats"))
+    stats = build_index(src, out, cfg)  # fused resume (plan.json present)
+    assert stats["n_docs"] > 0
+    assert _file_md5s(out) == want
+
+
+def test_fused_resume_bitwise_after_corpus_crash(webtext, tmp_path_factory):
+    """Crash BEFORE the corpus committed (plan.json written, _SUCCESS
+    absent, some segments built): resume re-extracts with the FROZEN plan
+    and still produces a byte-identical index."""
+    _, src = webtext
+    cfg = BuildConfig(docs_per_segment=200, extract_concurrency=2)
+    clean = str(tmp_path_factory.mktemp("idx_clean2"))
+    build_index(src, clean, cfg)
+    want = _file_md5s(clean)
+
+    out = str(tmp_path_factory.mktemp("idx_crash_corpus"))
+    build_index(src, out, cfg)
+    segs = sorted(mf.committed_segments(out))
+    import shutil
+
+    from elasticsearch_data_loader_ray.index.build import (
+        seg_docs_path,
+        seg_terms_path,
+    )
+
+    for victim in segs[1:3]:
+        os.unlink(mf.manifest_path(out, victim))
+        for p in (seg_terms_path(out, victim), seg_docs_path(out, victim)):
+            shutil.rmtree(os.path.dirname(p))
+    os.unlink(os.path.join(out, "corpus", "_SUCCESS"))
+    os.unlink(os.path.join(out, "stats.json"))
+    shutil.rmtree(os.path.join(out, "term_stats"))
+    stats = build_index(src, out, cfg)
+    assert stats["n_docs"] > 0
+    assert _file_md5s(out) == want
