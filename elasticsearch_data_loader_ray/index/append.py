@@ -292,10 +292,13 @@ def _run_append(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
             {"generation": gen_base,
              "deleted_doc_ids": [int(d) for d in deleted_new]})
         tombstone_files.append(tpath)
-    # term_stats must cover the new generation: force a rebuild
+    # term_stats / termdict must cover the new generation: force rebuilds
     ts_dir = os.path.join(index_dir, "term_stats")
     if os.path.isdir(ts_dir):
         shutil.rmtree(ts_dir)
+    from .build import drop_termdict
+
+    drop_termdict(index_dir)
     out = _finalize(index_dir, gen_plan, cfg, timings, extra={
         "dl_total": dl_total,
         "tombstone_files": tombstone_files,

@@ -271,6 +271,27 @@ def merge_segments(index_dir: str, group_size: int = 2,
         stats.setdefault("merges", []).append(
             {"group_size": group_size, "secs": round(time.perf_counter() - t_all, 3)})
         mf.write_json_atomic(stats_path, stats)
+    # the consolidated dictionary references absorbed segment ids/offsets:
+    # drop it, and rebuild for the surviving set only when one existed
+    # (merges exist to IMPROVE serving; build-side callers never pay)
+    from .build import _build_termdict, drop_termdict
+
+    had_td = os.path.exists(
+        os.path.join(index_dir, "termdict", "_SUCCESS"))
+    drop_termdict(index_dir)
+    if had_td:
+        # meta must list exactly the set a reader will resolve as VISIBLE,
+        # so exclude any crashed-append orphans still on disk
+        new_manifests = mf.committed_segments(index_dir)
+        if os.path.exists(stats_path):
+            n_vis = int(mf.read_json(stats_path).get("n_docs", 0))
+            new_manifests = {
+                s: m for s, m in new_manifests.items()
+                if int(m["doc_id_base"]) + int(m["n_docs"]) <= n_vis}
+        _build_termdict(index_dir,
+                        [seg_terms_path(index_dir, s)
+                         for s in sorted(new_manifests)],
+                        sorted(new_manifests), cfg)
     return survivors
 
 

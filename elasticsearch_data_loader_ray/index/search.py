@@ -1033,6 +1033,33 @@ class SegmentSearcher:
         )
 
 
+def _parse_rg_bounds(files: list[str]) -> list[tuple]:
+    """Per file ``(ParquetFile, [(fmin, tmin, fmax, tmax)] per row group)``
+    from the footers. Parquet string min/max may be truncated, but
+    truncation keeps them conservative (min a prefix <= true min, max >=
+    true max), so containment tests stay valid. ``bounds`` is None when a
+    file lacks usable statistics."""
+    idx = []
+    for path in files:
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        rg0 = md.row_group(0)
+        ci_of = {rg0.column(ci).path_in_schema: ci
+                 for ci in range(rg0.num_columns)}
+        bounds: list[tuple] | None = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            fs = rg.column(ci_of["field"]).statistics
+            ts = rg.column(ci_of["term"]).statistics
+            if (fs is None or ts is None or not fs.has_min_max
+                    or not ts.has_min_max):
+                bounds = None
+                break
+            bounds.append((fs.min, ts.min, fs.max, ts.max))
+        idx.append((pf, bounds))
+    return idx
+
+
 class LocalSearcher:
     """Warm single-process serving path: global doc-length arrays loaded
     once, per-query postings fetched with ONE threaded multi-file parquet
@@ -1042,15 +1069,27 @@ class LocalSearcher:
     additions happen in the same order).
     """
 
-    def __init__(self, index_dir: str, refresh_interval: float | None = None):
+    #: auto-consolidate threshold: below this many segments the per-segment
+    #: fan-out is already cheap and the one-time sort isn't worth paying
+    TERMDICT_AUTO_SEGMENTS = 64
+
+    def __init__(self, index_dir: str, refresh_interval: float | None = None,
+                 termdict: str = "auto"):
         """``refresh_interval`` (seconds) is the ES ``refresh_interval``
         analogue (reference ``config/search_scheme.json:6`` sets 30s): when
         set, every search first checks — at most once per interval — whether
         the committed segment set changed (a merge or an incremental build)
         and epoch-swaps onto the new segments. ``None`` = explicit
-        :meth:`refresh` only."""
+        :meth:`refresh` only.
+
+        ``termdict``: ``"auto"`` uses the consolidated dictionary sidecar
+        when present and builds it ONCE at bind when the segment count
+        exceeds :attr:`TERMDICT_AUTO_SEGMENTS` (a one-time optimize cost,
+        reported nowhere near per-query latency); ``"build"`` forces the
+        build at bind; ``"off"`` never uses it."""
         self.index_dir = index_dir
         self.refresh_interval = refresh_interval
+        self._termdict_mode = termdict
         self._last_refresh_check = time.monotonic()
         self._bind()
 
@@ -1094,6 +1133,32 @@ class LocalSearcher:
         # per-file row-group (field, term) bounds, parsed lazily from
         # parquet footers once per epoch (see _read_terms_direct)
         self._rg_index: list[tuple] | None = None
+        # consolidated term-dictionary sidecar (build._build_termdict):
+        # dictionary lookups prune row groups of O(1) files instead of
+        # fanning out to every segment's term file. Valid only while its
+        # recorded segment set matches this epoch's visible set.
+        import glob as _glob
+
+        self.termdict_files: list[str] = []
+        self._td_rg_index: list[tuple] | None = None
+        mode = getattr(self, "_termdict_mode", "auto")
+        if mode == "build" or (mode == "auto" and len(self.seg_ids)
+                               > self.TERMDICT_AUTO_SEGMENTS):
+            try:
+                from .build import ensure_termdict
+
+                ensure_termdict(index_dir)
+            except OSError:
+                pass  # read-only index dir: fan-out path serves
+        td_dir = os.path.join(index_dir, "termdict")
+        if mode != "off" and os.path.exists(os.path.join(td_dir, "_SUCCESS")):
+            try:
+                meta = mf.read_json(os.path.join(td_dir, "meta.json"))
+            except (OSError, ValueError):
+                meta = {}
+            if meta.get("seg_ids") == [int(s) for s in self.seg_ids]:
+                self.termdict_files = sorted(
+                    _glob.glob(os.path.join(td_dir, "*.parquet")))
 
     def _read_terms(self, dict_cols: list[str], terms_by_field: dict,
                     positions: bool = False) -> pa.Table:
@@ -1140,27 +1205,22 @@ class LocalSearcher:
         (min a prefix <= true min, max >= true max), so containment tests
         stay valid."""
         if self._rg_index is None:
-            import pyarrow.parquet as pq
-            idx = []
-            for path in self.term_files:
-                pf = pq.ParquetFile(path)
-                md = pf.metadata
-                rg0 = md.row_group(0)
-                ci_of = {rg0.column(ci).path_in_schema: ci
-                         for ci in range(rg0.num_columns)}
-                bounds: list[tuple] | None = []
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    fs = rg.column(ci_of["field"]).statistics
-                    ts = rg.column(ci_of["term"]).statistics
-                    if (fs is None or ts is None or not fs.has_min_max
-                            or not ts.has_min_max):
-                        bounds = None
-                        break
-                    bounds.append((fs.min, ts.min, fs.max, ts.max))
-                idx.append((pf, bounds))
-            self._rg_index = idx
+            self._rg_index = _parse_rg_bounds(self.term_files)
         return self._rg_index
+
+    def _td_bounds(self) -> list[tuple] | None:
+        """Row-group bounds of the consolidated termdict, or None when the
+        sidecar is absent/unusable for this epoch (per-segment fan-out
+        path runs instead)."""
+        if not self.termdict_files:
+            return None
+        if self._td_rg_index is None:
+            idx = _parse_rg_bounds(self.termdict_files)
+            if any(b is None for _pf, b in idx):
+                self.termdict_files = []
+                return None
+            self._td_rg_index = idx
+        return self._td_rg_index
 
     def _read_terms_direct(self, cols: list[str], terms_by_field: dict
                            ) -> pa.Table | None:
@@ -1173,7 +1233,9 @@ class LocalSearcher:
         back to the dataset filter)."""
         pairs = sorted((f, t) for f, ts in terms_by_field.items()
                        for t in ts)
-        rg_index = self._rg_bounds()
+        rg_index = self._td_bounds()
+        if rg_index is None:
+            rg_index = self._rg_bounds()
         if any(bounds is None for _pf, bounds in rg_index):
             return None
         # filter keys may not be in the projection: read them, filter,

@@ -177,6 +177,25 @@ class ImageFeatureStage:
                 img = (img[..., 0] * 0.299 + img[..., 1] * 0.587
                        + img[..., 2] * 0.114).astype(np.uint8)
             return img
+        if mtype == "image/jpeg":
+            # in-repo baseline decoder (stages/jpeg.py) — the dominant
+            # crawl format decodes natively; progressive/exotic streams
+            # fall through to Pillow when present, else the ValueError
+            # propagates (decoder EXISTS for this type — a failed decode is
+            # a malformed-payload row, not a missing-codec strict error)
+            from .jpeg import decode_jpeg
+
+            try:
+                img = decode_jpeg(payload)
+            except ValueError:
+                if self.pil is None:
+                    raise
+                img = None
+            if img is not None:
+                if img.ndim == 3:
+                    img = (img[..., 0] * 0.299 + img[..., 1] * 0.587
+                           + img[..., 2] * 0.114).astype(np.uint8)
+                return img
         if self.pil is not None:
             import io
 
