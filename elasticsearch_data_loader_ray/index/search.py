@@ -1907,12 +1907,21 @@ class LocalSearcher:
                 missing.append(t)
         if missing:
             tt = self._read_terms(["term", "df"], {field: missing})
-            for i in range(tt.num_rows):
-                t = tt["term"][i].as_py()
-                ids, tfs = codec.decode_postings(
-                    tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
-                    int(tt["df"][i].as_py()))
-                by_term.setdefault(t, []).append((ids, tfs))
+            n = tt.num_rows
+            doc_col, tf_col = tt["doc_ids_enc"], tt["tfs_enc"]
+            df_col = tt["df"].to_numpy()
+            term_col = tt["term"].to_pylist()
+
+            def _dec(i: int):
+                return codec.decode_postings(
+                    doc_col[i].as_py(), tf_col[i].as_py(), int(df_col[i]))
+
+            # serial on purpose: the varint kernel is a chain of short
+            # numpy ops that never release the GIL long enough to win —
+            # measured 123 ms serial vs 138/163/249 ms at 2/4/8 threads
+            # for a 7M-posting query at 4M docs
+            for i in range(n):
+                by_term.setdefault(term_col[i], []).append(_dec(i))
             for t in missing:
                 if len(self._postings_cache) >= self._postings_cache_cap:
                     self._postings_cache.pop(next(iter(self._postings_cache)))
@@ -2364,13 +2373,21 @@ class LocalSearcher:
         if or_strategy == "auto" and len(terms) > 1:
             # df is already hot: the _idf call above filled _df_cache
             dfs = sorted(self._df_cache.get((field, t), 0) for t in terms)
-            # skipping pays only when the decode volume is large AND the
-            # rarest list is much smaller than the rest. Measured at ~100k
-            # docs (sum df ~2e5): exact full-decode beats block-max both
-            # cold and warm (vectorized decode ~ memory bandwidth; pivot
-            # probing has per-candidate overhead), so the volume gate sits
-            # at 500k postings — roughly the >=1M-doc corpora where a
-            # decoded-postings working set stops fitting warm caches
+            # skipping pays only when the decode volume is large AND a
+            # genuinely RARE term exists (its idf x max_impact drives the
+            # theta bound up so the giant lists' blocks prune). Measured
+            # at ~100k docs (sum df ~2e5): exact full-decode beats
+            # block-max both cold and warm, so the volume gate sits at
+            # 500k postings. Re-measured at 3.9M docs / 62 segments
+            # (round 4): with a rare term block-max wins 2-7x ('the of a
+            # w0100 w2000': 120 vs 620 ms cold); without one it loses
+            # 3-6x ('data search': 1030 vs 254 ms) — this gate picks
+            # correctly in both regimes. NOTE segment count is the hidden
+            # variable: at 500 uncompacted segments per-run probe
+            # overhead makes block-max lose even WITH a rare term
+            # (592 vs 347 ms on the same query) — compaction
+            # (compact_to / auto_compact_segments) is the serving-side
+            # prerequisite, not a routing decision.
             use_blockmax = bool(dfs) and (sum(dfs) > 500_000
                                           and dfs[0] * 8 < sum(dfs) - dfs[0])
         if use_blockmax:
