@@ -2,7 +2,11 @@
 entry at a given sf_dir and compare against its oracle_sql() via DuckDB
 (row count, column names, order-insensitive values).
 
-Usage: python tools/check_oracles.py [sf_dir] [name ...]
+Usage: python tools/check_oracles.py [--json OUT] [sf_dir] [name ...]
+
+``--json OUT`` additionally writes a per-entry artifact (the committed
+CORRECTNESS_full_rN evidence): verdict, mode (sql-oracled / rows-only),
+row count and wall seconds per entry.
 """
 
 from __future__ import annotations
@@ -53,8 +57,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -80,17 +91,23 @@ def main() -> int:
             got = normalize(to_pandas(fn(sf_dir)))
         except Exception as e:
             print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
+            report[name] = {"verdict": "fail",
+                            "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         secs = time.perf_counter() - t0
         if name not in sqls:
             print(f"ROWS-ONLY {name}: {len(got)} rows in {secs:.2f}s")
+            report[name] = {"verdict": "rows_only", "rows": len(got),
+                            "secs": round(secs, 3)}
             n_pass += 1
             continue
         try:
             want = normalize(con.sql(sqls[name]).df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {e}")
+            report[name] = {"verdict": "fail",
+                            "err": f"oracle: {type(e).__name__}: {e}"}
             n_fail += 1
             continue
         ok = list(got.columns) == list(want.columns) and len(got) == len(want)
@@ -108,6 +125,8 @@ def main() -> int:
                 msg = str(e).splitlines()[0]
         if ok:
             print(f"PASS {name}: {len(got)} rows in {secs:.2f}s")
+            report[name] = {"verdict": "pass", "rows": len(got),
+                            "secs": round(secs, 3)}
             n_pass += 1
         else:
             print(f"FAIL {name}: got cols={list(got.columns)} rows={len(got)}; "
@@ -117,8 +136,29 @@ def main() -> int:
                 merged = got.compare(want) if got.shape == want.shape else None
                 if merged is not None and len(merged):
                     print(merged.head(5))
+            report[name] = {
+                "verdict": "fail", "rows": len(got),
+                "got_cols": list(got.columns),
+                "want_cols": list(want.columns), "detail": msg}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_entries": len(report),
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_sql_oracled": sum(1 for v in report.values()
+                                 if v["verdict"] == "pass"),
+            "n_rows_only": sum(1 for v in report.values()
+                               if v["verdict"] == "rows_only"),
+            "entries": report,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     ray.shutdown()
     return 1 if n_fail else 0
 
