@@ -23,11 +23,12 @@ import time
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import ray
 
 from . import codec
 from . import manifest as mf
-from .build import (BuildConfig, _write_segment_files, read_segment_terms,
-                    seg_docs_path, seg_terms_path)
+from .build import (BuildConfig, _write_segment_files, pin_worker_threads,
+                    read_segment_terms, seg_docs_path, seg_terms_path)
 
 
 def _reencode_first(enc: bytes, prev_last: int) -> tuple[bytes, int]:
@@ -170,6 +171,67 @@ def _merge_term_tables(parts: list[pa.Table]) -> pa.Table:
     return pa.table(cols)
 
 
+@ray.remote
+def _merge_run(index_dir: str, run: list[int], new_id: int,
+               manifests: dict[int, dict], cfg: BuildConfig) -> int:
+    """Task: merge one run of adjacent segments into ``new_id``.
+
+    Publishes under the FRESH id: the old segments stay intact and live
+    until the combined manifest (the atomic commit point) lands; absorbed
+    manifests/files removal afterwards is cleanup that may lag a crash."""
+    pin_worker_threads()
+    t0 = time.perf_counter()
+    term_parts = [read_segment_terms(index_dir, s) for s in run]
+    doc_parts = [pq.read_table(seg_docs_path(index_dir, s)) for s in run]
+    merged_terms = _merge_term_tables(term_parts)
+    merged_docs = pa.concat_tables(doc_parts).combine_chunks()
+    _write_segment_files(index_dir, new_id, merged_terms, merged_docs,
+                         cfg.index_block_rows,
+                         getattr(cfg, "postings_compression", "none"),
+                         getattr(cfg, "postings_sidecar", True))
+    secs = time.perf_counter() - t0
+    absorbed_buckets = sorted({
+        b for s in run
+        for b in (manifests[s].get("absorbed_buckets", [])
+                  or ([s] if s < mf.MERGED_ID_BASE else []))
+    })
+    enc_avgdls = [m_ for s in run
+                  if (m_ := manifests[s].get("encode_avgdl")) is not None]
+    combined = {
+        # min over inputs: the CONSERVATIVE bound base — searchers scale
+        # stored block-max bounds by avgdl_now/encode_avgdl after appends
+        **({"encode_avgdl": float(min(enc_avgdls))} if enc_avgdls else {}),
+        "n_input_rows": sum(manifests[s]["n_input_rows"] for s in run),
+        "n_docs": sum(manifests[s]["n_docs"] for s in run),
+        "n_duplicates": sum(manifests[s]["n_duplicates"] for s in run),
+        "n_terms": merged_terms.num_rows,
+        "n_postings": sum(manifests[s]["n_postings"] for s in run),
+        "field_dl_sums": {
+            k: sum(manifests[s].get("field_dl_sums", {}).get(k, 0)
+                   for s in run)
+            for k in manifests[run[0]].get("field_dl_sums", {})
+        },
+        "doc_id_base": manifests[run[0]]["doc_id_base"],
+        "url_checksum": "+".join(manifests[s]["url_checksum"] for s in run),
+        "build_secs": round(secs, 4),
+        "docs_per_sec": None,
+        "absorbed": list(run),
+        "absorbed_buckets": absorbed_buckets,
+    }
+    mf.write_manifest(index_dir, new_id, combined)  # <- commit point
+    import shutil
+
+    for s in run:
+        p = mf.manifest_path(index_dir, s)
+        if os.path.exists(p):
+            os.unlink(p)
+        for q in (seg_terms_path(index_dir, s), seg_docs_path(index_dir, s)):
+            d = os.path.dirname(q)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return new_id
+
+
 def merge_segments(index_dir: str, group_size: int = 2,
                    cfg: BuildConfig | None = None) -> list[int]:
     """Compact adjacent committed segments in runs of ``group_size``.
@@ -197,66 +259,22 @@ def merge_segments(index_dir: str, group_size: int = 2,
     next_id = max([mf.MERGED_ID_BASE - 1, *manifests.keys()]) + 1
     survivors: list[int] = []
     t_all = time.perf_counter()
+    # runs are disjoint segment sets with pre-assigned fresh ids, so they
+    # merge as INDEPENDENT Ray tasks (each run's manifest write is its own
+    # atomic commit point; a crash leaves some runs merged and some not —
+    # the next merge_segments call simply picks up the survivors). The
+    # serial driver loop took 159 s for 500 -> 62 segments at 4M docs.
+    tasks = []
     for i in range(0, len(seg_ids), group_size):
         run = seg_ids[i:i + group_size]
         if len(run) == 1:
             survivors.append(run[0])
             continue
-        t0 = time.perf_counter()
-        term_parts = [read_segment_terms(index_dir, s) for s in run]
-        doc_parts = [pq.read_table(seg_docs_path(index_dir, s)) for s in run]
-        merged_terms = _merge_term_tables(term_parts)
-        merged_docs = pa.concat_tables(doc_parts).combine_chunks()
-        # publish under a FRESH id: the old segments stay intact and live
-        # until the new manifest (the atomic commit point) lands; absorbed
-        # manifests/files removal below is cleanup that may lag a crash
         new_id = next_id
         next_id += 1
-        _write_segment_files(index_dir, new_id, merged_terms, merged_docs,
-                             cfg.index_block_rows,
-                             getattr(cfg, "postings_compression", "none"),
-                             getattr(cfg, "postings_sidecar", True))
-        secs = time.perf_counter() - t0
-        absorbed_buckets = sorted({
-            b for s in run
-            for b in (manifests[s].get("absorbed_buckets", [])
-                      or ([s] if s < mf.MERGED_ID_BASE else []))
-        })
-        enc_avgdls = [m_ for s in run
-                      if (m_ := manifests[s].get("encode_avgdl")) is not None]
-        combined = {
-            # min over inputs: the CONSERVATIVE bound base — searchers scale
-            # stored block-max bounds by avgdl_now/encode_avgdl after appends
-            **({"encode_avgdl": float(min(enc_avgdls))} if enc_avgdls else {}),
-            "n_input_rows": sum(manifests[s]["n_input_rows"] for s in run),
-            "n_docs": sum(manifests[s]["n_docs"] for s in run),
-            "n_duplicates": sum(manifests[s]["n_duplicates"] for s in run),
-            "n_terms": merged_terms.num_rows,
-            "n_postings": sum(manifests[s]["n_postings"] for s in run),
-            "field_dl_sums": {
-                k: sum(manifests[s].get("field_dl_sums", {}).get(k, 0)
-                       for s in run)
-                for k in manifests[run[0]].get("field_dl_sums", {})
-            },
-            "doc_id_base": manifests[run[0]]["doc_id_base"],
-            "url_checksum": "+".join(manifests[s]["url_checksum"] for s in run),
-            "build_secs": round(secs, 4),
-            "docs_per_sec": None,
-            "absorbed": run,
-            "absorbed_buckets": absorbed_buckets,
-        }
-        mf.write_manifest(index_dir, new_id, combined)  # <- commit point
-        import shutil
-
-        for s in run:
-            p = mf.manifest_path(index_dir, s)
-            if os.path.exists(p):
-                os.unlink(p)
-            for q in (seg_terms_path(index_dir, s), seg_docs_path(index_dir, s)):
-                d = os.path.dirname(q)
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-        survivors.append(new_id)
+        tasks.append(_merge_run.remote(
+            index_dir, run, new_id, {s: manifests[s] for s in run}, cfg))
+    survivors.extend(ray.get(tasks))
     # refresh stats.json segment counts
     stats_path = os.path.join(index_dir, "stats.json")
     if os.path.exists(stats_path):
