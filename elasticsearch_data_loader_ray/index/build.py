@@ -110,6 +110,15 @@ class BuildConfig:
     # packing measured net-negative (iso @1M docs: raw 18.6/10.6s at 2/8
     # cpus vs packed-zstd 31.1/13.7s), so default off
     shuffle_pack_codec: str | None = None
+    # fused-exchange slice compression ("zstd"/"lz4"/None): packs each
+    # per-(block, bucket-group) slice into one compressed Arrow-IPC payload
+    # so the exchange's object-store residency shrinks ~2x — measured at 8M
+    # docs / 8 cpus this removed a 63% per-task compute inflation under
+    # plasma residency (22.5k vs 14.0k docs/task-sec) and cut the build
+    # 124.6 -> 106.6 s, while staying neutral at 100k and at 2 cpus; it is
+    # also the multi-node network-shuffle shape (ship compressed bytes).
+    # Default ON; EDLR_FUSED_PACK=none disables at runtime.
+    fused_pack_codec: str | None = "zstd"
     # D1 create-conflict parity: the reference treats a duplicate _id as
     # FATAL (companybindex/main.go:216-222 aborts the load on a bulk item
     # create conflict). Default off — the engine's default semantics
@@ -815,7 +824,8 @@ def _group_cuts(n_buckets: int, group: int) -> np.ndarray:
 @ray.remote
 def _partition_block_grouped(tbl: pa.Table, boundaries: list[str],
                              n_buckets: int, cols: list[str],
-                             skip: frozenset[int]):
+                             skip: frozenset[int],
+                             pack: str | None = None):
     """One corpus block -> per-bucket-GROUP driver-owned objects:
     ``ceil(n/BUILD_GROUP)`` data slices (columns ``cols`` + an int32
     ``bucket`` column, rows bucket-sorted) then ``ceil(n/STATS_GROUP)``
@@ -847,6 +857,9 @@ def _partition_block_grouped(tbl: pa.Table, boundaries: list[str],
     minis = [ts.select(mini_cols).slice(int(s_pos[i]),
                                         int(s_pos[i + 1] - s_pos[i]))
              for i in range(len(s_cuts) - 1)]
+    if pack is not None:
+        datas = [_pack_cell(d, pack) for d in datas]
+        minis = [_pack_cell(m, pack) for m in minis]
     return tuple(datas) + tuple(minis)
 
 
@@ -858,6 +871,9 @@ def _bucket_stats_group(bucket_lo: int, n_in_group: int,
     (url asc, warc_ts asc) — the exact phase-C rule, vectorized across the
     whole group via the carried ``bucket`` column."""
     pin_worker_threads()
+    if minis and isinstance(minis[0], bytes):
+        minis = [pa.ipc.open_stream(pa.BufferReader(p)).read_all()
+                 for p in minis]
     tabs = [m for m in minis if m.num_rows]
     if not tabs:
         return [(0, 0, 0, [])] * n_in_group
@@ -905,6 +921,9 @@ def _build_bucket_group(index_dir: str, bucket_lo: int, n_in_group: int,
     builds). Empty buckets (or resume-skipped ones, which ship no rows)
     build nothing."""
     pin_worker_threads()
+    if parts and isinstance(parts[0], bytes):
+        parts = [pa.ipc.open_stream(pa.BufferReader(p)).read_all()
+                 for p in parts]
     tabs = [p for p in parts if p.num_rows]
     if not tabs:
         return []
@@ -947,6 +966,9 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
     d_cuts = _group_cuts(n_buckets, BUILD_GROUP)
     s_cuts = _group_cuts(n_buckets, STATS_GROUP)
     n_dg, n_sg = len(d_cuts) - 1, len(s_cuts) - 1
+    pack = os.environ.get("EDLR_FUSED_PACK") or cfg.fused_pack_codec
+    if pack in ("", "none", "0"):
+        pack = None
     part_task = _partition_block_grouped.options(num_returns=n_dg + n_sg)
     t0 = time.perf_counter()
     write_refs: list = []
@@ -962,7 +984,7 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
                 write_refs.append(w)
                 pending.append(w)
             rets = part_task.remote(block_ref, boundaries, n_buckets, cols,
-                                    skip)
+                                    skip, pack)
             data_refs.append(list(rets[:n_dg]))
             mini_refs.append(list(rets[n_dg:]))
             pending.append(rets[0])
