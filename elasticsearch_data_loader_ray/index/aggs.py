@@ -557,6 +557,87 @@ def histogram_agg(index_dir: str, query: str, interval: int,
     })
 
 
+# no "week": numpy M8[W] weeks are Thursday-epoch (1970-01-01) while the
+# ES/SQL convention is ISO Monday — a unit we can't truncate with a cast
+_CAL_UNITS = {"hour": "h", "day": "D", "month": "M", "year": "Y"}
+
+
+def _date_hist_partials(batch: pa.Table, *, index_dir: str, column: str,
+                        field: str, terms: list[str], unit: str) -> pa.Table:
+    """Task: per-segment date_histogram partials — matched docs' ``column``
+    timestamps truncated to the calendar unit (numpy datetime64 cast),
+    bucket counts bounded by distinct buckets. Docs with a null timestamp
+    are skipped (ES skip-missing)."""
+    _stats, deleted = worker_state(index_dir)
+    keys, counts = [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field, terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        dv = pq.read_table(_dv_path(index_dir, column, seg_id),
+                           columns=["doc_id", column])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+        vals = dv[column].combine_chunks().take(pa.array(pos))
+        arr = vals.to_numpy(zero_copy_only=False)  # datetime64[us] w/ NaT
+        arr = arr[~np.isnat(arr)]
+        if len(arr) == 0:
+            continue
+        tr = arr.astype(f"M8[{unit}]").astype("M8[us]").astype(np.int64)
+        u, c = np.unique(tr, return_counts=True)
+        keys.extend(u.tolist())
+        counts.extend(c.tolist())
+    return pa.table({"key_us": pa.array(keys, pa.int64()),
+                     "doc_count": pa.array(counts, pa.int64())})
+
+
+def date_histogram_agg(index_dir: str, query: str,
+                       calendar_interval: str = "day",
+                       column: str = "warc_ts",
+                       field: str = DEFAULT_FIELD,
+                       concurrency: int | None = None) -> pa.Table:
+    """ES ``date_histogram`` (calendar_interval hour/day/week/month/year)
+    over the matching docs' ``column`` timestamps: buckets keyed by the
+    truncated calendar boundary, key-ascending, ``min_doc_count=1``
+    semantics. Distributed as per-segment partials (bounded by distinct
+    buckets) merged with a small groupby-sum — the terms/histogram shape."""
+    from ray.data.aggregate import Sum
+
+    if calendar_interval not in _CAL_UNITS:
+        raise ValueError(f"unsupported calendar_interval "
+                         f"{calendar_interval!r} (have {list(_CAL_UNITS)})")
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"key": pa.array([], pa.timestamp("us")),
+                      "doc_count": pa.array([], pa.int64())})
+    if not terms or not seg_ids:
+        return empty
+    build_doc_values(index_dir, column)
+    per_seg = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _date_hist_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "column": column, "field": field,
+                "terms": terms, "unit": _CAL_UNITS[calendar_interval]},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+    )
+    merged = per_seg.groupby("key_us").aggregate(Sum("doc_count")).to_pandas()
+    if len(merged) == 0:
+        return empty
+    merged = merged.rename(columns={"sum(doc_count)": "doc_count"})
+    merged = merged.sort_values("key_us")
+    return pa.table({
+        "key": pa.array(merged["key_us"].to_numpy().astype("M8[us]"),
+                        pa.timestamp("us")),
+        "doc_count": pa.array(merged["doc_count"].to_numpy(), pa.int64()),
+    })
+
+
 def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
               metric_field: str | None = None,
               concurrency: int | None = None) -> pa.Table:

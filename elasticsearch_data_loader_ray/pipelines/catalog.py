@@ -1078,6 +1078,10 @@ def _code_fingerprint() -> str:
     return tag
 
 
+# 2024-01-01T00:00:00Z in epoch microseconds (see _docs_to_corpus)
+_WARC_EPOCH_US = 1_704_067_200_000_000
+
+
 def _docs_to_corpus(t: pa.Table) -> pa.Table:
     """documents batch -> corpus schema; doc ids are preserved by using the
     zero-padded doc_id as the url (doc_id rank == url rank for the dense ids
@@ -1086,9 +1090,14 @@ def _docs_to_corpus(t: pa.Table) -> pa.Table:
     t = t.filter(keep)
     urls = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 15, "0")
     n = t.num_rows
+    # deterministic crawl timestamp: epoch 2024-01-01 + doc_id hours — the
+    # date_histogram serving agg needs a real warc_ts, and the SQL oracle
+    # reproduces the same synthesis (documents.parquet has no timestamp)
+    ts_us = (_WARC_EPOCH_US
+             + t["doc_id"].to_numpy().astype(np.int64) * 3_600_000_000)
     return pa.table({
         "url": urls,
-        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "warc_ts": pa.array(ts_us, pa.timestamp("us")),
         "text": pc.cast(t["text"], pa.large_string()),
         "lang": t["lang"],
         "source": t["source"],
@@ -1897,6 +1906,34 @@ def _sql_histogram_agg_match() -> str:
         "count(*)::BIGINT AS doc_count "
         "FROM hits h LEFT JOIN dl USING (doc_id) "
         "GROUP BY 1 ORDER BY key ASC"
+    )
+
+
+def q_date_histogram_match(sf_dir: str):
+    """ES date_histogram aggregation (calendar_interval=day) over the
+    matching docs' warc_ts — per-segment doc-values partials truncated
+    with a datetime64 cast, merged with a small groupby-sum."""
+    from ..index.aggs import date_histogram_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return date_histogram_agg(idx, TERMS_AGG_QUERY, "day")
+
+
+def _sql_date_histogram_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT date_trunc('day', TIMESTAMP '2024-01-01' "
+        "+ to_hours(doc_id)) AS key, "
+        "count(*)::BIGINT AS doc_count "
+        "FROM hits GROUP BY 1 ORDER BY key ASC"
     )
 
 
@@ -3596,6 +3633,7 @@ def queries() -> dict:
         "wildcard_term_search": q_wildcard_term_search,
         "terms_agg_match": q_terms_agg_match,
         "histogram_agg_match": q_histogram_agg_match,
+        "date_histogram_match": q_date_histogram_match,
         "stats_agg_match": q_stats_agg_match,
         "range_agg_match": q_range_agg_match,
         "cardinality_agg_match": q_cardinality_agg_match,
@@ -3675,6 +3713,7 @@ def oracle_sql() -> dict:
         "wildcard_term_search": _sql_wildcard_term_search(),
         "terms_agg_match": _sql_terms_agg_match(),
         "histogram_agg_match": _sql_histogram_agg_match(),
+        "date_histogram_match": _sql_date_histogram_match(),
         "stats_agg_match": _sql_stats_agg_match(),
         "range_agg_match": _sql_range_agg_match(),
         "cardinality_agg_match": _sql_cardinality_agg_match(),

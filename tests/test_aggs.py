@@ -274,3 +274,44 @@ def test_terms_agg_skips_null_values(tmp_path_factory):
     assert dict(zip(got["key"], got["doc_count"])) == dict(want)
     # metric sub-agg over the same buckets (every doc has 2 tokens)
     assert (got["avg_word_count"] == 2.0).all()
+
+
+def test_date_histogram_matches_brute_force(tmp_path_factory):
+    """ES date_histogram: calendar day/month/hour buckets over matched
+    docs' warc_ts; docs with null timestamps are skipped."""
+    from collections import Counter as _C
+
+    import numpy as _np
+
+    from elasticsearch_data_loader_ray.index.aggs import date_histogram_agg
+
+    n = 120
+    base = _np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [None if i % 17 == 0
+          else base + _np.timedelta64(i * 7, "h") for i in range(n)]
+    texts = ["match me" if i % 3 else "other text" for i in range(n)]
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("dh_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=32))
+    for unit, np_unit in (("day", "D"), ("month", "M"), ("hour", "h")):
+        got = date_histogram_agg(idx, "match", unit).to_pandas()
+        want = _C()
+        for i in range(n):
+            if i % 3 and ts[i] is not None:
+                want[_np.datetime64(ts[i], np_unit)] += 1
+        assert len(got) == len(want)
+        for k, c in zip(got["key"], got["doc_count"]):
+            assert want[_np.datetime64(k.to_datetime64(), np_unit)] == c
+    assert list(got["key"]) == sorted(got["key"])  # key-ascending
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        date_histogram_agg(idx, "match", "week")
