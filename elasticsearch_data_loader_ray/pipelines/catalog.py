@@ -1909,6 +1909,32 @@ def _sql_histogram_agg_match() -> str:
     )
 
 
+MGET_DOC_IDS = [3, 17, 42, 123, 404, 99_999_999]  # last one: a miss
+
+
+def q_mget_docs(sf_dir: str):
+    """ES _mget / GET-by-id analogue: point lookups by url (the identity
+    key) via per-segment parquet-footer url ranges + row-group-pruned
+    range reads — O(requested ids), never a corpus scan. The missing id
+    yields no row (ES found=false)."""
+    from ..index.export import mget
+
+    idx = _ensure_doc_index(sf_dir)
+    urls = [f"{i:015d}" for i in MGET_DOC_IDS]
+    return mget(idx, urls, stored=("text",))
+
+
+def _sql_mget_docs() -> str:
+    ids = ", ".join(str(i) for i in MGET_DOC_IDS)
+    return (
+        "SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 15, '0') AS url, "
+        "CAST(len(regexp_extract_all(lower(coalesce(text, '')), "
+        f"'{TOKEN_RE_SQL}')) AS BIGINT) AS word_count, text "
+        f"FROM documents WHERE doc_id IN ({ids}) "
+        "AND text IS NOT NULL AND text <> '' ORDER BY doc_id"
+    )
+
+
 def q_date_histogram_match(sf_dir: str):
     """ES date_histogram aggregation (calendar_interval=day) over the
     matching docs' warc_ts — per-segment doc-values partials truncated
@@ -3634,6 +3660,7 @@ def queries() -> dict:
         "terms_agg_match": q_terms_agg_match,
         "histogram_agg_match": q_histogram_agg_match,
         "date_histogram_match": q_date_histogram_match,
+        "mget_docs": q_mget_docs,
         "stats_agg_match": q_stats_agg_match,
         "range_agg_match": q_range_agg_match,
         "cardinality_agg_match": q_cardinality_agg_match,
@@ -3714,6 +3741,7 @@ def oracle_sql() -> dict:
         "terms_agg_match": _sql_terms_agg_match(),
         "histogram_agg_match": _sql_histogram_agg_match(),
         "date_histogram_match": _sql_date_histogram_match(),
+        "mget_docs": _sql_mget_docs(),
         "stats_agg_match": _sql_stats_agg_match(),
         "range_agg_match": _sql_range_agg_match(),
         "cardinality_agg_match": _sql_cardinality_agg_match(),

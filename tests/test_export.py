@@ -203,3 +203,51 @@ def test_collapse_matches_brute_force(exp_index):
             for row in got.itertuples()] == \
         [(k, d, s) for k, (d, s) in want]
     assert got["rank"].tolist() == [1, 2, 3]
+
+
+def test_mget_point_lookup_and_upsert_resolution(tmp_path):
+    """mget: request-order rows for found urls, no row for misses, and a
+    re-ingested url serves its NEWEST generation's text."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_data_loader_ray.functions.analyzers import (
+        token_count_batch,
+    )
+    from elasticsearch_data_loader_ray.index.append import (
+        append_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.build import (
+        BuildConfig,
+        build_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.export import mget
+
+    def corpus(urls, texts):
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+            "text": pa.array(texts, pa.large_string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "doc_len": pa.array(token_count_batch(
+                pa.array(texts, pa.large_string())), pa.int32()),
+        })
+
+    urls = [f"https://m/{i:04d}" for i in range(60)]
+    idx = str(tmp_path / "idx")
+    build_index_from_corpus(
+        rd.from_arrow(corpus(urls, [f"original text {i}" for i in range(60)])),
+        idx, BuildConfig(docs_per_segment=16))
+    got = mget(idx, [urls[7], "https://m/zz-missing", urls[3], urls[59]])
+    assert got["url"].to_pylist() == [urls[7], urls[3], urls[59]]  # req order
+    assert got["text"].to_pylist()[0] == "original text 7"
+    assert got["word_count"].to_pylist() == [3, 3, 3]
+
+    append_index_from_corpus(
+        rd.from_arrow(corpus([urls[7]], ["replacement seven body"])),
+        idx, BuildConfig(docs_per_segment=16))
+    got2 = mget(idx, [urls[7], urls[8]])
+    assert got2["text"].to_pylist() == ["replacement seven body",
+                                        "original text 8"]
+    assert got2["doc_id"].to_pylist()[0] == 60  # the appended doc's id
