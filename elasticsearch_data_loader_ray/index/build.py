@@ -858,8 +858,10 @@ def _partition_block_grouped(tbl: pa.Table, boundaries: list[str],
                                         int(s_pos[i + 1] - s_pos[i]))
              for i in range(len(s_cuts) - 1)]
     if pack is not None:
+        # DATA slices only: they are the residency (text column); minis are
+        # ~6% of corpus and packing them just adds a decode to the
+        # low-parallelism stats wave
         datas = [_pack_cell(d, pack) for d in datas]
-        minis = [_pack_cell(m, pack) for m in minis]
     return tuple(datas) + tuple(minis)
 
 
