@@ -739,8 +739,10 @@ def _build_segments(index_dir: str, plan: dict, cfg: BuildConfig) -> list[dict]:
 # owned by the driver (lineage-reconstructible), data crosses the object
 # store exactly once, and there is no sample/sort/fragment machinery.
 # Resume runs through the SAME plan whenever plan.json survived (see
-# _fused_route) — fused and phased builds produce identical indexes (doc
-# ids are global url ranks in both).
+# _fused_route). Fused and phased builds agree on the semantic contract
+# (doc ids are global url ranks in both; search results bitwise-equal);
+# segment MEMBERSHIP may differ — the plans quantile-sample boundaries
+# from the input vs the extracted corpus (test_fuzz_round4).
 
 def _fused_route(index_dir: str) -> tuple[bool, dict | None, bool]:
     """(use_fused, plan_override, corpus_done) routing for a build attempt.

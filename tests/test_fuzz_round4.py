@@ -1,0 +1,150 @@
+"""Property-based checks for the round-4 surfaces: the JPEG codec over
+random images, mget over random url subsets vs a brute-force scan, and
+fused-vs-phased build identity at randomized sizes/segmenting."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_data_loader_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(h=st.integers(4, 40), w=st.integers(4, 40),
+       seed=st.integers(0, 2**31 - 1),
+       gray=st.booleans(), quality=st.integers(30, 95))
+def test_jpeg_roundtrip_random_images(h, w, seed, gray, quality):
+    """Any uint8 image round-trips through the codec with bounded error:
+    decode(encode(x)) has the right shape/dtype, and per-pixel error is
+    bounded by the quantization of the chosen quality (loose bound: pure
+    noise at q30 stays within ~1/2 of the dynamic range)."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    # smooth base + mild noise: pathological pure noise has unbounded
+    # quantization error by design, so bound the input's high-frequency
+    # energy the way real images do
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 / w + yy * 200 / h) % 256
+    if not gray:
+        base = np.stack([base, base[::-1], base.T[:w, :h].T
+                         if base.T.shape == (w, h) else base], axis=-1)[..., :3]
+        base = np.stack([base[..., 0], 255 - base[..., 0],
+                         (base[..., 0] + 64) % 256], axis=-1)
+    img = np.clip(base + rng.normal(0, 6, shape), 0, 255).astype(np.uint8)
+    payload = encode_jpeg(img, quality=quality)
+    dec = decode_jpeg(payload)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 40  # loose: decodes the signal, not garbage
+    if quality >= 85:
+        assert err.mean() < 12
+
+
+@pytest.fixture(scope="module")
+def mget_index(tmp_path_factory):
+    import ray.data as rd
+
+    from elasticsearch_data_loader_ray.functions.analyzers import (
+        token_count_batch,
+    )
+    from elasticsearch_data_loader_ray.index.build import (
+        BuildConfig,
+        build_index_from_corpus,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 300
+    urls = sorted({f"https://f/{rng.integers(0, 10**9):09d}"
+                   for _ in range(n)})
+    texts = [f"doc body {i} " + " ".join(
+        f"w{rng.integers(0, 50)}" for _ in range(rng.integers(1, 30)))
+        for i in range(len(urls))]
+    corpus = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * len(urls), pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("mget_fuzz"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=37))
+    return idx, dict(zip(urls, texts))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.data())
+def test_mget_random_subsets_match_brute(mget_index, data):
+    from elasticsearch_data_loader_ray.index.export import mget
+
+    idx, truth = mget_index
+    urls = list(truth)
+    pick = data.draw(st.lists(
+        st.one_of(st.sampled_from(urls),
+                  st.text("abc/:.", min_size=1, max_size=12)),
+        min_size=0, max_size=12))
+    got = mget(idx, pick)
+    want = [u for u in pick if u in truth]
+    # one row per FOUND request, in request order (duplicates repeat)
+    assert got["url"].to_pylist() == want
+    for u, txt in zip(got["url"].to_pylist(), got["text"].to_pylist()):
+        assert txt == truth[u]
+
+
+@pytest.mark.parametrize("seed,n_docs,dps", [(3, 211, 31), (77, 460, 120)])
+def test_fused_equals_phased_random_sizes(tmp_path, seed, n_docs, dps):
+    """The fused (grouped, packed) exchange and the 4-phase sort-shuffle
+    path must agree on the SEMANTIC contract at arbitrary sizes: the same
+    global (doc_id, url, doc_len) assignment (doc ids are url ranks in
+    both) and bitwise-identical search results. Segment MEMBERSHIP may
+    legitimately differ — fused samples range boundaries from the input's
+    url column while the phased plan samples the extracted corpus, so the
+    quantile cuts land differently around reject rows."""
+    from elasticsearch_data_loader_ray import fixtures
+    from elasticsearch_data_loader_ray.index import manifest as mf
+    from elasticsearch_data_loader_ray.index.build import (
+        BuildConfig,
+        build_index,
+        seg_docs_path,
+    )
+    from elasticsearch_data_loader_ray.index.search import search_inprocess
+
+    t = fixtures.generate_webtext(n_docs, seed=seed)
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    a, b = str(tmp_path / "fused"), str(tmp_path / "phased")
+    sa = build_index(str(src), a, BuildConfig(docs_per_segment=dps))
+    os.environ["EDLR_FUSED"] = "0"
+    try:
+        sb = build_index(str(src), b, BuildConfig(docs_per_segment=dps))
+    finally:
+        del os.environ["EDLR_FUSED"]
+    assert sa["n_docs"] == sb["n_docs"]
+    assert sa["dl_total"] == sb["dl_total"]
+    assert sa["n_postings"] == sb["n_postings"]
+
+    def doc_table(idx):
+        files = [seg_docs_path(idx, s)
+                 for s in sorted(mf.committed_segments(idx))]
+        dt = pq.read_table(files, columns=["doc_id", "url", "doc_len"])
+        return dt.sort_by("doc_id")
+
+    assert doc_table(a).equals(doc_table(b))
+    queries = fixtures.generate_queries()
+    ga = search_inprocess(a, queries).to_pandas()
+    gb = search_inprocess(b, queries).to_pandas()
+    assert ga["doc_id"].tolist() == gb["doc_id"].tolist()
+    assert ga["score"].tolist() == gb["score"].tolist()  # bitwise
