@@ -1129,6 +1129,9 @@ class LocalSearcher:
         self._contrib_cache: "OrderedDict[tuple, list[np.ndarray]]" = \
             OrderedDict()
         self._contrib_cache_bytes = 0
+        # exact-request result cache (see search()); per-epoch by
+        # construction — _bind recreates it on every swap
+        self._request_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
         # per-file row-group (field, term) bounds, parsed lazily from
         # parquet footers once per epoch (see _read_terms_direct)
@@ -2332,6 +2335,10 @@ class LocalSearcher:
         ids = ids[:k]
         return ids.astype(np.int64), np.ones(len(ids), np.float64)
 
+    #: request-cache capacity (ES shard-request-cache analogue): exact
+    #: (mode, field, query, k) top-k results, LRU, dropped on epoch swap
+    _REQUEST_CACHE_CAP = 1024
+
     def search(self, query: str, k: int = 10,
                field: str = DEFAULT_FIELD,
                mode: str = "or",
@@ -2340,8 +2347,27 @@ class LocalSearcher:
         postings (lexicographic accumulation); 'blockmax' runs the
         disjunctive block-max path; 'auto' picks blockmax when the df skew
         suggests skipping pays (rare term + long common lists). Scores are
-        bitwise-identical across strategies."""
+        bitwise-identical across strategies.
+
+        Repeated identical requests are served from an exact result cache
+        (the ES shard-request-cache analogue): keyed on the full request,
+        holding the returned (ids, scores) verbatim, dropped wholesale on
+        any epoch swap (refresh/merge/append) — a hit changes nothing but
+        latency."""
         self._maybe_auto_refresh()
+        rq_key = (mode, field, query, int(k), or_strategy)
+        hit = self._request_cache.get(rq_key)
+        if hit is not None:
+            self._request_cache.move_to_end(rq_key)
+            return hit
+        res = self._search_uncached(query, k, field, mode, or_strategy)
+        self._request_cache[rq_key] = res
+        while len(self._request_cache) > self._REQUEST_CACHE_CAP:
+            self._request_cache.popitem(last=False)
+        return res
+
+    def _search_uncached(self, query: str, k: int, field: str, mode: str,
+                         or_strategy: str) -> tuple[np.ndarray, np.ndarray]:
         if mode == "fuzzy":
             return self.search_fuzzy(query, k, field)
         if mode == "wildcard":

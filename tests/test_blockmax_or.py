@@ -104,6 +104,9 @@ def test_blocked_runs_cached_across_queries(index_dir):
             return getattr(real_ds, name)
 
     lo.term_ds = CountingDS()
+    # this test probes the layer BELOW the exact-request cache (the
+    # blocked-reader memos), so drop the request cache to force execution
+    lo._request_cache.clear()
     ids1, sc1 = lo.search(q, k=10, or_strategy="blockmax")
     assert n_reads["n"] == 0, "warm blockmax query re-read parquet"
     assert lo.last_block_stats[0] == 0  # all blocks were memoized

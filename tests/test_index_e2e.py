@@ -500,3 +500,42 @@ def test_termdict_rebuilt_after_merge(webtext, tmp_path_factory):
     i2, s2 = after.search("the fast data", k=20)
     assert i1.tolist() == i2.tolist()
     assert s1.tolist() == s2.tolist()
+
+
+def test_request_cache_hits_and_epoch_invalidation(webtext, tmp_path_factory):
+    """The request cache returns the identical result object on repeat and
+    drops wholesale when an append epoch-swaps the searcher."""
+    import pyarrow as pa_
+    import ray.data as rd_
+
+    from elasticsearch_data_loader_ray.functions.analyzers import (
+        token_count_batch,
+    )
+    from elasticsearch_data_loader_ray.index.append import (
+        append_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    _, src = webtext
+    out = str(tmp_path_factory.mktemp("idx_reqcache"))
+    cfg = BuildConfig(docs_per_segment=200, extract_concurrency=2)
+    build_index(src, out, cfg)
+    s = LocalSearcher(out)
+    i1, s1 = s.search("the data", k=10)
+    i2, s2 = s.search("the data", k=10)
+    assert i1 is i2 and s1 is s2  # served verbatim from the cache
+    texts = ["zzqreqcache fresh doc the data"]
+    append_index_from_corpus(
+        rd_.from_arrow(pa_.table({
+            "url": pa_.array(["https://rc/new"], pa_.string()),
+            "warc_ts": pa_.array([0], pa_.timestamp("us")),
+            "text": pa_.array(texts, pa_.large_string()),
+            "lang": pa_.array(["en"], pa_.string()),
+            "doc_len": pa_.array(token_count_batch(
+                pa_.array(texts, pa_.large_string())), pa_.int32()),
+        })), out, cfg)
+    assert s.refresh() is True
+    i3, _s3 = s.search("zzqreqcache", k=5)
+    assert len(i3) == 1  # new epoch serves the appended doc
+    i4, s4 = s.search("the data", k=10)
+    assert i4 is not i1  # old cached result was dropped with the epoch
