@@ -159,6 +159,10 @@ def run_bench() -> dict:
     searcher = LocalSearcher(BENCH_IDX)
     lat_cold, lat_warm = [], []
     for rnd in range(3):
+        # the warm number must keep measuring EXECUTION under warm
+        # postings/impact caches (comparable across rounds), not the
+        # exact-request result cache a repeat-identical query would hit
+        searcher._request_cache.clear()
         for row in queries.to_pylist():
             t0 = time.perf_counter()
             searcher.search(row["query"], int(row["k"]))
