@@ -557,9 +557,12 @@ def histogram_agg(index_dir: str, query: str, interval: int,
     })
 
 
-# no "week": numpy M8[W] weeks are Thursday-epoch (1970-01-01) while the
-# ES/SQL convention is ISO Monday — a unit we can't truncate with a cast
-_CAL_UNITS = {"hour": "h", "day": "D", "month": "M", "year": "Y"}
+# "week" is NOT a numpy cast: M8[W] weeks are Thursday-epoch (1970-01-01)
+# while the ES/SQL convention is ISO Monday — the sentinel makes the
+# partials truncate via day-number arithmetic instead
+_ISO_WEEK = "isoweek"
+_CAL_UNITS = {"hour": "h", "day": "D", "week": _ISO_WEEK, "month": "M",
+              "year": "Y"}
 
 
 def _date_hist_partials(batch: pa.Table, *, index_dir: str, column: str,
@@ -585,7 +588,14 @@ def _date_hist_partials(batch: pa.Table, *, index_dir: str, column: str,
         arr = arr[~np.isnat(arr)]
         if len(arr) == 0:
             continue
-        tr = arr.astype(f"M8[{unit}]").astype("M8[us]").astype(np.int64)
+        if unit == _ISO_WEEK:
+            # ISO-Monday truncation: 1970-01-01 is a Thursday, so day
+            # number d has Monday-based weekday (d + 3) % 7
+            days = arr.astype("M8[D]").astype(np.int64)
+            days -= (days + 3) % 7
+            tr = days.astype("M8[D]").astype("M8[us]").astype(np.int64)
+        else:
+            tr = arr.astype(f"M8[{unit}]").astype("M8[us]").astype(np.int64)
         u, c = np.unique(tr, return_counts=True)
         keys.extend(u.tolist())
         counts.extend(c.tolist())

@@ -140,7 +140,8 @@ def mget(index_dir: str, urls: list[str],
                   if rg0.column(i).path_in_schema == "url")
         st_lo = md.row_group(0).column(ci).statistics
         st_hi = md.row_group(md.num_row_groups - 1).column(ci).statistics
-        if st_lo is None or not st_lo.has_min_max:
+        if (st_lo is None or st_hi is None
+                or not st_lo.has_min_max or not st_hi.has_min_max):
             mine = want  # no stats: check all (pruned read still bounds it)
         else:
             lo, hi = st_lo.min, st_hi.max

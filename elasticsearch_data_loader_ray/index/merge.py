@@ -242,6 +242,11 @@ def merge_segments(index_dir: str, group_size: int = 2,
     """
     cfg = cfg or BuildConfig()
     manifests = mf.committed_segments(index_dir)
+    # id allocation must see EVERY committed manifest — including the
+    # committed-but-invisible crashed-append orphans filtered out below —
+    # or a fresh merge id can collide with an orphan and overwrite its
+    # files while append's orphan sweep races to rmtree the same dir
+    all_committed_ids = set(manifests.keys())
     # VISIBLE segments only: a crashed append can leave committed-but-
     # invisible segments (doc range beyond stats.n_docs, swept lazily by
     # append_index). Merging one of those with a visible segment would push
@@ -256,7 +261,7 @@ def merge_segments(index_dir: str, group_size: int = 2,
     # adjacency is by DOC RANGE, not id: merged segments get fresh ids, so
     # sorted ids need not follow doc order after partial merges
     seg_ids = sorted(manifests, key=lambda s: manifests[s]["doc_id_base"])
-    next_id = max([mf.MERGED_ID_BASE - 1, *manifests.keys()]) + 1
+    next_id = max([mf.MERGED_ID_BASE - 1, *all_committed_ids]) + 1
     survivors: list[int] = []
     t_all = time.perf_counter()
     # runs are disjoint segment sets with pre-assigned fresh ids, so they

@@ -1218,8 +1218,22 @@ class LocalSearcher:
         if not self.termdict_files:
             return None
         if self._td_rg_index is None:
-            idx = _parse_rg_bounds(self.termdict_files)
-            if any(b is None for _pf, b in idx):
+            # a concurrent merge/append may drop_termdict (or rebuild
+            # part-0.parquet under the same name for a NEW segment set)
+            # between _bind and this first-query footer parse. Catch the
+            # removal, then re-validate meta.json AFTER parsing: the
+            # rebuild sequence is rmtree -> part files -> meta.json ->
+            # _SUCCESS, so if meta still names OUR epoch's seg_ids the
+            # files we just parsed were ours.
+            try:
+                idx = _parse_rg_bounds(self.termdict_files)
+                meta = mf.read_json(os.path.join(
+                    self.index_dir, "termdict", "meta.json"))
+            except (OSError, ValueError):
+                self.termdict_files = []
+                return None
+            if (meta.get("seg_ids") != [int(s) for s in self.seg_ids]
+                    or any(b is None for _pf, b in idx)):
                 self.termdict_files = []
                 return None
             self._td_rg_index = idx
@@ -2361,6 +2375,12 @@ class LocalSearcher:
             self._request_cache.move_to_end(rq_key)
             return hit
         res = self._search_uncached(query, k, field, mode, or_strategy)
+        # freeze before caching: the same array objects are handed to every
+        # future hit, so an in-place mutation by one caller must not poison
+        # the cache (the ES request cache is safe because it stores bytes)
+        for arr in res:
+            if isinstance(arr, np.ndarray):
+                arr.setflags(write=False)
         self._request_cache[rq_key] = res
         while len(self._request_cache) > self._REQUEST_CACHE_CAP:
             self._request_cache.popitem(last=False)

@@ -311,7 +311,19 @@ def test_date_histogram_matches_brute_force(tmp_path_factory):
         for k, c in zip(got["key"], got["doc_count"]):
             assert want[_np.datetime64(k.to_datetime64(), np_unit)] == c
     assert list(got["key"]) == sorted(got["key"])  # key-ascending
+    # week truncates to ISO Monday (NOT numpy's Thursday-epoch M8[W])
+    got = date_histogram_agg(idx, "match", "week").to_pandas()
+    want = _C()
+    for i in range(n):
+        if i % 3 and ts[i] is not None:
+            d = ts[i].astype("M8[D]").astype("int64")
+            want[_np.datetime64(int(d - (d + 3) % 7), "D")] += 1
+    assert len(got) == len(want)
+    for k, c in zip(got["key"], got["doc_count"]):
+        kd = k.to_datetime64().astype("M8[D]")
+        assert (int(kd.astype("int64")) + 3) % 7 == 0  # an ISO Monday
+        assert want[kd] == c
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        date_histogram_agg(idx, "match", "week")
+        date_histogram_agg(idx, "match", "fortnight")

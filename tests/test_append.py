@@ -362,3 +362,47 @@ def test_merge_excludes_invisible_segments(tmp_path):
     after = LocalSearcher(idx)
     assert len(after.search("visible", k=100)[0]) == 30
     assert len(after.search("orphan", k=10)[0]) == 0
+
+
+def test_merge_next_id_skips_invisible_orphan_ids(tmp_path):
+    """The merge id allocator must see EVERY committed manifest — including
+    committed-but-invisible crashed-append orphans — or a fresh merged id
+    collides with the orphan and overwrites its segment files while the
+    orphan sweep races to rmtree the same dir (regression, ADVICE r4)."""
+    from elasticsearch_data_loader_ray.index.merge import merge_segments
+
+    urls = [f"https://o/{i:04d}" for i in range(20)]
+    idx = str(tmp_path / "idx")
+    build_index_from_corpus(
+        rd.from_arrow(_corpus_table(urls, [f"visible w{i}" for i in range(20)])),
+        idx, BuildConfig(docs_per_segment=10))
+    # append #1: stays visible (id APPEND_ID_BASE)
+    append_index_from_corpus(
+        rd.from_arrow(_corpus_table(["https://o/a1"], ["alive text"])),
+        idx, BuildConfig(docs_per_segment=10))
+    sp = os.path.join(idx, "stats.json")
+    n_vis = int(mf.read_json(sp)["n_docs"])
+    # append #2: crashed before its stats.json commit -> orphan with the
+    # NEXT append id, right above the visible append
+    append_index_from_corpus(
+        rd.from_arrow(_corpus_table(["https://o/z1"], ["orphan text"])),
+        idx, BuildConfig(docs_per_segment=10))
+    st = mf.read_json(sp)
+    gens = st.get("generations", [])
+    st["n_docs"] = n_vis
+    st["generations"] = gens[:-1]
+    mf.write_json_atomic(sp, st)
+    pre_ids = set(mf.committed_segments(idx).keys())
+    orphan_ids = {s for s, m in mf.committed_segments(idx).items()
+                  if int(m["doc_id_base"]) + int(m["n_docs"]) > n_vis}
+    assert orphan_ids, "test setup: expected a committed-but-invisible orphan"
+
+    survivors = merge_segments(idx, group_size=10)
+    fresh = set(survivors) - pre_ids
+    assert fresh, "merge should have produced at least one fresh segment id"
+    assert not (fresh & orphan_ids), (
+        f"merged ids {fresh} collided with orphan ids {orphan_ids}")
+    after = LocalSearcher(idx)
+    assert len(after.search("visible", k=100)[0]) == 20
+    assert len(after.search("alive", k=10)[0]) == 1
+    assert len(after.search("orphan", k=10)[0]) == 0
