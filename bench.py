@@ -173,19 +173,33 @@ def run_bench() -> dict:
     p95 = lat_cold[int(0.95 * len(lat_cold)) - 1] if lat_cold else 0.0
     p95_warm = lat_warm[int(0.95 * len(lat_warm)) - 1] if lat_warm else 0.0
 
-    # driver catalog timings at $GRAFT_SF_DIR
+    # driver catalog timings at $GRAFT_SF_DIR — median of N repeats per
+    # entry (VERDICT r4 #1: single-shot numbers on this shared box swing
+    # ±20-30%, which masked/faked per-entry regressions; the median of 3
+    # carries a dispersion figure so a real regression is attributable).
+    # Entry caches (/tmp/edlr_cache, keyed on code fingerprint) mean run 1
+    # may pay a one-time index build the later runs skip — the median
+    # reports steady-state execution; the spread records the cold cost.
     from elasticsearch_data_loader_ray.pipelines import catalog
 
+    repeats = int(os.environ.get("EDLR_QUERY_REPEATS", "3"))
     qtimes: dict[str, float] = {}
+    qspread: dict[str, list[float]] = {}
     for name, fn in catalog.queries().items():
         if name in SKIP_QUERIES:
             continue
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            res = fn(SF_DIR)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                res = fn(SF_DIR)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            # odd n -> true median; even n -> lower median (n=2 == best-of-2)
+            qtimes[name] = round(runs[(len(runs) - 1) // 2], 3)
+            qspread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         except Exception as e:  # report, don't die
             qtimes[name] = -1.0
             print(f"query {name} failed: {e}", file=sys.stderr)
@@ -202,6 +216,8 @@ def run_bench() -> dict:
         "docs_per_sec": round(docs_per_sec, 1),
         "n_postings": stats["n_postings"],
         "n_segments": stats["n_segments"],
+        "query_repeats": repeats,
+        "queries_minmax": qspread,
         "query_p95_secs": round(p95, 4),
         "query_p95_warm_secs": round(p95_warm, 4),
         "batch_search_secs": round(batch_search_secs, 3),

