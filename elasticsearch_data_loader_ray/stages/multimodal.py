@@ -178,11 +178,12 @@ class ImageFeatureStage:
                        + img[..., 2] * 0.114).astype(np.uint8)
             return img
         if mtype == "image/jpeg":
-            # in-repo baseline decoder (stages/jpeg.py) — the dominant
-            # crawl format decodes natively; progressive/exotic streams
-            # fall through to Pillow when present, else the ValueError
-            # propagates (decoder EXISTS for this type — a failed decode is
-            # a malformed-payload row, not a missing-codec strict error)
+            # in-repo decoder (stages/jpeg.py): baseline AND progressive
+            # decode natively — the dominant crawl formats; arithmetic/
+            # lossless/12-bit streams fall through to Pillow when present,
+            # else the ValueError propagates (decoder EXISTS for this type
+            # — a failed decode is a malformed-payload row, not a
+            # missing-codec strict error)
             from .jpeg import decode_jpeg
 
             try:

@@ -96,3 +96,55 @@ def test_feature_stage_decodes_jpeg():
     assert out["decoded"].to_pylist() == [True, False]
     feats = out["features"][0].as_py()
     assert len(feats) == 16 and abs(sum(feats) - 1.0) < 1e-6
+
+
+def test_progressive_equals_baseline_bitwise():
+    """Progressive encoding carries the SAME final coefficients as the
+    baseline encoding, so full progressive decode must be bitwise-equal to
+    baseline decode — this pins every progressive path (interleaved DC
+    first/refine, per-component AC bands, successive approximation,
+    EOBRUN) against the sequential reference."""
+    for shape, q in [((45, 61, 3), 90), ((16, 24), 85), ((8, 8, 3), 50),
+                     ((33, 17), 30), ((64, 48, 3), 95)]:
+        rng = np.random.default_rng(11)
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]]
+        base = (xx * 255 / shape[1] + yy * 200 / shape[0]) % 256
+        img = base if len(shape) == 2 else np.stack(
+            [base, 255 - base, (base + 64) % 256], axis=-1)
+        img = np.clip(img + rng.normal(0, 6, shape), 0, 255).astype(np.uint8)
+        b = decode_jpeg(encode_jpeg(img, quality=q))
+        p = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        assert np.array_equal(b, p), (shape, q)
+
+
+def test_progressive_sparse_exercises_eobrun():
+    """A nearly-flat image makes whole AC bands empty, producing EOB runs
+    spanning many blocks (EOBn, n > 0) — plus refinement correction bits
+    for the isolated spikes."""
+    img = np.full((128, 128, 3), 128, np.uint8)
+    img[5, 5] = 255
+    img[100, 90] = 0
+    pay = encode_jpeg(img, quality=85, progressive=True)
+    sof = pay.find(b"\xff\xc2")
+    assert sof > 0  # really progressive
+    assert pay.count(b"\xff\xda") == 11  # DC + 3x2 AC + DC/3xAC refine
+    assert np.array_equal(decode_jpeg(pay),
+                          decode_jpeg(encode_jpeg(img, quality=85)))
+
+
+def test_progressive_grayscale_spectral_bands():
+    g = _test_image(40, 56)[..., 1]
+    pay = encode_jpeg(g, quality=80, progressive=True)
+    assert pay.count(b"\xff\xda") == 5  # DC, AC 1-5/6-63, 2 refines
+    dec = decode_jpeg(pay)
+    assert dec.shape == g.shape
+    assert np.array_equal(dec, decode_jpeg(encode_jpeg(g, quality=80)))
+
+
+def test_rejects_lossless_and_bad_scan_params():
+    img = _test_image(16, 16)
+    payload = bytearray(encode_jpeg(img))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC3  # lossless
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
