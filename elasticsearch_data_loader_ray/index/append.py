@@ -297,8 +297,10 @@ def _run_append(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
     if os.path.isdir(ts_dir):
         shutil.rmtree(ts_dir)
     from .build import drop_termdict
+    from .pruned import drop_pruned
 
     drop_termdict(index_dir)
+    drop_pruned(index_dir)
     out = _finalize(index_dir, gen_plan, cfg, timings, extra={
         "dl_total": dl_total,
         "tombstone_files": tombstone_files,

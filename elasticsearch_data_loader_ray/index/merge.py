@@ -302,6 +302,9 @@ def merge_segments(index_dir: str, group_size: int = 2,
     had_td = os.path.exists(
         os.path.join(index_dir, "termdict", "_SUCCESS"))
     drop_termdict(index_dir)
+    from .pruned import drop_pruned
+
+    drop_pruned(index_dir)  # stale epoch; rebuilt on demand, not eagerly
     if had_td:
         # meta must list exactly the set a reader will resolve as VISIBLE,
         # so exclude any crashed-append orphans still on disk

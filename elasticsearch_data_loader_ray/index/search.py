@@ -1237,6 +1237,23 @@ class LocalSearcher:
             if meta.get("seg_ids") == [int(s) for s in self.seg_ids]:
                 self.termdict_files = sorted(
                     _glob.glob(os.path.join(td_dir, "*.parquet")))
+        # statically-pruned postings sidecar (index/pruned.py) — powers
+        # the OPT-IN or_strategy="pruned" path only; epoch-validated like
+        # the termdict
+        self.pruned_files: list[str] = []
+        self._pruned_rg_index: list[tuple] | None = None
+        self._pruned_cache: "OrderedDict[tuple, tuple | None]" = \
+            OrderedDict()
+        pr_dir = os.path.join(index_dir, "pruned")
+        if os.path.exists(os.path.join(pr_dir, "_SUCCESS")):
+            try:
+                pmeta = mf.read_json(os.path.join(pr_dir, "meta.json"))
+            except (OSError, ValueError):
+                pmeta = {}
+            if pmeta.get("seg_ids") == [int(s) for s in self.seg_ids]:
+                self.pruned_files = sorted(
+                    _glob.glob(os.path.join(pr_dir, "*.parquet")))
+        self.last_pruned_bound = 0.0
 
     def _read_terms(self, dict_cols: list[str], terms_by_field: dict,
                     positions: bool = False) -> pa.Table:
@@ -1881,13 +1898,22 @@ class LocalSearcher:
           measured hot cost (574 ms warm for a 4-common-term query at 4M
           docs). The buffer is ≤ 8 MiB regardless of corpus size."""
         by_term = self._postings_for(field, terms)
+        contribs = self._contribs_for(field, terms, by_term, idf, dl, avgdl)
+        return self._accumulate_or(terms, by_term, contribs, k,
+                                   after, score_mod)
+
+    def _accumulate_or(self, terms: list[str], by_term: dict, contribs: dict,
+                       k: int, after: tuple[float, int] | None = None,
+                       score_mod=None) -> tuple[np.ndarray, np.ndarray]:
+        """Shared OR accumulation + top-k tail over precomputed per-term
+        (doc-id run, contribution) pairs — used by the exact full-decode
+        path and the opt-in statically-pruned path (index/pruned.py)."""
         runs = [ids for t in terms for ids, _tfs in by_term.get(t, [])]
         if not runs:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         total = sum(len(r) for r in runs)
         span_lo = min(int(r[0]) for r in runs)
         span_hi = max(int(r[-1]) for r in runs) + 1
-        contribs = self._contribs_for(field, terms, by_term, idf, dl, avgdl)
         if (total >= self._DENSE_MIN_POSTINGS
                 and total * 16 >= span_hi - span_lo):
             loc, sc = self._accumulate_windowed(
@@ -2064,6 +2090,100 @@ class LocalSearcher:
                 self._contrib_cache.move_to_end(key)
             out[t] = got
         return out
+
+    def _pruned_lookup(self, field: str, terms: list[str]) -> dict:
+        """term -> (doc_ids, contribs, eps) from the pruned sidecar, or
+        None per term absent from it (df below the build's min_df). Rows
+        are (field, term, doc_base)-sorted, so per-term segment runs
+        concatenate into ascending global doc ids; reads are row-group
+        pruned via footer min/max, results FIFO-cached per epoch."""
+        missing = [t for t in terms
+                   if (field, t) not in self._pruned_cache]
+        if missing and self.pruned_files:
+            if self._pruned_rg_index is None:
+                try:
+                    idx = _parse_rg_bounds(self.pruned_files)
+                    meta = mf.read_json(os.path.join(
+                        self.index_dir, "pruned", "meta.json"))
+                except (OSError, ValueError):
+                    idx, meta = None, {}
+                if (idx is None or any(b is None for _pf, b in idx)
+                        or meta.get("seg_ids")
+                        != [int(s) for s in self.seg_ids]):
+                    self.pruned_files = []
+                else:
+                    self._pruned_rg_index = idx
+            if self._pruned_rg_index is not None:
+                pairs = sorted((field, t) for t in missing)
+                chunks: dict[str, list[tuple]] = {}
+                for pf, bounds in self._pruned_rg_index:
+                    need = sorted({
+                        g for g, (fmin, tmin, fmax, tmax)
+                        in enumerate(bounds)
+                        if any((fmin, tmin) <= p <= (fmax, tmax)
+                               for p in pairs)})
+                    if not need:
+                        continue
+                    tb = pf.read_row_groups(need, use_threads=False)
+                    fl = tb["field"].to_pylist()
+                    tl = tb["term"].to_pylist()
+                    db = tb["doc_base"].to_pylist()
+                    ep = tb["eps"].to_pylist()
+                    for i in range(tb.num_rows):
+                        if fl[i] == field and tl[i] in missing:
+                            chunks.setdefault(tl[i], []).append(
+                                (db[i], tb["doc_ids"][i].as_py(),
+                                 tb["contribs"][i].as_py(), ep[i]))
+                for t in missing:
+                    got = chunks.get(t)
+                    if not got:
+                        entry = None
+                    else:
+                        got.sort(key=lambda r: r[0])
+                        ids = np.frombuffer(
+                            b"".join(r[1] for r in got), dtype=np.int64)
+                        con = np.frombuffer(
+                            b"".join(r[2] for r in got), dtype=np.float64)
+                        entry = (ids, con, float(max(r[3] for r in got)))
+                    if len(self._pruned_cache) >= 64:
+                        self._pruned_cache.popitem(last=False)
+                    self._pruned_cache[(field, t)] = entry
+        return {t: self._pruned_cache.get((field, t)) for t in terms}
+
+    def _search_or_pruned(self, field: str, terms: list[str], k: int,
+                          idf: dict[str, float], dl: np.ndarray,
+                          avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """Opt-in approximate disjunction over statically-pruned postings
+        (index/pruned.py): sidecar terms scatter-add PRECOMPUTED exact
+        contributions (no decode, no dl gather); terms below the pruning
+        df threshold fall back to the exact path, so selective terms lose
+        nothing. Same float64 accumulation order as the exact path —
+        a returned doc's score is exact iff all its query-term postings
+        were kept, else a lower bound; ``last_pruned_bound`` carries the
+        summed per-term error bound for this query."""
+        got = self._pruned_lookup(field, terms) if self.pruned_files \
+            else {t: None for t in terms}
+        miss = [t for t in terms if got.get(t) is None]
+        full: dict = {}
+        cf: dict = {}
+        if miss:
+            full = self._postings_for(field, miss)
+            cf = self._contribs_for(field, miss, full, idf, dl, avgdl)
+        by_term: dict = {}
+        contribs: dict = {}
+        bound = 0.0
+        for t in terms:
+            g = got.get(t)
+            if g is not None:
+                ids, con, eps = g
+                by_term[t] = [(ids, None)]
+                contribs[t] = [con]
+                bound += eps
+            else:
+                by_term[t] = full.get(t, [])
+                contribs[t] = cf.get(t, [])
+        self.last_pruned_bound = bound
+        return self._accumulate_or(terms, by_term, contribs, k)
 
     def _search_and_fulldecode(self, field: str, terms: list[str], k: int,
                                idf: dict[str, float], dl: np.ndarray,
@@ -2496,6 +2616,8 @@ class LocalSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         dl = self._dl_for(field)
         avgdl = _avgdl(self.stats, field)
+        if or_strategy == "pruned":  # opt-in approximate (index/pruned.py)
+            return self._search_or_pruned(field, terms, k, idf, dl, avgdl)
         if (or_strategy in ("auto", "blockmax") and len(terms) == 1
                 and (or_strategy == "blockmax"
                      or len(self.seg_ids) <= self.BLOCKMAX_MAX_SEGMENTS)

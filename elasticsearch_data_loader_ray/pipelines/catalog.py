@@ -1192,6 +1192,40 @@ def q_bm25_topk(sf_dir: str):
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
+def q_bm25_pruned_topk(sf_dir: str):
+    """BM25 top-k served from the statically-pruned postings sidecar
+    (index/pruned.py, ``or_strategy="pruned"``). Built with keep_frac=1.0,
+    where the pruned path is BITWISE-equal to exact scoring (same float64
+    accumulation order over the full kept lists), so the standard bm25 SQL
+    oracle applies — the approximation behavior at keep_frac < 1 is the
+    pytest-covered, documented opt-in (tests/test_pruned.py)."""
+    from ..index.pruned import build_pruned_postings
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    build_pruned_postings(idx, min_df=max(200, n_docs // 20), keep_frac=1.0)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        ids, sc = lo.search(q, k=DOC_K + 20, or_strategy="pruned")
+        for d, s in zip(ids.tolist(), sc.tolist()):
+            rows.append((qid, d, s))
+    if not rows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    import pandas as pd
+
+    res = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    res["doc_id"] = dmap[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
 def _ensure_append_index(sf_dir: str) -> str:
     """Half-build + half-append index over the documents table: docs below
     the median doc_id are built, the rest APPENDED as a second generation
@@ -3647,6 +3681,7 @@ def queries() -> dict:
         "langid_quality": q_langid_quality,
         "fingerprint": q_fingerprint,
         "bm25_topk": q_bm25_topk,
+        "bm25_pruned_topk": q_bm25_pruned_topk,
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
         "more_like_this": q_more_like_this,
@@ -3726,6 +3761,8 @@ def oracle_sql() -> dict:
         "langid_quality": SQL_LANGID_QUALITY,
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
+        # keep_frac=1.0 makes the pruned path bitwise-exact -> same oracle
+        "bm25_pruned_topk": _sql_bm25_topk(),
         "search_after_page": _sql_search_after_page(),
         "function_score_topk": _sql_function_score_topk(),
         "more_like_this": _sql_more_like_this(),
