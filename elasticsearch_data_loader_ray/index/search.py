@@ -2596,6 +2596,7 @@ class LocalSearcher:
 
     def _search_uncached(self, query: str, k: int, field: str, mode: str,
                          or_strategy: str) -> tuple[np.ndarray, np.ndarray]:
+        self.last_pruned_bound = 0.0  # only _search_or_pruned sets it
         if mode == "fuzzy":
             return self.search_fuzzy(query, k, field)
         if mode == "wildcard":

@@ -125,12 +125,14 @@ def main_impl(ray) -> None:
     for q in qs:
         ids_e, sc_e = s.search(q, k=10, or_strategy="exact")
         ids_p, sc_p = s.search(q, k=10, or_strategy="pruned")
+        if len(ids_e) == 0:  # term absent from corpus: nothing to rank
+            continue
         inter = set(ids_e.tolist()) & set(ids_p.tolist())
-        fid[q] = {"overlap10": len(inter),
+        fid[q] = {"overlap": len(inter), "of": len(ids_e),
                   "bound": round(float(s.last_pruned_bound), 3)}
     out["fidelity"] = fid
-    out["overlap10_mean"] = round(
-        sum(v["overlap10"] for v in fid.values()) / len(fid), 2)
+    out["overlap_mean"] = round(
+        sum(v["overlap"] / v["of"] for v in fid.values()) / len(fid), 3)
     print(json.dumps(out))
     import ray as _ray
 
