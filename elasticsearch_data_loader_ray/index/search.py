@@ -2569,7 +2569,10 @@ class LocalSearcher:
         postings (lexicographic accumulation); 'blockmax' runs the
         disjunctive block-max path; 'auto' picks blockmax when the df skew
         suggests skipping pays (rare term + long common lists). Scores are
-        bitwise-identical across strategies.
+        bitwise-identical across those three. 'pruned' (OPT-IN, never
+        chosen by auto) serves high-df terms from the statically-pruned
+        sidecar when one is built for this epoch (index/pruned.py) —
+        approximate for dense ORs; see ``last_pruned_bound``.
 
         Repeated identical requests are served from an exact result cache
         (the ES shard-request-cache analogue): keyed on the full request,
