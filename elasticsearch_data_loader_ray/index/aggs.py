@@ -460,7 +460,7 @@ def _dl_agg_partials(batch: pa.Table, *, index_dir: str, field: str,
     _stats, deleted = worker_state(index_dir)
     hist: dict[int, int] = {}
     rcnt = np.zeros(len(ranges or ()), dtype=np.int64)
-    cnt, mn, mx, sm = 0, None, None, 0
+    cnt, mn, mx, sm, sq = 0, None, None, 0, 0
     for seg_id in batch["segment_id"].to_pylist():
         seg_id = int(seg_id)
         ids = _matched_ids(index_dir, seg_id, field,
@@ -493,6 +493,7 @@ def _dl_agg_partials(batch: pa.Table, *, index_dir: str, field: str,
         else:
             cnt += len(v)
             sm += int(v.sum())
+            sq += int((v * v).sum())
             mn = int(v.min()) if mn is None else min(mn, int(v.min()))
             mx = int(v.max()) if mx is None else max(mx, int(v.max()))
     if ranges is not None:
@@ -510,11 +511,13 @@ def _dl_agg_partials(batch: pa.Table, *, index_dir: str, field: str,
         return pa.table({"doc_count": pa.array([], pa.int64()),
                          "min_v": pa.array([], pa.int64()),
                          "max_v": pa.array([], pa.int64()),
-                         "sum_v": pa.array([], pa.int64())})
+                         "sum_v": pa.array([], pa.int64()),
+                         "sum_sq": pa.array([], pa.int64())})
     return pa.table({"doc_count": pa.array([cnt], pa.int64()),
                      "min_v": pa.array([mn], pa.int64()),
                      "max_v": pa.array([mx], pa.int64()),
-                     "sum_v": pa.array([sm], pa.int64())})
+                     "sum_v": pa.array([sm], pa.int64()),
+                     "sum_sq": pa.array([sq], pa.int64())})
 
 
 def histogram_agg(index_dir: str, query: str, interval: int,
@@ -687,6 +690,206 @@ def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
         "max_word_count": pa.array([int(per_seg["max_v"].max())], pa.int64()),
         "sum_word_count": pa.array([sm], pa.int64()),
         "avg_word_count": pa.array([sm / cnt], pa.float64()),
+    })
+
+
+def extended_stats_agg(index_dir: str, query: str,
+                       field: str = DEFAULT_FIELD,
+                       metric_field: str | None = None,
+                       concurrency: int | None = None) -> pa.Table:
+    """ES ``extended_stats`` aggregation over the matching docs' token
+    counts: stats plus sum_of_squares, (population) variance and
+    std_deviation, Lucene's ExtendedStats reduce. Partials stay integer
+    (count, min, max, sum, sum of squares) per segment, so the merge is
+    exact; only the final moments are float, computed with one fixed
+    expression shape (``sq/n - (s/n)*(s/n)``) mirrored by the SQL oracle
+    so the hash compare is bitwise-stable."""
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"doc_count": pa.array([0], pa.int64()),
+                      "min_word_count": pa.array([None], pa.int64()),
+                      "max_word_count": pa.array([None], pa.int64()),
+                      "sum_word_count": pa.array([0], pa.int64()),
+                      "sum_of_squares": pa.array([0], pa.int64()),
+                      "avg_word_count": pa.array([None], pa.float64()),
+                      "variance": pa.array([None], pa.float64()),
+                      "std_deviation": pa.array([None], pa.float64())})
+    if not terms or not seg_ids:
+        return empty
+    per_seg = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _dl_agg_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "field": field, "terms": terms,
+                "metric_field": metric_field or field,
+                "interval": None},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()
+    )
+    if len(per_seg) == 0 or per_seg["doc_count"].sum() == 0:
+        return empty
+    cnt = int(per_seg["doc_count"].sum())
+    sm = int(per_seg["sum_v"].sum())
+    sq = int(per_seg["sum_sq"].sum())
+    mean = sm / cnt
+    # population variance, clamped at 0 against FP cancellation — the SQL
+    # oracle uses the identical expression (greatest(..., 0))
+    var = max(sq / cnt - mean * mean, 0.0)
+    return pa.table({
+        "doc_count": pa.array([cnt], pa.int64()),
+        "min_word_count": pa.array([int(per_seg["min_v"].min())], pa.int64()),
+        "max_word_count": pa.array([int(per_seg["max_v"].max())], pa.int64()),
+        "sum_word_count": pa.array([sm], pa.int64()),
+        "sum_of_squares": pa.array([sq], pa.int64()),
+        "avg_word_count": pa.array([mean], pa.float64()),
+        "variance": pa.array([var], pa.float64()),
+        "std_deviation": pa.array([float(np.sqrt(var))], pa.float64()),
+    })
+
+
+def filters_agg(index_dir: str, filters: dict[str, str],
+                field: str = DEFAULT_FIELD, mode: str = "or",
+                concurrency: int | None = None) -> pa.Table:
+    """ES ``filters`` aggregation: one named bucket per filter query,
+    each counting its own matching docs independently (buckets may
+    overlap, exactly like ES). All filters share ONE Dataset job — the
+    per-segment partials union every filter's terms into a single
+    postings read (:func:`..export.count_matches_many`). Output is
+    key-ascending for determinism (ES returns insertion order; callers
+    that need it can reorder the small result)."""
+    from .export import count_matches_many
+
+    names = sorted(filters)
+    t = count_matches_many(index_dir, [filters[n] for n in names],
+                           field=field, mode=mode, concurrency=concurrency)
+    return pa.table({
+        "filter_key": pa.array(names, pa.string()),
+        "doc_count": t["n_matched"],
+    })
+
+
+def _composite_partials(batch: pa.Table, *, index_dir: str,
+                        columns: list[str], field: str,
+                        terms: list[str]) -> pa.Table:
+    """Task: per-segment composite-agg partials — the matched docs'
+    (col1, col2, ...) tuples pre-aggregated to (keys..., doc_count) rows
+    bounded by the segment's distinct tuple count."""
+    _stats, deleted = worker_state(index_dir)
+    parts = []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field, terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        cols = {}
+        for column in columns:
+            dv = pq.read_table(_dv_path(index_dir, column, seg_id),
+                               columns=["doc_id", column])
+            pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+            cols[column] = dv[column].combine_chunks().take(pa.array(pos))
+        seg_t = pa.table(cols)
+        # ES composite default (missing_bucket=false): docs missing any
+        # source value are skipped
+        mask = None
+        for column in columns:
+            valid = pc.is_valid(seg_t[column])
+            mask = valid if mask is None else pc.and_(mask, valid)
+        seg_t = seg_t.filter(mask)
+        if len(seg_t) == 0:
+            continue
+        agg = seg_t.group_by(columns).aggregate([([], "count_all")])
+        agg = agg.rename_columns(list(columns) + ["doc_count"])
+        parts.append(agg)
+    if not parts:
+        return pa.table(
+            {**{c: pa.array([], pa.string()) for c in columns},
+             "doc_count": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)
+
+
+def composite_agg(index_dir: str, query: str,
+                  sources: tuple[str, ...] = ("lang", "source"),
+                  size: int = 10, after: tuple | None = None,
+                  field: str = DEFAULT_FIELD,
+                  concurrency: int | None = None) -> pa.Table:
+    """ES ``composite`` aggregation: every (sources...) value tuple of
+    the matching docs as a bucket, key-ascending, paginated with an
+    exclusive ``after`` key — the scroll-safe agg ES offers for full
+    bucket enumeration. Per-segment partials are bounded by distinct
+    tuples; the merge is a multi-key ``groupby().sum`` over partials,
+    and the page cut (after-filter + size) happens on the reduced bucket
+    list, exactly like ES's coordinate-node reduce."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    srcs = list(sources)
+    empty = pa.table({**{c: pa.array([], pa.string()) for c in srcs},
+                      "doc_count": pa.array([], pa.int64())})
+    if not terms or not seg_ids:
+        return empty
+    for c in srcs:
+        build_doc_values(index_dir, c)
+    merged = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _composite_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "columns": srcs, "field": field,
+                "terms": terms},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .groupby(srcs)
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if len(merged) == 0:
+        return empty
+    merged = merged.sort_values(srcs).reset_index(drop=True)
+    if after is not None:
+        aft = tuple(after)
+        keep = [tuple(row) > aft
+                for row in merged[srcs].itertuples(index=False)]
+        merged = merged[keep]
+    merged = merged.head(size)
+    return pa.table({
+        **{c: pa.array(merged[c].astype(str), pa.string()) for c in srcs},
+        "doc_count": pa.array(merged["doc_count"].to_numpy(), pa.int64()),
+    })
+
+
+def date_histogram_pipeline_agg(index_dir: str, query: str,
+                                calendar_interval: str = "day",
+                                column: str = "warc_ts",
+                                field: str = DEFAULT_FIELD,
+                                concurrency: int | None = None) -> pa.Table:
+    """ES pipeline aggregations (``cumulative_sum`` + ``derivative``)
+    over a date_histogram: computed on the REDUCED bucket list — exactly
+    where ES computes pipeline aggs (coordinator-side, after the shard
+    merge), so the driver-side numpy here is the scale-correct shape,
+    not a shortcut. The first bucket's derivative is null (ES emits no
+    value for it)."""
+    base = date_histogram_agg(index_dir, query, calendar_interval,
+                              column=column, field=field,
+                              concurrency=concurrency)
+    dc = base["doc_count"].to_numpy()
+    cum = np.cumsum(dc)
+    deriv = np.full(len(dc), np.nan)
+    if len(dc) > 1:
+        deriv[1:] = np.diff(dc).astype(np.float64)
+    return pa.table({
+        "key": base["key"],
+        "doc_count": base["doc_count"],
+        "cumulative_docs": pa.array(cum, pa.int64()),
+        "derivative": pa.array(
+            [None if np.isnan(d) else float(d) for d in deriv],
+            pa.float64()),
     })
 
 

@@ -1997,6 +1997,161 @@ def _sql_date_histogram_match() -> str:
     )
 
 
+def q_date_pipeline_agg(sf_dir: str):
+    """ES pipeline aggs (cumulative_sum + derivative) over a day
+    date_histogram of the matching docs — buckets from the distributed
+    partial merge, pipeline values computed on the reduced bucket list
+    (the coordinator-side shape ES itself uses)."""
+    from ..index.aggs import date_histogram_pipeline_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return date_histogram_pipeline_agg(idx, TERMS_AGG_QUERY, "day")
+
+
+def _sql_date_pipeline_agg() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "hist AS (SELECT date_trunc('day', TIMESTAMP '2024-01-01' "
+        "+ to_hours(doc_id)) AS key, count(*)::BIGINT AS doc_count "
+        "FROM hits GROUP BY 1) "
+        "SELECT key, doc_count, "
+        "sum(doc_count) OVER (ORDER BY key)::BIGINT AS cumulative_docs, "
+        "CAST(doc_count - lag(doc_count) OVER (ORDER BY key) AS DOUBLE) "
+        "AS derivative FROM hist ORDER BY key ASC"
+    )
+
+
+# ES filters agg: named buckets, each independently counting its own
+# query's matches (buckets overlap); one includes a zero-hit filter
+FILTERS_AGG = {
+    "f_common": "the data",
+    "f_hash": "hash",
+    "f_join": "the fast join",
+    "f_none": "zzqmissing",
+}
+
+
+def q_filters_agg_match(sf_dir: str):
+    """ES filters aggregation: one named bucket per filter query, all
+    filters sharing a single Dataset job (per-segment partials union the
+    filters' terms into one postings read). Key-ascending output."""
+    from ..index.aggs import filters_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return filters_agg(idx, FILTERS_AGG)
+
+
+def _sql_filters_agg_match() -> str:
+    from ..index.search import query_terms
+
+    parts = []
+    for name in sorted(FILTERS_AGG):
+        terms = query_terms(FILTERS_AGG[name])
+        vals = ", ".join(f"('{t}')" for t in terms)
+        parts.append(
+            f"SELECT '{name}' AS filter_key, "
+            f"count(DISTINCT doc_id)::BIGINT AS doc_count "
+            f"FROM toks WHERE term IN (VALUES {vals})"
+        )
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs) "
+        "SELECT * FROM (" + " UNION ALL ".join(parts) +
+        ") ORDER BY filter_key ASC"
+    )
+
+
+COMPOSITE_SIZE = 7
+COMPOSITE_AFTER = ("en", "src15")
+
+
+def q_composite_agg_page(sf_dir: str):
+    """ES composite aggregation, page 2: (lang, source) buckets of the
+    matching docs, key-ascending, resumed after an exclusive after-key —
+    the scroll-safe full-bucket-enumeration agg. Per-segment partials
+    bounded by distinct tuples; multi-key groupby merge; page cut on the
+    reduced buckets."""
+    from ..index.aggs import composite_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return composite_agg(idx, TERMS_AGG_QUERY,
+                         sources=("lang", "source"),
+                         size=COMPOSITE_SIZE, after=COMPOSITE_AFTER)
+
+
+def _sql_composite_agg_page() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    a0, a1 = COMPOSITE_AFTER
+    return (
+        "WITH docs AS (SELECT doc_id, lang, source, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT d.lang AS lang, d.source AS source, "
+        "count(*)::BIGINT AS doc_count "
+        "FROM hits h JOIN docs d USING (doc_id) "
+        "WHERE d.lang IS NOT NULL AND d.source IS NOT NULL "
+        f"AND (d.lang, d.source) > ('{a0}', '{a1}') "
+        f"GROUP BY 1, 2 ORDER BY lang ASC, source ASC "
+        f"LIMIT {COMPOSITE_SIZE}"
+    )
+
+
+def q_extended_stats_match(sf_dir: str):
+    """ES extended_stats aggregation: stats plus sum_of_squares,
+    population variance and std_deviation of word_count over the docs
+    matching an OR match query — integer partials per segment, exact
+    merge, one fixed float expression shape for the moments (mirrored
+    by the oracle)."""
+    from ..index.aggs import extended_stats_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return extended_stats_agg(idx, TERMS_AGG_QUERY)
+
+
+def _sql_extended_stats_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    var = ("greatest(sum_of_squares::DOUBLE / doc_count - "
+           "(sum_word_count::DOUBLE / doc_count) * "
+           "(sum_word_count::DOUBLE / doc_count), 0.0)")
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "base AS (SELECT count(*)::BIGINT AS doc_count, "
+        "min(coalesce(dl.dl, 0))::BIGINT AS min_word_count, "
+        "max(coalesce(dl.dl, 0))::BIGINT AS max_word_count, "
+        "sum(coalesce(dl.dl, 0))::BIGINT AS sum_word_count, "
+        "sum(coalesce(dl.dl, 0) * coalesce(dl.dl, 0))::BIGINT "
+        "AS sum_of_squares "
+        "FROM hits h LEFT JOIN dl USING (doc_id)) "
+        "SELECT doc_count, min_word_count, max_word_count, "
+        "sum_word_count, sum_of_squares, "
+        "sum_word_count::DOUBLE / doc_count AS avg_word_count, "
+        f"{var} AS variance, sqrt({var}) AS std_deviation FROM base"
+    )
+
+
 def q_stats_agg_match(sf_dir: str):
     """ES stats aggregation: (doc_count, min, max, sum, avg) of
     word_count over the docs matching an OR match query — exact integer
@@ -3695,6 +3850,10 @@ def queries() -> dict:
         "terms_agg_match": q_terms_agg_match,
         "histogram_agg_match": q_histogram_agg_match,
         "date_histogram_match": q_date_histogram_match,
+        "date_pipeline_agg": q_date_pipeline_agg,
+        "filters_agg_match": q_filters_agg_match,
+        "composite_agg_page": q_composite_agg_page,
+        "extended_stats_match": q_extended_stats_match,
         "mget_docs": q_mget_docs,
         "stats_agg_match": q_stats_agg_match,
         "range_agg_match": q_range_agg_match,
@@ -3778,6 +3937,10 @@ def oracle_sql() -> dict:
         "terms_agg_match": _sql_terms_agg_match(),
         "histogram_agg_match": _sql_histogram_agg_match(),
         "date_histogram_match": _sql_date_histogram_match(),
+        "date_pipeline_agg": _sql_date_pipeline_agg(),
+        "filters_agg_match": _sql_filters_agg_match(),
+        "composite_agg_page": _sql_composite_agg_page(),
+        "extended_stats_match": _sql_extended_stats_match(),
         "mget_docs": _sql_mget_docs(),
         "stats_agg_match": _sql_stats_agg_match(),
         "range_agg_match": _sql_range_agg_match(),

@@ -327,3 +327,158 @@ def test_date_histogram_matches_brute_force(tmp_path_factory):
 
     with _pytest.raises(ValueError):
         date_histogram_agg(idx, "match", "fortnight")
+
+
+def test_extended_stats_matches_numpy(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import extended_stats_agg
+
+    idx, texts, _l = agg_index
+    got = extended_stats_agg(idx, "the data").to_pandas().iloc[0]
+    toks = [analyze("standard", t) for t in texts]
+    dls = np.array([len(tk) for tk in toks
+                    if {"the", "data"} & set(tk)], dtype=np.int64)
+    n, s, sq = len(dls), int(dls.sum()), int((dls * dls).sum())
+    assert got["doc_count"] == n
+    assert got["min_word_count"] == dls.min()
+    assert got["max_word_count"] == dls.max()
+    assert got["sum_word_count"] == s
+    assert got["sum_of_squares"] == sq
+    assert got["avg_word_count"] == s / n
+    mean = s / n
+    var = max(sq / n - mean * mean, 0.0)
+    assert got["variance"] == var  # exact: same expression shape
+    assert got["std_deviation"] == np.sqrt(var)
+    # cross-check against numpy's population variance (float tolerance)
+    assert got["variance"] == pytest.approx(np.var(dls), rel=1e-12)
+
+
+def test_extended_stats_unmatched_is_empty_row(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import extended_stats_agg
+
+    idx, _t, _l = agg_index
+    got = extended_stats_agg(idx, "zzqnothing").to_pandas().iloc[0]
+    assert got["doc_count"] == 0
+    assert got["sum_of_squares"] == 0
+
+
+def test_filters_agg_counts_each_bucket_independently(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import filters_agg
+
+    idx, texts, _l = agg_index
+    got = filters_agg(idx, {"b_fast": "fast", "a_thedata": "the data",
+                            "c_none": "zzqnothing"}).to_pandas()
+    toks = [set(analyze("standard", t)) for t in texts]
+    want = {
+        "a_thedata": sum(1 for tk in toks if {"the", "data"} & tk),
+        "b_fast": sum(1 for tk in toks if "fast" in tk),
+        "c_none": 0,
+    }
+    # key-ascending, overlapping buckets each counted independently
+    assert got["filter_key"].tolist() == sorted(want)
+    assert dict(zip(got["filter_key"], got["doc_count"])) == want
+
+
+@pytest.fixture(scope="module")
+def composite_index(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    n = 300
+    texts = [" ".join(rng.choice(VOCAB, rng.integers(3, 12)))
+             for _ in range(n)]
+    lg = [None if i % 29 == 0 else LANGS[i % 4] for i in range(n)]
+    src = [None if i % 31 == 0 else f"s{i % 5}" for i in range(n)]
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(lg, pa.string()),
+        "source": pa.array(src, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("comp_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=64))
+    return idx, texts, lg, src
+
+
+def _composite_want(texts, lg, src, query_terms_set):
+    toks = [set(analyze("standard", t)) for t in texts]
+    cnt = Counter()
+    for i in range(len(texts)):
+        if query_terms_set & toks[i] and lg[i] is not None \
+                and src[i] is not None:
+            cnt[(lg[i], src[i])] += 1
+    return sorted(cnt.items())
+
+
+def test_composite_agg_first_page_and_null_skip(composite_index):
+    from elasticsearch_data_loader_ray.index.aggs import composite_agg
+
+    idx, texts, lg, src = composite_index
+    want = _composite_want(texts, lg, src, {"the", "data"})
+    got = composite_agg(idx, "the data", sources=("lang", "source"),
+                        size=1000).to_pandas()
+    keys = list(zip(got["lang"], got["source"]))
+    assert keys == [k for k, _ in want]  # key-ascending, nulls skipped
+    assert got["doc_count"].tolist() == [v for _, v in want]
+
+
+def test_composite_agg_pages_tile_the_bucket_space(composite_index):
+    from elasticsearch_data_loader_ray.index.aggs import composite_agg
+
+    idx, texts, lg, src = composite_index
+    want = _composite_want(texts, lg, src, {"the", "data"})
+    pages, after = [], None
+    for _ in range(100):
+        page = composite_agg(idx, "the data", sources=("lang", "source"),
+                             size=3, after=after).to_pandas()
+        if len(page) == 0:
+            break
+        pages.extend(zip(page["lang"], page["source"],
+                         page["doc_count"]))
+        after = (page["lang"].iloc[-1], page["source"].iloc[-1])
+    assert [(a, b) for a, b, _ in pages] == [k for k, _ in want]
+    assert [c for _, _, c in pages] == [v for _, v in want]
+
+
+def test_date_pipeline_agg_cumsum_and_derivative(tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        date_histogram_agg,
+        date_histogram_pipeline_agg,
+    )
+
+    n = 90
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = [base + np.timedelta64(i * 11, "h") for i in range(n)]
+    texts = ["match me" if i % 2 else "other text" for i in range(n)]
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("pipe_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=32))
+    base_t = date_histogram_agg(idx, "match", "day").to_pandas()
+    got = date_histogram_pipeline_agg(idx, "match", "day").to_pandas()
+    assert got["key"].tolist() == base_t["key"].tolist()
+    assert got["doc_count"].tolist() == base_t["doc_count"].tolist()
+    dc = base_t["doc_count"].to_numpy()
+    assert got["cumulative_docs"].tolist() == np.cumsum(dc).tolist()
+    assert np.isnan(got["derivative"].iloc[0])  # ES: no first-bucket value
+    assert got["derivative"].iloc[1:].tolist() == np.diff(dc).tolist()
+
+
+def test_date_pipeline_agg_unmatched_empty(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        date_histogram_pipeline_agg,
+    )
+
+    idx, _t, _l = agg_index
+    got = date_histogram_pipeline_agg(idx, "zzqnothing", "day")
+    assert got.num_rows == 0
+    assert got.column_names == ["key", "doc_count", "cumulative_docs",
+                                "derivative"]
