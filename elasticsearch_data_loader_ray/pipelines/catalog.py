@@ -1046,6 +1046,77 @@ SQL_FINGERPRINT = (
 )
 
 
+def q_pii_redact(sf_dir: str):
+    """PII detection + redaction (emails / IPv4s / phone numbers) — the
+    pretraining-hygiene scrub, fully vectorized (one RE2 scan per
+    pattern via pyarrow.compute, no row loop; ``stages/pii.py``).
+
+    The synthetic corpus carries no PII, so the entry first INJECTS
+    deterministic doc_id-derived PII spans (same expression in the SQL
+    oracle), then counts matches on the injected text and md5-hashes the
+    redacted output — the oracle verifies both detection and redaction
+    byte-exactly."""
+    from ..stages.pii import pii_counts, pii_redact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        ids = did.astype("U20")
+        em = np.where(
+            did % 7 == 0,
+            np.char.add(np.char.add(" contact user", ids), "@example.com"),
+            "")
+        ip = np.where(
+            did % 11 == 0,
+            np.char.add(np.char.add(np.char.add(
+                " from 10.0.", (did % 250).astype("U3")), "."),
+                ((did // 250) % 250).astype("U3")),
+            "")
+        ph = np.where(
+            did % 13 == 0,
+            np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+                " call ", (100 + did % 900).astype("U3")), "-"),
+                np.char.zfill((did % 1000).astype("U4"), 3)), "-"),
+                np.char.zfill((did % 10000).astype("U5"), 4)),
+            "")
+        inj = np.char.add(np.char.add(em, ip), ph)
+        t2 = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), pa.array(inj, pa.string()), "")
+        out = {"doc_id": t["doc_id"]}
+        out.update(pii_counts(t2))
+        out["redacted_md5"] = _md5_batch(pii_redact(t2))
+        return pa.table(out)
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def _sql_pii_redact() -> str:
+    from ..stages.pii import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _rep in PII_PATTERNS}
+    red = "t2"
+    for name, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return (
+        "WITH base AS (SELECT doc_id, coalesce(text, '') || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
+        "'@example.com' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || (doc_id % 250) "
+        "|| '.' || ((doc_id // 250) % 250) ELSE '' END || "
+        "CASE WHEN doc_id % 13 = 0 THEN ' call ' || (100 + doc_id % 900) "
+        "|| '-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS t2 "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(t2, '{pats['email']}'))::BIGINT AS n_email, "
+        f"len(regexp_extract_all(t2, '{pats['ipv4']}'))::BIGINT AS n_ipv4, "
+        f"len(regexp_extract_all(t2, '{pats['phone']}'))::BIGINT AS n_phone, "
+        f"md5({red}) AS redacted_md5 FROM base"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: BM25 top-k over the documents table
 # ---------------------------------------------------------------------------
@@ -3154,6 +3225,56 @@ SQL_EMBEDDING_TOPK = (
 )
 
 
+KMEANS_K = 8
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed k-means ASSIGNMENT step over the embedding column —
+    the inner loop of IVF training (stages/ivf.py runs the full Lloyd
+    iteration on a bounded sample; this entry oracle-checks one exact
+    assignment pass over the whole table). Centroids (the first k
+    vectors, k=8) are broadcast once via ``ray.put``; each batch does a
+    vectorized squared-L2 argmin — integer-only output, so the oracle
+    compare is exact (ties break to the lowest centroid id, matching
+    the SQL's (dist, cid) ordering)."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import vec_matrix
+
+    ct = pq.read_table(emb_path, filters=[("vec_id", "<", KMEANS_K)])
+    order = np.argsort(ct["vec_id"].to_numpy())
+    cents = vec_matrix(ct["embedding"]).astype(np.float64)[order]
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import vec_matrix as _vm
+
+        c = ray.get(c_ref)
+        x = _vm(t["embedding"]).astype(np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        cl = d2.argmin(axis=1)  # first (= lowest cid) wins ties
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+        })
+
+    return rd.read_parquet(emb_path).map_batches(
+        assign, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_KMEANS = (
+    f"WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c "
+    f"FROM embeddings WHERE vec_id < {KMEANS_K}), "
+    "d AS (SELECT e.vec_id, c.cid, "
+    "list_distance(e.embedding::DOUBLE[], c.c) AS dist "
+    "FROM embeddings e CROSS JOIN cents c) "
+    "SELECT vec_id, cid::BIGINT AS cluster FROM ("
+    "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY dist ASC, cid ASC) AS rn FROM d) WHERE rn = 1"
+)
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth: pricing summary (pre-aggregation pattern), windowed agg
 # ---------------------------------------------------------------------------
@@ -3876,6 +3997,8 @@ def queries() -> dict:
         "snippet_match": q_snippet_match,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_kmeans": q_embedding_kmeans,
+        "pii_redact": q_pii_redact,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_tumbling": q_events_tumbling,
         "es_doc_transform": q_es_doc_transform,
@@ -3963,6 +4086,8 @@ def oracle_sql() -> dict:
         "snippet_match": _sql_snippet_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+        "pii_redact": _sql_pii_redact(),
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "events_tumbling": SQL_EVENTS_TUMBLING,
         "es_doc_transform": _sql_es_doc_transform(),

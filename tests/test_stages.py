@@ -401,3 +401,72 @@ def test_resize_plane_and_stage():
     for i in ok[:5]:
         dec = decode_ppm(out["payload"][i].as_py())
         assert dec.shape[:2] == (8, 8)
+
+
+def test_pii_counts_and_redaction():
+    from elasticsearch_data_loader_ray.stages.pii import (
+        pii_counts,
+        pii_redact,
+        pii_scan_batch,
+    )
+
+    texts = pa.array([
+        "mail a.b+c@ex-am.co or ops@sub.domain.io, host 10.0.3.250",
+        "call 555-012-3456 and 555-999-0000 today",
+        None,
+        "clean text with no pii at all",
+        "v4 256.1.1.1 still matches the shape 1.2.3.4",
+    ])
+    c = pii_counts(texts)
+    assert c["n_email"].to_pylist() == [2, 0, 0, 0, 0]
+    assert c["n_ipv4"].to_pylist() == [1, 0, 0, 0, 2]
+    assert c["n_phone"].to_pylist() == [0, 2, 0, 0, 0]
+    red = pii_redact(texts).to_pylist()
+    assert red[0] == "mail [EMAIL] or [EMAIL], host [IP]"
+    assert red[1] == "call [PHONE] and [PHONE] today"
+    assert red[2] == ""  # null -> empty, not null
+    assert red[3] == "clean text with no pii at all"
+    # batch kernel appends counts + redacted column, keeps inputs
+    out = pii_scan_batch(pa.table({"doc_id": [1, 2], "text": [
+        "x@y.io", "nothing"]}))
+    assert out.column_names == ["doc_id", "text", "n_email", "n_ipv4",
+                                "n_phone", "text_redacted"]
+    assert out["text_redacted"].to_pylist() == ["[EMAIL]", "nothing"]
+
+
+def test_pii_redaction_order_and_tld_contract():
+    """The email pattern requires an alphabetic TLD, so an IP-host
+    address is NOT an email (its IP still gets redacted); a dotted
+    alpha-TLD email is consumed whole by the email pass (declared
+    order) before the IP pass runs."""
+    from elasticsearch_data_loader_ray.stages.pii import pii_redact
+
+    red = pii_redact(pa.array(["u@10.0.0.1 plus bare 10.0.0.2",
+                               "u@sub.ex.co stays one token"]))
+    assert red.to_pylist() == ["u@[IP] plus bare [IP]",
+                               "[EMAIL] stays one token"]
+
+
+def test_embedding_kmeans_assignment_matches_brute(tmp_path):
+    from elasticsearch_data_loader_ray.pipelines.catalog import (
+        KMEANS_K,
+        q_embedding_kmeans,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = q_embedding_kmeans(str(tmp_path)).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    c = vecs[:KMEANS_K].astype(np.float64)
+    x = vecs.astype(np.float64)
+    want = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert got["cluster"].to_numpy().tolist() == want.tolist()
+    # the first k vectors are their own centroids
+    assert got["cluster"].iloc[:KMEANS_K].tolist() == list(range(KMEANS_K))
