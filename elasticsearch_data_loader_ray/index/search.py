@@ -2402,6 +2402,53 @@ class LocalSearcher:
             field, terms, k, idf, dl, _avgdl(self.stats, field),
             score_mod=mod)
 
+    def search_boosting(self, positive: str, negative: str,
+                        negative_boost: float = 0.5, k: int = 10,
+                        field: str = DEFAULT_FIELD,
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``boosting`` query: rank by the positive query's BM25
+        score, demoting (NOT excluding — that is must_not) any doc that
+        also matches the negative query by ``negative_boost``
+        (``0 < negative_boost < 1`` demotes; ES allows >1 too).
+
+        Like function_score, the multiplicative demotion breaks
+        block-max upper-bound admissibility, so this routes through
+        exhaustive accumulation with the demotion applied BEFORE the
+        top-k cut via the ``score_mod`` hook (both accumulation
+        layouts). The negative match set is the union of the negative
+        terms' posting ids — one sorted-membership test per candidate
+        batch, no per-row work."""
+        self._maybe_auto_refresh()
+        analyzer = _field_analyzer(self.stats, field)
+        pos_terms = query_terms(positive, analyzer)
+        idf = self._idf(field, pos_terms)
+        terms = [t for t in pos_terms if t in idf]
+        if not terms or self.term_ds is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        neg_terms = sorted(set(query_terms(negative, analyzer)))
+        neg_by = (self._postings_for(field, neg_terms)
+                  if neg_terms else {})
+        neg_runs = [ids for t in neg_terms for ids, _tfs in
+                    neg_by.get(t, [])]
+        neg_ids = (np.unique(np.concatenate(neg_runs)) if neg_runs
+                   else np.empty(0, np.int64))
+        nb = float(negative_boost)
+
+        def mod(sc, loc):
+            if len(neg_ids) == 0:
+                return sc
+            pos = np.searchsorted(neg_ids, loc)
+            pos = np.minimum(pos, len(neg_ids) - 1)
+            hit = neg_ids[pos] == loc
+            out = sc.copy()
+            out[hit] *= nb
+            return out
+
+        dl = self._dl_for(field)
+        return self._search_or_fulldecode(
+            field, terms, k, idf, dl, _avgdl(self.stats, field),
+            score_mod=mod)
+
     def search_bool(self, bq: dict, k: int = 10,
                     field: str = DEFAULT_FIELD
                     ) -> tuple[np.ndarray, np.ndarray]:

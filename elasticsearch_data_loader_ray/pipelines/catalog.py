@@ -1417,6 +1417,70 @@ def _sql_function_score_topk() -> str:
     return base.replace(old, ") * ln(1 + max(dl.dl)) AS score ", 1)
 
 
+BOOSTING_POS = "the data search"
+BOOSTING_NEG = "slow"
+BOOSTING_NB = 0.3
+
+
+def q_boosting_topk(sf_dir: str):
+    """ES boosting query: positive BM25 ranking with docs matching the
+    negative query demoted by negative_boost (0.3) — demotion applied
+    before the top-k cut (exhaustive accumulation; the multiplicative
+    factor breaks block-max bounds, same routing as function_score)."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    ids, sc = lo.search_boosting(BOOSTING_POS, BOOSTING_NEG,
+                                 negative_boost=BOOSTING_NB,
+                                 k=DOC_K + 20)
+    r = np.round(sc, 6)
+    order = np.lexsort((ids, -r))[:DOC_K]
+    return pa.table({
+        "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+        "doc_id": pa.array(dmap[ids[order]], pa.int64()),
+        "score": pa.array(r[order], pa.float64()),
+    })
+
+
+def _sql_boosting_topk() -> str:
+    from ..index.search import query_terms
+
+    pos_vals = ", ".join(f"('{t}')" for t in query_terms(BOOSTING_POS))
+    neg_vals = ", ".join(f"('{t}')" for t in query_terms(BOOSTING_NEG))
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {pos_vals}), "
+        f"neg AS (SELECT DISTINCT doc_id FROM toks "
+        f"WHERE term IN (VALUES {neg_vals})), "
+        "scored AS (SELECT tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl "
+        "/ s.avgdl))) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1) "
+        "SELECT rank, doc_id, score FROM ("
+        "SELECT doc_id, round(score * CASE WHEN doc_id IN "
+        f"(SELECT doc_id FROM neg) THEN {BOOSTING_NB} ELSE 1.0 END, 6) "
+        "AS score, row_number() OVER (ORDER BY round(score * CASE WHEN "
+        f"doc_id IN (SELECT doc_id FROM neg) THEN {BOOSTING_NB} ELSE 1.0 "
+        "END, 6) DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 RESCORE_QUERY = "the data search"
 RESCORE_PHRASE = "data search"  # 2 tokens, no border -> clean SQL oracle
 RESCORE_WINDOW = 20
@@ -3960,6 +4024,7 @@ def queries() -> dict:
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
+        "boosting_topk": q_boosting_topk,
         "more_like_this": q_more_like_this,
         "collapse_topk": q_collapse_topk,
         "rescore_topk": q_rescore_topk,
@@ -4047,6 +4112,7 @@ def oracle_sql() -> dict:
         "bm25_pruned_topk": _sql_bm25_topk(),
         "search_after_page": _sql_search_after_page(),
         "function_score_topk": _sql_function_score_topk(),
+        "boosting_topk": _sql_boosting_topk(),
         "more_like_this": _sql_more_like_this(),
         "collapse_topk": _sql_collapse_topk(),
         "rescore_topk": _sql_rescore_topk(),

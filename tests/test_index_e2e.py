@@ -328,6 +328,43 @@ def test_function_score_modifier_applied_before_cut(index_dir, monkeypatch):
     assert got2_sc.tolist() == got_sc.tolist()
 
 
+def test_boosting_query_demotes_before_cut(index_dir, monkeypatch):
+    """ES boosting query: top-k under positive-BM25 * negative_boost (for
+    docs matching the negative query) == demote-then-sort of the FULL
+    exact ranking; docs are demoted, never excluded; both accumulation
+    layouts agree bitwise."""
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, _ = index_dir
+    s = LocalSearcher(idx)
+    full_ids, full_sc = s.search("the data search", k=s.n_docs,
+                                 or_strategy="exact")
+    neg_ids, _ = s.search("news", k=s.n_docs, or_strategy="exact")
+    neg = set(neg_ids.tolist())
+    want_sc = full_sc.copy()
+    hit = np.array([int(d) in neg for d in full_ids])
+    want_sc[hit] *= 0.3
+    order = np.lexsort((full_ids, -want_sc))[:10]
+    got_ids, got_sc = s.search_boosting("the data search", "news",
+                                        negative_boost=0.3, k=10)
+    assert got_ids.tolist() == full_ids[order].tolist()
+    assert got_sc.tolist() == want_sc[order].tolist()
+    # the demotion must actually reorder (not exclude): some demoted doc
+    # stays in the full ranking with a scaled score
+    assert hit.any()
+    assert got_ids.tolist() != full_ids[:10].tolist()
+    monkeypatch.setattr(LocalSearcher, "_DENSE_MIN_POSTINGS", 1)
+    got2_ids, got2_sc = s.search_boosting("the data search", "news",
+                                          negative_boost=0.3, k=10)
+    assert got2_ids.tolist() == got_ids.tolist()
+    assert got2_sc.tolist() == got_sc.tolist()
+    # no-negative-match degenerates to plain BM25 ranking
+    g3_ids, g3_sc = s.search_boosting("the data search", "zzqmissing",
+                                      negative_boost=0.3, k=10)
+    assert g3_ids.tolist() == full_ids[:10].tolist()
+    assert g3_sc.tolist() == full_sc[:10].tolist()
+
+
 def test_function_score_distributed_matches_local(index_dir):
     """mode='function_score' query rows route per-segment; the merged
     distributed top-k must be bitwise-identical to LocalSearcher's."""
