@@ -546,6 +546,14 @@ def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]
                         int(q.get("k", 10)),
                         f"fscore:{q.get('modifier', 'log1p')}"))
             continue
+        if mode == "boosting":
+            an = _field_analyzer(stats, field)
+            out.append((int(q["query_id"]), field,
+                        {"pos": query_terms(q["query"], an),
+                         "neg": query_terms(q.get("negative", ""), an)},
+                        int(q.get("k", 10)),
+                        f"boosting:{float(q.get('negative_boost', 0.5))!r}"))
+            continue
         if mode == "phrase":
             # ordered token sequence, duplicates kept (position matching)
             terms = list(analyze(_field_analyzer(stats, field), q["query"]))
@@ -586,6 +594,13 @@ class SegmentSearcher:
                     self._extra_dl.add(_range_dl_field(rf))
                 if not terms["load"]:
                     self._rangeonly_bool = True
+                continue
+            if isinstance(_m, str) and _m.startswith("boosting:"):
+                got = self.by_field.setdefault(field, [])
+                got.extend(t for t in terms["pos"]
+                           if (field, t) in self.idf)
+                # negative terms gate demotion; no idf entry needed
+                got.extend(terms["neg"])
                 continue
             items = (terms.items() if isinstance(terms, dict)
                      else [(field, terms)])
@@ -973,6 +988,47 @@ class SegmentSearcher:
         order = np.lexsort((loc, -sc))[:k]
         return (loc[order] + base).astype(np.int64), sc[order]
 
+    def _score_boosting(self, field: str, terms: dict, k: int,
+                        base: int, n: int, dl: np.ndarray,
+                        postings: dict, negative_boost: float
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """boosting query per segment: exhaustive OR accumulation of the
+        positive terms, then docs matching any negative term demoted by
+        ``negative_boost`` BEFORE the per-segment top-k cut — valid
+        because a doc's postings live entirely in its segment.
+        Bitwise-identical to ``LocalSearcher.search_boosting`` (same
+        accumulation order, same elementwise multiply)."""
+        keys = [(field, t) for t in terms["pos"]
+                if (field, t) in postings and (field, t) in self.idf]
+        if not keys:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        avgdl = self.avgdl[field]
+        scores = np.zeros(n, dtype=np.float64)
+        touched = np.zeros(n, dtype=bool)
+        for kk in keys:  # lexicographic order fixed by query_terms()
+            ids, tfs, _ = postings[kk]
+            loc = ids - base
+            scores[loc] += self.idf[kk] * codec.bm25_tf_impact(
+                tfs, dl[loc], avgdl)
+            touched[loc] = True
+        neg = np.zeros(n, dtype=bool)
+        for t in terms["neg"]:
+            kk = (field, t)
+            if kk in postings:
+                neg[postings[kk][0] - base] = True
+        scores[neg] *= negative_boost
+        loc = np.flatnonzero(touched)
+        sc = scores[loc]
+        if len(self._deleted):
+            keepd = _drop_deleted(self._deleted, loc + base)
+            loc, sc = loc[keepd], sc[keepd]
+        if len(loc) > k:
+            kth = np.partition(sc, -k)[-k]
+            keep = sc >= kth
+            loc, sc = loc[keep], sc[keep]
+        order = np.lexsort((loc, -sc))[:k]
+        return (loc[order] + base).astype(np.int64), sc[order]
+
     def _score_union_const(self, field: str, terms: list[str], k: int,
                            postings: dict
                            ) -> tuple[np.ndarray, np.ndarray]:
@@ -1020,6 +1076,10 @@ class SegmentSearcher:
                     ids, sc = self._score_function(
                         field, terms, int(k), base, n, dl[field],
                         postings, mode.split(":", 1)[1])
+                elif mode.startswith("boosting:"):
+                    ids, sc = self._score_boosting(
+                        field, terms, int(k), base, n, dl[field],
+                        postings, float(mode.split(":", 1)[1]))
                 elif mode == "union_const":
                     ids, sc = self._score_union_const(field, terms, int(k),
                                                       postings)
@@ -3081,6 +3141,11 @@ def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
             ids, sc = searcher.search_wildcard(
                 q["query"], int(q.get("k", 10)),
                 q.get("field") or DEFAULT_FIELD)
+        elif q.get("mode") == "boosting":
+            ids, sc = searcher.search_boosting(
+                q["query"], q.get("negative", ""),
+                float(q.get("negative_boost", 0.5)),
+                int(q.get("k", 10)), q.get("field") or DEFAULT_FIELD)
         elif q.get("fields"):
             ids, sc = searcher.search_multi(
                 q["query"], int(q.get("k", 10)), tuple(q["fields"]),
@@ -3141,6 +3206,9 @@ def search(index_dir: str, queries: pa.Table | list[dict],
             for f, ts in terms["load"].items():
                 by_field.setdefault(f, []).extend(ts)
             by_field.setdefault(field, [])  # avgdl for the scored field
+        elif isinstance(_m, str) and _m.startswith("boosting:"):
+            by_field.setdefault(field, []).extend(terms["pos"])
+            by_field[field].extend(terms["neg"])
         elif isinstance(terms, dict):  # multi_match: {field: [terms]}
             for f, ts in terms.items():
                 by_field.setdefault(f, []).extend(ts)

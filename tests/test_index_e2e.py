@@ -385,6 +385,32 @@ def test_function_score_distributed_matches_local(index_dir):
         assert got["score"].tolist() == want_sc.tolist()
 
 
+def test_boosting_distributed_matches_local(index_dir):
+    """mode='boosting' query rows route per-segment (demotion applied
+    before each segment's cut); the merged distributed top-k must be
+    bitwise-identical to LocalSearcher's."""
+    from elasticsearch_data_loader_ray.index.search import (
+        LocalSearcher,
+        search,
+        search_inprocess,
+    )
+
+    idx, _ = index_dir
+    lo = LocalSearcher(idx)
+    for pos, neg, nb in [("the data search", "news", 0.3),
+                         ("data", "the", 0.5),
+                         ("query page", "zzqmissing", 0.1)]:
+        want_ids, want_sc = lo.search_boosting(pos, neg, nb, k=10)
+        q = [{"query_id": 0, "query": pos, "negative": neg,
+              "negative_boost": nb, "k": 10, "mode": "boosting"}]
+        got = search(idx, q).to_pandas()
+        assert got["doc_id"].tolist() == want_ids.tolist()
+        assert got["score"].tolist() == want_sc.tolist()
+        inp = search_inprocess(idx, q).to_pandas()
+        assert inp["doc_id"].tolist() == want_ids.tolist()
+        assert inp["score"].tolist() == want_sc.tolist()
+
+
 def _file_md5s(root):
     """Digest of every data file + manifest CONTENT (timing fields — the
     only run-dependent values — dropped)."""
