@@ -893,6 +893,143 @@ def date_histogram_pipeline_agg(index_dir: str, query: str,
     })
 
 
+def _top_hits_partials(batch: pa.Table, *, index_dir: str, column: str,
+                       field: str, terms: list[str], idf: dict,
+                       avgdl: float, n_per_key: int) -> pa.Table:
+    """Task: per-segment top-``n_per_key`` hits per bucket value for one
+    OR query, plus the segment's full per-key matched-doc count — rows
+    bounded by (keys x n_per_key) per segment, never its doc count.
+    Scoring is the global-idf BM25 convention (term-major lexicographic
+    accumulation, rounded to 6 dp), identical to the serving paths."""
+    from . import codec
+
+    _stats, deleted = worker_state(index_dir)
+    out_s, out_k, out_d, out_sc, out_c = [], [], [], [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        runs = _segment_postings(index_dir, seg_id, field, terms,
+                                 with_tf=True)
+        if not runs:
+            continue
+        all_ids = [ids for rs in runs.values() for ids, _tfs in rs]
+        loc = np.unique(np.concatenate(all_ids))
+        docs = pq.read_table(seg_docs_path(index_dir, seg_id),
+                             columns=["doc_id", _dl_column(field)])
+        base = int(docs["doc_id"][0].as_py())
+        dl = docs[_dl_column(field)].to_numpy().astype(np.float64)
+        sc = np.zeros(len(loc), dtype=np.float64)
+        for t in terms:  # lexicographic accumulation order
+            for ids, tfs in runs.get(t, []):
+                sc[np.searchsorted(loc, ids)] += idf[t] * \
+                    codec.bm25_tf_impact(tfs.astype(np.float64),
+                                         dl[ids - base], avgdl)
+        if len(deleted):
+            keep = _drop_deleted(deleted, loc)
+            loc, sc = loc[keep], sc[keep]
+        if len(loc) == 0:
+            continue
+        r = np.round(sc, 6)
+        dv = pq.read_table(_dv_path(index_dir, column, seg_id),
+                           columns=["doc_id", column])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), loc)
+        vals = dv[column].combine_chunks().take(pa.array(pos))
+        enc = pc.dictionary_encode(vals)
+        # ES terms-agg semantics: docs missing the bucket field are
+        # skipped (null sentinel code, bucket dropped below)
+        null_code = len(enc.dictionary)
+        codes = np.asarray(pc.fill_null(enc.indices, null_code),
+                           dtype=np.int64)
+        valid = codes != null_code
+        loc, r, codes = loc[valid], r[valid], codes[valid]
+        if len(loc) == 0:
+            continue
+        cnts = np.bincount(codes, minlength=len(enc.dictionary))
+        order = np.lexsort((loc, -r))  # (score desc, doc_id asc)
+        oc = codes[order]
+        o2 = np.argsort(oc, kind="stable")  # group keys, keep score order
+        soc = oc[o2]
+        starts = np.flatnonzero(np.r_[True, soc[1:] != soc[:-1]])
+        sizes = np.diff(np.r_[starts, len(soc)])
+        within = np.arange(len(soc)) - np.repeat(starts, sizes)
+        sel = order[o2[within < n_per_key]]
+        names = enc.dictionary.to_pylist()
+        out_s.extend([seg_id] * len(sel))
+        out_k.extend(str(names[c]) for c in codes[sel].tolist())
+        out_d.extend(loc[sel].tolist())
+        out_sc.extend(r[sel].tolist())
+        out_c.extend(cnts[codes[sel]].tolist())
+    return pa.table({"segment_id": pa.array(out_s, pa.int64()),
+                     "key": pa.array(out_k, pa.string()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "score": pa.array(out_sc, pa.float64()),
+                     "seg_count": pa.array(out_c, pa.int64())})
+
+
+def top_hits_agg(index_dir: str, query: str, column: str,
+                 num_buckets: int = 10, size_per_bucket: int = 3,
+                 field: str = DEFAULT_FIELD,
+                 concurrency: int | None = None) -> pa.Table:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation: the
+    top-``num_buckets`` values of ``column`` by matched-doc count, each
+    carrying its ``size_per_bucket`` best-scoring hits. Per-segment
+    partials are bounded by (keys x size_per_bucket); the driver merge
+    re-ranks the tiny partial set — the ES coordinator reduce shape.
+    Returns (key, doc_count, hit_rank, doc_id, score) ordered
+    (doc_count desc, key asc, hit_rank asc)."""
+    from .search import _avgdl, load_global_idf
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "doc_count": pa.array([], pa.int64()),
+                      "hit_rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not terms or not seg_ids:
+        return empty
+    idf_map, _dfs, _n = load_global_idf(index_dir, {field: terms})
+    idf = {t: v for (f, t), v in idf_map.items() if f == field}
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return empty
+    build_doc_values(index_dir, column)
+    parts = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _top_hits_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "column": column, "field": field,
+                "terms": terms, "idf": idf, "avgdl": _avgdl(stats, field),
+                "n_per_key": int(size_per_bucket)},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()  # <= keys x n x segments rows
+    )
+    if len(parts) == 0:
+        return empty
+    counts = (parts.drop_duplicates(["segment_id", "key"])
+              .groupby("key")["seg_count"].sum())
+    top_keys = counts.reset_index().sort_values(
+        ["seg_count", "key"], ascending=[False, True]
+    ).head(num_buckets)
+    rows = []
+    for key, cnt in zip(top_keys["key"], top_keys["seg_count"]):
+        hits = (parts[parts["key"] == key]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .head(size_per_bucket))
+        for rank, (_i, h) in enumerate(hits.iterrows(), start=1):
+            rows.append((key, int(cnt), rank, int(h["doc_id"]),
+                         float(h["score"])))
+    return pa.table({
+        "key": pa.array([r[0] for r in rows], pa.string()),
+        "doc_count": pa.array([r[1] for r in rows], pa.int64()),
+        "hit_rank": pa.array([r[2] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+        "score": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
 def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
               field: str = DEFAULT_FIELD,
               metric_field: str | None = None,

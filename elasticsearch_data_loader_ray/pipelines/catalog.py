@@ -2132,6 +2132,70 @@ def _sql_date_histogram_match() -> str:
     )
 
 
+TOP_HITS_BUCKETS = 5
+TOP_HITS_SIZE = 3
+
+
+def q_top_hits_agg(sf_dir: str):
+    """ES terms agg + top_hits sub-agg: top-5 ``lang`` buckets of the
+    docs matching an OR match query by doc count, each with its 3
+    best-scoring hits (global-idf BM25, rounded to 6 dp). Per-segment
+    partials bounded by keys x 3; coordinator-shape driver merge."""
+    from ..index.aggs import top_hits_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    dmap = _docid_map(idx)
+    t = top_hits_agg(idx, TERMS_AGG_QUERY, "lang",
+                     num_buckets=TOP_HITS_BUCKETS,
+                     size_per_bucket=TOP_HITS_SIZE)
+    return pa.table({
+        "key": t["key"],
+        "doc_count": t["doc_count"],
+        "hit_rank": t["hit_rank"],
+        "doc_id": pa.array(dmap[t["doc_id"].to_numpy()], pa.int64()),
+        "score": t["score"],
+    })
+
+
+def _sql_top_hits_agg() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "scored AS (SELECT tf.doc_id, "
+        "round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl "
+        "/ s.avgdl))), 6) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1), "
+        "keyed AS (SELECT d.lang AS key, s.doc_id, s.score FROM scored s "
+        "JOIN docs d USING (doc_id) WHERE d.lang IS NOT NULL), "
+        "buckets AS (SELECT key, count(*)::BIGINT AS doc_count FROM keyed "
+        f"GROUP BY 1 ORDER BY doc_count DESC, key ASC "
+        f"LIMIT {TOP_HITS_BUCKETS}), "
+        "ranked AS (SELECT key, doc_id, score, row_number() OVER ("
+        "PARTITION BY key ORDER BY score DESC, doc_id ASC) AS hit_rank "
+        "FROM keyed) "
+        "SELECT b.key AS key, b.doc_count, r.hit_rank, r.doc_id, r.score "
+        "FROM buckets b JOIN ranked r USING (key) "
+        f"WHERE r.hit_rank <= {TOP_HITS_SIZE} "
+        "ORDER BY b.doc_count DESC, b.key ASC, r.hit_rank ASC"
+    )
+
+
 def q_date_pipeline_agg(sf_dir: str):
     """ES pipeline aggs (cumulative_sum + derivative) over a day
     date_histogram of the matching docs — buckets from the distributed
@@ -4037,6 +4101,7 @@ def queries() -> dict:
         "histogram_agg_match": q_histogram_agg_match,
         "date_histogram_match": q_date_histogram_match,
         "date_pipeline_agg": q_date_pipeline_agg,
+        "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
         "extended_stats_match": q_extended_stats_match,
@@ -4127,6 +4192,7 @@ def oracle_sql() -> dict:
         "histogram_agg_match": _sql_histogram_agg_match(),
         "date_histogram_match": _sql_date_histogram_match(),
         "date_pipeline_agg": _sql_date_pipeline_agg(),
+        "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),
         "extended_stats_match": _sql_extended_stats_match(),

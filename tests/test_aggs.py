@@ -482,3 +482,38 @@ def test_date_pipeline_agg_unmatched_empty(agg_index):
     assert got.num_rows == 0
     assert got.column_names == ["key", "doc_count", "cumulative_docs",
                                 "derivative"]
+
+
+def test_top_hits_agg_matches_brute_force(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import top_hits_agg
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, texts, lg = agg_index
+    got = top_hits_agg(idx, "the data", "lang", num_buckets=3,
+                       size_per_bucket=2).to_pandas()
+    s = LocalSearcher(idx)
+    full_ids, full_sc = s.search("the data", k=s.n_docs,
+                                 or_strategy="exact")
+    r = np.round(full_sc, 6)
+    # brute: bucket matched docs by lang, count, top-3 buckets, top-2 hits
+    by_key = defaultdict(list)
+    for d, sc in zip(full_ids.tolist(), r.tolist()):
+        by_key[lg[d]].append((d, sc))
+    buckets = sorted(((k, len(v)) for k, v in by_key.items()),
+                     key=lambda kv: (-kv[1], kv[0]))[:3]
+    want = []
+    for k, cnt in buckets:
+        hits = sorted(by_key[k], key=lambda ds: (-ds[1], ds[0]))[:2]
+        for rank, (d, sc) in enumerate(hits, start=1):
+            want.append((k, cnt, rank, d, sc))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_top_hits_agg_unmatched_empty(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import top_hits_agg
+
+    idx, _t, _l = agg_index
+    got = top_hits_agg(idx, "zzqnothing", "lang")
+    assert got.num_rows == 0
+    assert got.column_names == ["key", "doc_count", "hit_rank",
+                                "doc_id", "score"]
