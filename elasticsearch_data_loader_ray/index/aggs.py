@@ -893,6 +893,54 @@ def date_histogram_pipeline_agg(index_dir: str, query: str,
     })
 
 
+def _missing_partials(batch: pa.Table, *, index_dir: str, column: str,
+                      field: str, terms: list[str]) -> pa.Table:
+    """Task: per-segment count of matched docs whose ``column``
+    doc-value is null — one int per segment."""
+    _stats, deleted = worker_state(index_dir)
+    n_missing = 0
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field, terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        dv = pq.read_table(_dv_path(index_dir, column, seg_id),
+                           columns=["doc_id", column])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+        vals = dv[column].combine_chunks().take(pa.array(pos))
+        n_missing += int(pc.sum(pc.cast(pc.is_null(vals),
+                                        pa.int64())).as_py() or 0)
+    return pa.table({"n_missing": pa.array([n_missing], pa.int64())})
+
+
+def missing_agg(index_dir: str, query: str, column: str,
+                field: str = DEFAULT_FIELD,
+                concurrency: int | None = None) -> pa.Table:
+    """ES ``missing`` aggregation: how many of the matching docs lack a
+    value for ``column`` — the complement bucket the terms agg skips.
+    One integer partial per segment, summed on the driver."""
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    if not terms or not seg_ids:
+        return pa.table({"doc_count": pa.array([0], pa.int64())})
+    build_doc_values(index_dir, column)
+    per_seg = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _missing_partials,
+            fn_kwargs={"index_dir": index_dir, "column": column,
+                       "field": field, "terms": terms},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()
+    )
+    return pa.table({"doc_count": pa.array(
+        [int(per_seg["n_missing"].sum())], pa.int64())})
+
+
 def _top_hits_partials(batch: pa.Table, *, index_dir: str, column: str,
                        field: str, terms: list[str], idf: dict,
                        avgdl: float, n_per_key: int) -> pa.Table:

@@ -517,3 +517,18 @@ def test_top_hits_agg_unmatched_empty(agg_index):
     assert got.num_rows == 0
     assert got.column_names == ["key", "doc_count", "hit_rank",
                                 "doc_id", "score"]
+
+
+def test_missing_agg_counts_null_values(composite_index):
+    from elasticsearch_data_loader_ray.index.aggs import missing_agg
+
+    idx, texts, lg, _src = composite_index
+    got = missing_agg(idx, "the data", "lang").to_pandas().iloc[0]
+    toks = [set(analyze("standard", t)) for t in texts]
+    want = sum(1 for i in range(len(texts))
+               if {"the", "data"} & toks[i] and lg[i] is None)
+    assert want > 0  # fixture must exercise the null branch
+    assert got["doc_count"] == want
+    # unmatched query -> zero missing
+    z = missing_agg(idx, "zzqnothing", "lang").to_pandas().iloc[0]
+    assert z["doc_count"] == 0
