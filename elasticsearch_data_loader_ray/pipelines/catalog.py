@@ -343,6 +343,86 @@ SQL_TERM_DF = (
 )
 
 
+TFIDF_TOP = 3
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Per-document keyword extraction: the top-3 terms by TF-IDF
+    (tf * ln(N / df), rounded to 6 dp, ties term-ascending) — the
+    classic salience operator a training-data pipeline uses for topic
+    tagging / filtering.
+
+    Two passes: (1) the distributed df aggregation (per-batch exact
+    partials, tiny shuffle — q_term_df's plan), collected into a
+    vocabulary-bounded df map broadcast ONCE via ray.put (the 100-TB
+    variant reads df from the index's term_stats instead of re-counting;
+    the map is vocabulary-, not corpus-, sized either way); (2) a
+    streaming map_batches that tokenizes, computes per-doc tf via Arrow
+    hash group-by, scores against the broadcast map, and keeps the top-3
+    per doc with a vectorized group-rank — no Python loop over rows."""
+    import pyarrow.parquet as pq_
+
+    df_t = q_term_df(sf_dir).to_pandas()
+    dfm = dict(zip(df_t["term"], df_t["df"].astype(int)))
+    n_docs = float(pq_.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows)
+    ref = ray.put(dfm)
+
+    def xf(t: pa.Table) -> pa.Table:
+        idx, toks, _ = an.standard_tokenize_batch(t["text"])
+        ids = t["doc_id"].to_numpy()[idx]
+        g = (pa.table({"term": toks, "doc_id": pa.array(ids)})
+             .group_by(["term", "doc_id"]).aggregate([("doc_id", "count")]))
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "kw_rank": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        dfm_ = ray.get(ref)
+        terms = np.asarray(g["term"].to_numpy(zero_copy_only=False),
+                           dtype=object)
+        df = pd.Series(terms).map(dfm_).to_numpy(dtype=np.float64)
+        tf = g["doc_id_count"].to_numpy().astype(np.float64)
+        did = g["doc_id"].to_numpy()
+        score = np.round(tf * np.log(n_docs / df), 6)
+        tstr = terms.astype("U")
+        order = np.lexsort((tstr, -score, did))  # doc, score desc, term
+        sd = did[order]
+        starts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        sizes = np.diff(np.r_[starts, len(sd)])
+        within = np.arange(len(sd)) - np.repeat(starts, sizes)
+        sel = order[within < TFIDF_TOP]
+        ranks = (within[within < TFIDF_TOP] + 1)
+        return pa.table({
+            "doc_id": pa.array(did[sel], pa.int64()),
+            "kw_rank": pa.array(ranks.astype(np.int64), pa.int64()),
+            "term": pa.array(terms[sel].tolist(), pa.string()),
+            "score": pa.array(score[sel], pa.float64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def _sql_tfidf_keywords() -> str:
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        f"lower(text), '{TOKEN_RE_SQL}')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "GROUP BY 1, 2), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, "
+        "round(tf.tf * ln(n.n / df.df), 6) AS score "
+        "FROM tf JOIN df USING (term) CROSS JOIN n) "
+        "SELECT doc_id, kw_rank, term, score FROM ("
+        "SELECT doc_id, term, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, term ASC) AS kw_rank "
+        f"FROM scored) WHERE kw_rank <= {TFIDF_TOP}"
+    )
+
+
 def q_top_terms(sf_dir: str):
     return q_term_df(sf_dir).sort(["cf", "term"], descending=[True, False]).limit(20)
 
@@ -4073,6 +4153,7 @@ def queries() -> dict:
         "alpha_keys": q_alpha_keys,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
+        "tfidf_keywords": q_tfidf_keywords,
         "doc_len_stats": q_doc_len_stats,
         "term_df": q_term_df,
         "top_terms": q_top_terms,
@@ -4157,6 +4238,7 @@ def oracle_sql() -> dict:
         "alpha_keys": _sql_alpha_keys(),
         "token_counts": SQL_TOKEN_COUNTS,
         "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+        "tfidf_keywords": _sql_tfidf_keywords(),
         "doc_len_stats": SQL_DOC_LEN_STATS,
         "term_df": SQL_TERM_DF,
         "top_terms": SQL_TOP_TERMS,
