@@ -1377,6 +1377,39 @@ def percentiles_agg(index_dir: str, query: str,
     return pa.table(out)
 
 
+def percentile_ranks_agg(index_dir: str, query: str,
+                         values: tuple = (8, 16, 32),
+                         field: str = DEFAULT_FIELD,
+                         metric_field: str | None = None,
+                         concurrency: int | None = None) -> pa.Table:
+    """ES ``percentile_ranks`` aggregation: for each requested value, the
+    percentage of the matching docs' token counts that are <= it —
+    the inverse of percentiles. Same interval-1 histogram partials
+    (lossless for integer values), so the ranks are exact:
+    ``100 * count(v <= x) / n`` with one fixed float expression shape
+    mirrored by the SQL oracle."""
+    hist = histogram_agg(index_dir, query, 1, field, metric_field,
+                         concurrency).to_pandas()
+    if len(hist) == 0:
+        return pa.table({"value": pa.array([int(v) for v in values],
+                                           pa.int64()),
+                         "rank_pct": pa.array([None] * len(values),
+                                              pa.float64())})
+    keys = hist["key"].to_numpy(dtype=np.int64)
+    cnts = hist["doc_count"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    ranks = []
+    for v in values:
+        i = int(np.searchsorted(keys, int(v), side="right"))
+        le = int(cum[i - 1]) if i > 0 else 0
+        ranks.append(100.0 * le / n)
+    return pa.table({
+        "value": pa.array([int(v) for v in values], pa.int64()),
+        "rank_pct": pa.array(ranks, pa.float64()),
+    })
+
+
 def _card_agg_partials(batch: pa.Table, *, index_dir: str,
                        column: str, field: str, terms: list[str],
                        threshold: int) -> pa.Table:

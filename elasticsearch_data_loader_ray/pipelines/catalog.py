@@ -2676,6 +2676,44 @@ SIG_QUERY = "dup"  # the duplicate-cluster docs: a skewed foreground
 SIG_SIZE = 10
 
 
+PCT_RANK_VALUES = (8, 16, 32)
+
+
+def q_percentile_ranks_match(sf_dir: str):
+    """ES percentile_ranks aggregation: % of matching docs' word counts
+    <= each requested value — interval-1 histogram partials (lossless
+    for integers), exact ranks."""
+    from ..index.aggs import percentile_ranks_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return percentile_ranks_agg(idx, TERMS_AGG_QUERY, PCT_RANK_VALUES)
+
+
+def _sql_percentile_ranks_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    parts = []
+    for v in PCT_RANK_VALUES:
+        parts.append(
+            f"SELECT {int(v)}::BIGINT AS value, "
+            f"100.0 * sum(CASE WHEN coalesce(dl.dl, 0) <= {int(v)} "
+            "THEN 1 ELSE 0 END)::BIGINT / count(*) AS rank_pct "
+            "FROM hits h LEFT JOIN dl USING (doc_id)"
+        )
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT * FROM (" + " UNION ALL ".join(parts) +
+        ") ORDER BY value ASC"
+    )
+
+
 def q_significant_terms_match(sf_dir: str):
     """ES significant_terms aggregation: terms over-represented in the
     matched docs vs the corpus (JLH score, ES default heuristic) —
@@ -4191,6 +4229,7 @@ def queries() -> dict:
         "range_agg_match": q_range_agg_match,
         "cardinality_agg_match": q_cardinality_agg_match,
         "percentiles_agg_match": q_percentiles_agg_match,
+        "percentile_ranks_match": q_percentile_ranks_match,
         "significant_terms_match": q_significant_terms_match,
         "match_count": q_match_count,
         "term_vectors": q_term_vectors,
@@ -4283,6 +4322,7 @@ def oracle_sql() -> dict:
         "range_agg_match": _sql_range_agg_match(),
         "cardinality_agg_match": _sql_cardinality_agg_match(),
         "percentiles_agg_match": _sql_percentiles_agg_match(),
+        "percentile_ranks_match": _sql_percentile_ranks_match(),
         "significant_terms_match": _sql_significant_terms_match(),
         "match_count": _sql_match_count(),
         "term_vectors": _sql_term_vectors(),

@@ -532,3 +532,19 @@ def test_missing_agg_counts_null_values(composite_index):
     # unmatched query -> zero missing
     z = missing_agg(idx, "zzqnothing", "lang").to_pandas().iloc[0]
     assert z["doc_count"] == 0
+
+
+def test_percentile_ranks_matches_numpy(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import percentile_ranks_agg
+
+    idx, texts, _l = agg_index
+    got = percentile_ranks_agg(idx, "the data",
+                               values=(5, 10, 100)).to_pandas()
+    toks = [analyze("standard", t) for t in texts]
+    dls = np.array([len(tk) for tk in toks
+                    if {"the", "data"} & set(tk)], dtype=np.int64)
+    for v, r in zip(got["value"], got["rank_pct"]):
+        assert r == 100.0 * int((dls <= v).sum()) / len(dls)
+    assert got["rank_pct"].iloc[-1] == 100.0  # everything <= 100
+    z = percentile_ranks_agg(idx, "zzqnothing").to_pandas()
+    assert z["rank_pct"].isna().all()
