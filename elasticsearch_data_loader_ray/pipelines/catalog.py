@@ -1102,6 +1102,84 @@ SQL_LANGID_QUALITY = (
 )
 
 
+# Gopher-style quality rules (Rain et al.'s public heuristics, thresholds
+# scaled to this corpus's 3-120-token docs): word count in [10, 80], mean
+# word length in [3, 10], >= 0.8 alphabetic-word fraction, >= 2 stopword
+# hits. A doc passes when every rule holds.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 80
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-rules quality filter: the standard pretraining heuristic
+    bundle evaluated per doc in one vectorized pass — word count bounds,
+    mean word length bounds, alphabetic-word fraction, stopword-hit
+    minimum — emitting each signal plus the final pass flag, so the
+    downstream filter and its audit trail come from the same scan."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def xf(t: pa.Table) -> pa.Table:
+        idx, toks, dl = an.standard_tokenize_batch(t["text"])
+        n = t.num_rows
+        tok_len = pc.utf8_length(toks).to_numpy(zero_copy_only=False
+                                                ).astype(np.float64)
+        len_sum = np.bincount(idx, weights=tok_len, minlength=n)
+        has_alpha = np.asarray(
+            pc.cast(pc.match_substring_regex(toks, "[a-zA-Z]"), pa.int64())
+            .to_numpy(zero_copy_only=False), dtype=np.float64)
+        alpha_cnt = np.bincount(idx, weights=has_alpha, minlength=n)
+        toks_np = np.asarray(toks.to_numpy(zero_copy_only=False),
+                             dtype=object)
+        is_stop = np.fromiter((x in stop for x in toks_np),
+                              dtype=np.int64, count=len(toks_np))
+        stop_cnt = np.bincount(idx, weights=is_stop, minlength=n
+                               ).astype(np.int64)
+        dlf = dl.astype(np.float64)
+        safe = np.maximum(dlf, 1.0)
+        mwl = np.round(len_sum / safe, 6)
+        af = np.round(alpha_cnt / safe, 6)
+        nw = dl.astype(np.int64)
+        passes = ((nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+                  & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+                  & (af >= GOPHER_MIN_ALPHA_FRAC)
+                  & (stop_cnt >= GOPHER_MIN_STOP_HITS))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(nw, pa.int64()),
+            "mean_word_len": pa.array(mwl, pa.float64()),
+            "alpha_frac": pa.array(af, pa.float64()),
+            "stop_hits": pa.array(stop_cnt, pa.int64()),
+            "passes": pa.array(passes, pa.bool_()),
+        })
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def _sql_gopher_rules() -> str:
+    return (
+        f"WITH tc AS (SELECT doc_id, regexp_extract_all("
+        f"lower(coalesce(text, '')), '{TOKEN_RE_SQL}') AS ts "
+        "FROM documents), "
+        "base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words, "
+        "round(coalesce(list_sum(list_transform(ts, x -> len(x))), 0)"
+        "::DOUBLE / greatest(len(ts), 1), 6) AS mean_word_len, "
+        "round(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))"
+        "::DOUBLE / greatest(len(ts), 1), 6) AS alpha_frac, "
+        f"CAST(len(list_filter(ts, x -> list_contains({_STOP_SQL}, x))) "
+        "AS BIGINT) AS stop_hits FROM tc) "
+        "SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, "
+        f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} "
+        f"AND mean_word_len >= {GOPHER_MIN_MWL} "
+        f"AND mean_word_len <= {GOPHER_MAX_MWL} "
+        f"AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} "
+        f"AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes FROM base"
+    )
+
+
 def q_fingerprint(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -4202,6 +4280,7 @@ def queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "langid_quality": q_langid_quality,
+        "gopher_rules": q_gopher_rules,
         "fingerprint": q_fingerprint,
         "bm25_topk": q_bm25_topk,
         "bm25_pruned_topk": q_bm25_pruned_topk,
@@ -4292,6 +4371,7 @@ def oracle_sql() -> dict:
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         # simhash: rows-only (hash values are not SQL-expressible)
         "langid_quality": SQL_LANGID_QUALITY,
+        "gopher_rules": _sql_gopher_rules(),
         "fingerprint": SQL_FINGERPRINT,
         "bm25_topk": _sql_bm25_topk(),
         # keep_frac=1.0 makes the pruned path bitwise-exact -> same oracle
