@@ -1102,6 +1102,72 @@ SQL_LANGID_QUALITY = (
 )
 
 
+SPAN_W = 5          # duplicated-span window, tokens
+SPAN_TOP = 20
+
+
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-span mining (the Lee et al. exact-substring-dedup
+    signal): every ``SPAN_W``-token window in the corpus, ranked by how
+    many DISTINCT docs repeat it — the spans a substring-level dedup pass
+    would cut. One vectorized pass: windows materialize as joined string
+    columns from shifted Arrow slices (no row loop), per-batch partial
+    dfs are exact (a doc never spans batches), the merge is a
+    groupby-sum, and the top cut is a distributed sort+limit — the
+    driver never sees more than ``SPAN_TOP`` rows."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    w = SPAN_W
+
+    def xf(t: pa.Table) -> pa.Table:
+        idx, toks, _dl = an.standard_tokenize_batch(t["text"])
+        n = len(toks)
+        empty = pa.table({"span": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
+        if n < w:
+            return empty
+        ok = idx[w - 1:] == idx[:n - w + 1]  # window stays in one doc
+        starts = np.flatnonzero(ok)
+        if len(starts) == 0:
+            return empty
+        sa = pa.array(starts)
+        shifted = [pc.take(toks, pc.add(sa, k)) for k in range(w)]
+        spans = pc.binary_join_element_wise(*shifted, " ")
+        did = t["doc_id"].to_numpy()[idx[starts]]
+        g = (pa.table({"span": spans, "doc_id": pa.array(did)})
+             .group_by(["span", "doc_id"]).aggregate([([], "count_all")])
+             .group_by("span").aggregate([("doc_id", "count")]))
+        return pa.table({"span": g["span"],
+                         "df": pc.cast(g["doc_id_count"], pa.int64())})
+
+    return (
+        ds.map_batches(xf, batch_format="pyarrow")
+        .groupby("span").aggregate(Sum("df", alias_name="df"))
+        .map_batches(lambda t: t.filter(pc.greater(t["df"], 1)),
+                     batch_format="pyarrow")
+        .sort(["df", "span"], descending=[True, False])
+        .limit(SPAN_TOP)
+    )
+
+
+def _sql_dup_spans() -> str:
+    return (
+        f"WITH tc AS (SELECT doc_id, regexp_extract_all("
+        f"lower(coalesce(text, '')), '{TOKEN_RE_SQL}') AS ts "
+        "FROM documents), "
+        "pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - "
+        f"{SPAN_W - 2}, 1))) AS i FROM tc), "
+        f"spans AS (SELECT doc_id, array_to_string(ts[i:i+{SPAN_W - 1}], "
+        "' ') AS span FROM pos), "
+        "sd AS (SELECT span, count(DISTINCT doc_id) AS df FROM spans "
+        "GROUP BY 1) "
+        "SELECT span, df::BIGINT AS df FROM sd WHERE df > 1 "
+        f"ORDER BY df DESC, span ASC LIMIT {SPAN_TOP}"
+    )
+
+
 # Gopher-style quality rules (Rain et al.'s public heuristics, thresholds
 # scaled to this corpus's 3-120-token docs): word count in [10, 80], mean
 # word length in [3, 10], >= 0.8 alphabetic-word fraction, >= 2 stopword
@@ -4282,6 +4348,7 @@ def queries() -> dict:
         "langid_quality": q_langid_quality,
         "gopher_rules": q_gopher_rules,
         "fingerprint": q_fingerprint,
+        "dup_spans": q_dup_spans,
         "bm25_topk": q_bm25_topk,
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "search_after_page": q_search_after_page,
@@ -4373,6 +4440,7 @@ def oracle_sql() -> dict:
         "langid_quality": SQL_LANGID_QUALITY,
         "gopher_rules": _sql_gopher_rules(),
         "fingerprint": SQL_FINGERPRINT,
+        "dup_spans": _sql_dup_spans(),
         "bm25_topk": _sql_bm25_topk(),
         # keep_frac=1.0 makes the pruned path bitwise-exact -> same oracle
         "bm25_pruned_topk": _sql_bm25_topk(),
