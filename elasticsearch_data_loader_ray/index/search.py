@@ -488,6 +488,52 @@ def suggest_terms(index_dir: str, inputs: list[str],
     })
 
 
+def suggest_phrase(index_dir: str, text: str,
+                   field: str = DEFAULT_FIELD, max_edits: int = 2,
+                   prefix_length: int = 1) -> pa.Table:
+    """ES phrase suggester (documented simplification: unigram-df LM in
+    place of ES's bigram stupid-backoff — per-doc positions exist but
+    corpus bigram counts are not materialized). Per analyzed token the
+    candidate set is the dictionary slice within ``max_edits`` classic
+    Levenshtein sharing the first ``prefix_length`` chars, INCLUDING the
+    token itself at distance 0 (a correctly-spelled token keeps itself:
+    distance-ascending rank puts d=0 first); each slot's winner is
+    ranked (distance asc, df desc, term asc), and the whole-phrase
+    suggestion is the per-slot winners joined in order. A slot with no
+    candidates keeps its input token (distance -1, df 0). Returns one
+    row per slot plus the assembled ``phrase`` on every row."""
+    from ..functions.analyzers import analyze
+
+    stats = _load_stats(index_dir)
+    tokens = list(analyze(_field_analyzer(stats, field), text))
+    out = {"slot": [], "input_token": [], "suggestion": [],
+           "distance": [], "df": []}
+    chosen = []
+    for slot, tok in enumerate(tokens):
+        terms, dfs, dd = _fuzzy_candidates(index_dir, field, tok,
+                                           max_edits, prefix_length)
+        if len(terms) == 0:
+            pick, dist, dfv = tok, -1, 0
+        else:
+            b = np.lexsort((terms, -dfs, dd))[0]
+            pick, dist, dfv = str(terms[b]), int(dd[b]), int(dfs[b])
+        chosen.append(pick)
+        out["slot"].append(slot)
+        out["input_token"].append(tok)
+        out["suggestion"].append(pick)
+        out["distance"].append(dist)
+        out["df"].append(dfv)
+    phrase = " ".join(chosen)
+    return pa.table({
+        "slot": pa.array(out["slot"], pa.int64()),
+        "input_token": pa.array(out["input_token"], pa.string()),
+        "suggestion": pa.array(out["suggestion"], pa.string()),
+        "distance": pa.array(out["distance"], pa.int64()),
+        "df": pa.array(out["df"], pa.int64()),
+        "phrase": pa.array([phrase] * len(chosen), pa.string()),
+    })
+
+
 def expand_prefix(index_dir: str, field: str, prefix: str,
                   max_expansions: int = 50) -> list[str]:
     """ES prefix / match_phrase_prefix term expansion: dictionary terms

@@ -2816,6 +2816,47 @@ def _sql_term_suggest() -> str:
     )
 
 
+PHRASE_SUGGEST_INPUT = "qery the tabel scna"  # 3 misspellings + 1 exact
+
+
+def q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester (documented unigram-df simplification): per
+    analyzed slot, the best dictionary candidate within edit distance 2
+    (the token itself at distance 0 wins when correctly spelled), the
+    whole corrected phrase assembled per row."""
+    from ..index.search import suggest_phrase
+
+    idx = _ensure_doc_index(sf_dir)
+    return suggest_phrase(idx, PHRASE_SUGGEST_INPUT)
+
+
+def _sql_phrase_suggest() -> str:
+    from ..functions.analyzers import analyze
+
+    toks = list(analyze("standard", PHRASE_SUGGEST_INPUT))
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(toks))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY 1), "
+        f"inp(slot, tok) AS (VALUES {vals}), "
+        "cand AS (SELECT slot, tok, term, levenshtein(tok, term) AS d, df "
+        "FROM inp JOIN df ON substr(term, 1, 1) = substr(tok, 1, 1) "
+        "WHERE levenshtein(tok, term) <= 2), "
+        "best AS (SELECT slot, tok, term, d, df FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY slot "
+        "ORDER BY d ASC, df DESC, term ASC) AS rn FROM cand) "
+        "WHERE rn = 1) "
+        "SELECT slot::BIGINT AS slot, tok AS input_token, "
+        "term AS suggestion, d::BIGINT AS distance, df::BIGINT AS df, "
+        "(SELECT string_agg(term, ' ' ORDER BY slot) FROM best) AS phrase "
+        "FROM best ORDER BY slot ASC"
+    )
+
+
 SIG_QUERY = "dup"  # the duplicate-cluster docs: a skewed foreground
 SIG_SIZE = 10
 
@@ -4380,6 +4421,7 @@ def queries() -> dict:
         "match_count": q_match_count,
         "term_vectors": q_term_vectors,
         "term_suggest": q_term_suggest,
+        "phrase_suggest": q_phrase_suggest,
         "delete_by_query": q_delete_by_query,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
@@ -4475,6 +4517,7 @@ def oracle_sql() -> dict:
         "match_count": _sql_match_count(),
         "term_vectors": _sql_term_vectors(),
         "term_suggest": _sql_term_suggest(),
+        "phrase_suggest": _sql_phrase_suggest(),
         "delete_by_query": _sql_delete_by_query(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),

@@ -154,3 +154,25 @@ def test_suggest_terms_matches_brute(fz_index):
         assert [(r.suggestion, int(r.distance), int(r.df))
                 for r in rows.itertuples()] == want
     assert (got["input"] == "zzz").sum() == 0
+
+
+def test_phrase_suggester_slots_and_assembly(fz_index):
+    from elasticsearch_data_loader_ray.index.search import suggest_phrase
+
+    idx, _ = fz_index
+    got = suggest_phrase(idx, "teh data zzzzqqq").to_pandas()
+    assert got["slot"].tolist() == [0, 1, 2]
+    # correctly-spelled token keeps itself at distance 0
+    row1 = got.iloc[1]
+    assert row1["input_token"] == "data"
+    assert row1["suggestion"] == "data" and row1["distance"] == 0
+    # misspelling resolves to a distance>=1 dictionary term
+    row0 = got.iloc[0]
+    assert row0["distance"] >= 1 and row0["suggestion"] != "teh"
+    # hopeless token (no candidate within 2 edits) survives as-is
+    row2 = got.iloc[2]
+    assert row2["suggestion"] == "zzzzqqq"
+    assert row2["distance"] == -1 and row2["df"] == 0
+    # the assembled phrase is the per-slot winners in order
+    want = " ".join(got["suggestion"])
+    assert (got["phrase"] == want).all()
