@@ -457,6 +457,25 @@ def expand_wildcard(index_dir: str, field: str, pattern: str) -> list[str]:
     return sorted(tbl.filter(m)["term"].to_pylist())
 
 
+def expand_regexp(index_dir: str, field: str, pattern: str) -> list[str]:
+    """ES regexp-query term expansion: dictionary terms whose ENTIRE text
+    matches the pattern (Lucene anchors regexp queries implicitly),
+    sorted. Any literal prefix of the pattern prunes the dictionary
+    read; the match is one vectorized RE2 kernel — the same engine the
+    DuckDB oracle uses, so expansion semantics are bit-identical."""
+    # longest literal prefix: stop at the first regex metacharacter
+    cut = len(pattern)
+    for i, ch in enumerate(pattern):
+        if ch in ".?*+()[]{}|^$\\":
+            cut = i
+            break
+    tbl = _read_term_dict(index_dir, field, pattern[:cut])
+    if tbl.num_rows == 0:
+        return []
+    m = pc.match_substring_regex(tbl["term"], f"^(?:{pattern})$")
+    return sorted(tbl.filter(m)["term"].to_pylist())
+
+
 def suggest_terms(index_dir: str, inputs: list[str],
                   field: str = DEFAULT_FIELD, max_edits: int = 2,
                   prefix_length: int = 1, size: int = 5) -> pa.Table:
@@ -581,10 +600,10 @@ def _prepare(queries, stats: dict) -> list[tuple[int, str, list[str], int, str]]
             out.append((int(q["query_id"]), field, terms,
                         int(q.get("k", 10)), tag))
             continue
-        if mode == "wildcard":
-            # raw pattern, never analyzed (ES wildcard query contract)
+        if mode in ("wildcard", "regexp"):
+            # raw pattern, never analyzed (ES wildcard/regexp contract)
             out.append((int(q["query_id"]), field, [str(q["query"])],
-                        int(q.get("k", 10)), "wildcard"))
+                        int(q.get("k", 10)), mode))
             continue
         if mode == "function_score":
             terms = query_terms(q["query"], _field_analyzer(stats, field))
@@ -2698,6 +2717,13 @@ class LocalSearcher:
         if self.term_ds is None:
             return empty
         exp = expand_wildcard(self.index_dir, field, pattern)
+        return self._union_const_topk(field, exp, k)
+
+    def _union_const_topk(self, field: str, exp: list[str], k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Shared constant_score multi-term tail: union the expanded
+        terms' postings, drop tombstones, first-k by doc_id."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not exp:
             return empty
         by_term = self._postings_for(field, exp)
@@ -2709,6 +2735,19 @@ class LocalSearcher:
             ids = ids[_drop_deleted(self._deleted, ids)]
         ids = ids[:k]
         return ids.astype(np.int64), np.ones(len(ids), np.float64)
+
+    def search_regexp(self, pattern: str, k: int = 10,
+                      field: str = DEFAULT_FIELD
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """ES regexp query analogue: dictionary terms whose entire text
+        matches the (unanalyzed, implicitly anchored) RE2 pattern, docs
+        containing any of them, constant score 1.0, doc_id order — the
+        same Lucene constant_score multi-term rewrite as wildcard."""
+        self._maybe_auto_refresh()
+        if self.term_ds is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        exp = expand_regexp(self.index_dir, field, pattern)
+        return self._union_const_topk(field, exp, k)
 
     #: request-cache capacity (ES shard-request-cache analogue): exact
     #: (mode, field, query, k) top-k results, LRU, dropped on epoch swap
@@ -3187,6 +3226,10 @@ def search_inprocess(index_dir: str, queries: pa.Table | list[dict],
             ids, sc = searcher.search_wildcard(
                 q["query"], int(q.get("k", 10)),
                 q.get("field") or DEFAULT_FIELD)
+        elif q.get("mode") == "regexp":
+            ids, sc = searcher.search_regexp(
+                q["query"], int(q.get("k", 10)),
+                q.get("field") or DEFAULT_FIELD)
         elif q.get("mode") == "boosting":
             ids, sc = searcher.search_boosting(
                 q["query"], q.get("negative", ""),
@@ -3234,6 +3277,9 @@ def search(index_dir: str, queries: pa.Table | list[dict],
             rewritten.append((qid, field, exp, k, "or"))
         elif mode == "wildcard":
             exp = expand_wildcard(index_dir, field, terms[0])
+            rewritten.append((qid, field, exp, k, "union_const"))
+        elif mode == "regexp":
+            exp = expand_regexp(index_dir, field, terms[0])
             rewritten.append((qid, field, exp, k, "union_const"))
         else:
             rewritten.append((qid, field, terms, k, mode))

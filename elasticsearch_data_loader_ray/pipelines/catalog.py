@@ -2232,6 +2232,49 @@ def _sql_wildcard_term_search() -> str:
     )
 
 
+DOC_REGEXP_PATTERNS = ["s(can|ort|low)", "qu.*y", "[kh].sh?", "da?ta"]
+REGEXP_K = 15
+
+
+def q_regexp_term_search(sf_dir: str):
+    """ES regexp query (constant_score rewrite): dictionary terms whose
+    ENTIRE text matches the raw RE2 pattern (Lucene's implicit anchors),
+    docs containing any of them, score 1.0, doc_id order. Expansion runs
+    once against the prefix-pruned term dictionary."""
+    idx = _ensure_doc_index(sf_dir)
+    qs = [{"query_id": i, "query": p, "k": REGEXP_K, "mode": "regexp"}
+          for i, p in enumerate(DOC_REGEXP_PATTERNS)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    res = res.sort_values(["query_id", "doc_id"])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True))
+
+
+def _sql_regexp_term_search() -> str:
+    vals = ", ".join(f"({qid}, '^(?:{p})$')"
+                     for qid, p in enumerate(DOC_REGEXP_PATTERNS))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"w(query_id, pat) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT w.query_id, toks.doc_id "
+        "FROM w JOIN toks ON regexp_matches(toks.term, w.pat)) "
+        "SELECT query_id, rank, doc_id, 1.0 AS score FROM ("
+        "SELECT query_id, doc_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY doc_id ASC) AS rank FROM hits) "
+        f"WHERE rank <= {REGEXP_K}"
+    )
+
+
 TERMS_AGG_QUERY = "the data"
 
 
@@ -4403,6 +4446,7 @@ def queries() -> dict:
         "bm25_bool_topk": q_bm25_bool_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "wildcard_term_search": q_wildcard_term_search,
+        "regexp_term_search": q_regexp_term_search,
         "terms_agg_match": q_terms_agg_match,
         "histogram_agg_match": q_histogram_agg_match,
         "date_histogram_match": q_date_histogram_match,
@@ -4499,6 +4543,7 @@ def oracle_sql() -> dict:
         "bm25_bool_topk": _sql_bm25_bool_topk(),
         "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
         "wildcard_term_search": _sql_wildcard_term_search(),
+        "regexp_term_search": _sql_regexp_term_search(),
         "terms_agg_match": _sql_terms_agg_match(),
         "histogram_agg_match": _sql_histogram_agg_match(),
         "date_histogram_match": _sql_date_histogram_match(),

@@ -176,3 +176,33 @@ def test_phrase_suggester_slots_and_assembly(fz_index):
     # the assembled phrase is the per-slot winners in order
     want = " ".join(got["suggestion"])
     assert (got["phrase"] == want).all()
+
+
+def test_regexp_expansion_is_anchored_and_local_matches_distributed(fz_index):
+    from elasticsearch_data_loader_ray.index.search import (
+        LocalSearcher,
+        expand_regexp,
+        search,
+        search_inprocess,
+    )
+
+    idx, texts = fz_index
+    # anchored whole-term semantics: "dat." matches date/data, NOT dates
+    exp = expand_regexp(idx, "text", "dat.")
+    assert "dates" not in exp and set(exp) >= {"data", "date"}
+    # Lucene implicit anchors: a bare literal matches only itself
+    assert expand_regexp(idx, "text", "quer") == []
+    lo = LocalSearcher(idx)
+    q = [{"query_id": 0, "query": "d(ata|ate)", "k": 25, "mode": "regexp"}]
+    want_ids, want_sc = lo.search_regexp("d(ata|ate)", k=25)
+    got = search(idx, q).to_pandas()
+    assert got["doc_id"].tolist() == want_ids.tolist()
+    assert (got["score"] == 1.0).all() and (want_sc == 1.0).all()
+    inp = search_inprocess(idx, q).to_pandas()
+    assert inp["doc_id"].tolist() == want_ids.tolist()
+    # brute: every returned doc contains data or date
+    from elasticsearch_data_loader_ray.functions.analyzers import analyze
+    toks = [set(analyze("standard", t)) for t in texts]
+    have = sorted(i for i, tk in enumerate(toks)
+                  if {"data", "date"} & tk)[:25]
+    assert want_ids.tolist() == have
