@@ -1377,6 +1377,50 @@ def percentiles_agg(index_dir: str, query: str,
     return pa.table(out)
 
 
+def rare_terms_agg(index_dir: str, query: str, column: str,
+                   max_doc_count: int = 3,
+                   field: str = DEFAULT_FIELD,
+                   concurrency: int | None = None) -> pa.Table:
+    """ES ``rare_terms`` aggregation: the long tail the terms agg's
+    size-cut hides — bucket values of ``column`` whose matched-doc count
+    is <= ``max_doc_count``, key-ascending. Same per-segment partials as
+    terms_agg (bounded by distinct values); the rarity cut happens after
+    the exact groupby-sum merge, so there is no false-negative risk (ES
+    itself approximates with a CuckooFilter at scale; the exact merge is
+    this engine's equivalent of `precision` at its max)."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "doc_count": pa.array([], pa.int64())})
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    if not terms or not seg_ids:
+        return empty
+    build_doc_values(index_dir, column)
+    merged = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _terms_agg_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "column": column, "field": field,
+                "terms": terms, "metric_field": None},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .groupby("key")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if len(merged) == 0:
+        return empty
+    merged = merged[merged["doc_count"] <= int(max_doc_count)]
+    merged = merged.sort_values("key")
+    return pa.table({
+        "key": pa.array(merged["key"], pa.string()),
+        "doc_count": pa.array(merged["doc_count"].to_numpy(), pa.int64()),
+    })
+
+
 def percentile_ranks_agg(index_dir: str, query: str,
                          values: tuple = (8, 16, 32),
                          field: str = DEFAULT_FIELD,

@@ -2904,6 +2904,80 @@ SIG_QUERY = "dup"  # the duplicate-cluster docs: a skewed foreground
 SIG_SIZE = 10
 
 
+ANALYZE_DOC_IDS = [3, 57, 101, 202]
+
+
+def q_analyze_api(sf_dir: str):
+    """ES ``_analyze`` API: the standard-chain token stream (token +
+    0-based position) for a requested set of docs — the
+    what-would-the-indexer-see debugging endpoint. Row-filtered read,
+    one vectorized tokenize, positions from a group-offset subtraction
+    (no row loop)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", ANALYZE_DOC_IDS)])
+    idx, toks, _dl = an.standard_tokenize_batch(t["text"])
+    if len(toks) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string())})
+    starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+    sizes = np.diff(np.r_[starts, len(idx)])
+    pos = np.arange(len(idx)) - np.repeat(starts, sizes)
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"].to_numpy()[idx], pa.int64()),
+        "pos": pa.array(pos.astype(np.int64), pa.int64()),
+        "token": pc.cast(toks, pa.string()),
+    })
+
+
+def _sql_analyze_api() -> str:
+    ids = ", ".join(str(i) for i in ANALYZE_DOC_IDS)
+    return (
+        f"WITH tc AS (SELECT doc_id, regexp_extract_all("
+        f"lower(coalesce(text, '')), '{TOKEN_RE_SQL}') AS ts "
+        f"FROM documents WHERE doc_id IN ({ids})) "
+        "SELECT doc_id, unnest(range(0, len(ts)))::BIGINT AS pos, "
+        "unnest(ts) AS token FROM tc"
+    )
+
+
+RARE_QUERY = "dup"
+RARE_MAX_DC = 8
+
+
+def q_rare_terms_match(sf_dir: str):
+    """ES rare_terms aggregation: ``source`` values appearing in at most
+    8 of the docs matching a low-df term query — the long-tail
+    complement of the terms agg, exact via the full groupby-sum merge
+    (ES approximates with a CuckooFilter)."""
+    from ..index.aggs import rare_terms_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return rare_terms_agg(idx, RARE_QUERY, "source",
+                          max_doc_count=RARE_MAX_DC)
+
+
+def _sql_rare_terms_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(RARE_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, source, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT d.source AS key, count(*)::BIGINT AS doc_count "
+        "FROM hits h JOIN docs d USING (doc_id) "
+        "WHERE d.source IS NOT NULL GROUP BY 1 "
+        f"HAVING count(*) <= {RARE_MAX_DC} ORDER BY key ASC"
+    )
+
+
 PCT_RANK_VALUES = (8, 16, 32)
 
 
@@ -4461,9 +4535,11 @@ def queries() -> dict:
         "cardinality_agg_match": q_cardinality_agg_match,
         "percentiles_agg_match": q_percentiles_agg_match,
         "percentile_ranks_match": q_percentile_ranks_match,
+        "rare_terms_match": q_rare_terms_match,
         "significant_terms_match": q_significant_terms_match,
         "match_count": q_match_count,
         "term_vectors": q_term_vectors,
+        "analyze_api": q_analyze_api,
         "term_suggest": q_term_suggest,
         "phrase_suggest": q_phrase_suggest,
         "delete_by_query": q_delete_by_query,
@@ -4558,9 +4634,11 @@ def oracle_sql() -> dict:
         "cardinality_agg_match": _sql_cardinality_agg_match(),
         "percentiles_agg_match": _sql_percentiles_agg_match(),
         "percentile_ranks_match": _sql_percentile_ranks_match(),
+        "rare_terms_match": _sql_rare_terms_match(),
         "significant_terms_match": _sql_significant_terms_match(),
         "match_count": _sql_match_count(),
         "term_vectors": _sql_term_vectors(),
+        "analyze_api": _sql_analyze_api(),
         "term_suggest": _sql_term_suggest(),
         "phrase_suggest": _sql_phrase_suggest(),
         "delete_by_query": _sql_delete_by_query(),

@@ -548,3 +548,20 @@ def test_percentile_ranks_matches_numpy(agg_index):
     assert got["rank_pct"].iloc[-1] == 100.0  # everything <= 100
     z = percentile_ranks_agg(idx, "zzqnothing").to_pandas()
     assert z["rank_pct"].isna().all()
+
+
+def test_rare_terms_agg_matches_brute(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import rare_terms_agg
+
+    idx, texts, lg = agg_index
+    got = rare_terms_agg(idx, "the data", "lang",
+                         max_doc_count=200).to_pandas()
+    toks = [set(analyze("standard", t)) for t in texts]
+    cnt = Counter(lg[i] for i in range(len(texts))
+                  if {"the", "data"} & toks[i])
+    want = sorted((k, v) for k, v in cnt.items() if v <= 200)
+    assert want  # threshold must actually keep some buckets
+    assert list(zip(got["key"], got["doc_count"])) == want
+    # a tight threshold cuts everything
+    none = rare_terms_agg(idx, "the data", "lang", max_doc_count=0)
+    assert none.num_rows == 0
