@@ -219,6 +219,34 @@ def _range_dl_field(rf: str) -> str:
     return DEFAULT_FIELD if rf == "word_count" else rf
 
 
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=4096)
+def _null_dv_ids_segment_impl(index_dir: str, seg_id: int, column: str,
+                              _mtime_ns: int) -> np.ndarray:
+    import pyarrow.parquet as _pq
+
+    from .aggs import _dv_path
+
+    t = _pq.read_table(_dv_path(index_dir, column, seg_id),
+                       columns=["doc_id", column])
+    nulls = t.filter(pc.is_null(t[column]))["doc_id"].to_numpy()
+    return np.sort(nulls.astype(np.int64))
+
+
+def _null_dv_ids_segment(index_dir: str, seg_id: int, column: str
+                         ) -> np.ndarray:
+    """Sorted GLOBAL doc ids with a null ``column`` doc-value in the
+    segment — O(missing docs) memory, never O(segment). Cached per
+    (segment shard file, mtime)."""
+    from .aggs import _dv_path
+
+    p = _dv_path(index_dir, column, seg_id)
+    return _null_dv_ids_segment_impl(index_dir, int(seg_id), column,
+                                     os.stat(p).st_mtime_ns)
+
+
 def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
     """Normalize an ES ``bool`` query body into analyzed term lists.
 
@@ -238,7 +266,11 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
       ``{"terms": {"field": f, "values": [...]}}`` — ANY of the raw
       tokens present (the ES terms query); and
       ``{"range": {"field": "word_count", "gte": x, "lte": y}}`` — per-doc
-      token count bounds (both ends optional).
+      token count bounds (both ends optional); and
+      ``{"exists": {"field": f}}`` — the doc must have a non-null value
+      for doc-value column ``f`` (ES exists query; resolved against the
+      column's doc-values shards, null ids only, so the filter costs
+      O(missing docs), not O(corpus)).
 
     The returned spec carries per-clause term lists (``query_terms``
     order: deduped, sorted — fixes float accumulation order) plus a
@@ -250,6 +282,7 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
     filter_terms: list[tuple[str, str]] = []
     range_dl: list[tuple[str, float, float]] = []
     filter_any: list[tuple[str, list[str]]] = []
+    exists: list[str] = []
     for flt in bq.get("filter", ()):
         if "term" in flt:
             f = flt["term"].get("field", field)
@@ -264,11 +297,14 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
             range_dl.append((str(r.get("field", "word_count")),
                              float(r.get("gte", float("-inf"))),
                              float(r.get("lte", float("inf")))))
+        elif "exists" in flt:
+            exists.append(str(flt["exists"]["field"]))
         else:
             raise ValueError(f"unsupported bool filter clause {flt!r}")
     msm = bq.get("minimum_should_match")
     if msm is None:
-        msm = 0 if (must or filter_terms or filter_any or range_dl) else 1
+        msm = 0 if (must or filter_terms or filter_any or range_dl
+                    or exists) else 1
     load: dict[str, list[str]] = {
         field: sorted({t for cl in (*must, *should, *must_not) for t in cl})}
     for f, t in filter_terms:
@@ -278,7 +314,7 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
     load = {f: sorted(set(ts)) for f, ts in load.items() if ts}
     return {"field": field, "must": must, "should": should,
             "must_not": must_not, "filter_terms": filter_terms,
-            "filter_any": filter_any,
+            "filter_any": filter_any, "exists": exists,
             "range_dl": range_dl, "msm": int(msm), "load": load}
 
 
@@ -919,7 +955,8 @@ class SegmentSearcher:
 
     def _score_bool(self, spec: dict, k: int, base: int, n: int,
                     dl_by_field: dict[str, np.ndarray],
-                    postings: dict) -> tuple[np.ndarray, np.ndarray]:
+                    postings: dict, seg_id: int = -1
+                    ) -> tuple[np.ndarray, np.ndarray]:
         """ES bool query per segment (see ``prepare_bool_spec`` for the
         clause semantics). Segments hold disjoint doc ranges and every
         posting of a doc lives in its segment, so must/filter/must_not
@@ -972,6 +1009,12 @@ class SegmentSearcher:
             cand = cand[(v >= lo) & (v <= hi)]
             if len(cand) == 0:
                 return empty
+        for col in spec.get("exists", ()):
+            nulls = _null_dv_ids_segment(self.index_dir, seg_id, col)
+            if len(nulls):
+                cand = cand[_drop_deleted(nulls, cand)]
+                if len(cand) == 0:
+                    return empty
         for cl in spec["must_not"]:
             nids = _bool_clause_ids(cl, score_runs)
             if len(nids):
@@ -1120,7 +1163,8 @@ class SegmentSearcher:
             for qid, field, terms, k, mode in self.queries:
                 if mode == "bool":
                     ids, sc = self._score_bool(terms, int(k), base, n,
-                                               dl, postings)
+                                               dl, postings,
+                                               seg_id=int(seg_id))
                     out_q.extend([qid] * len(ids))
                     out_d.extend(ids.tolist())
                     out_s.extend(sc.tolist())
@@ -2574,6 +2618,24 @@ class LocalSearcher:
             field, terms, k, idf, dl, _avgdl(self.stats, field),
             score_mod=mod)
 
+    def _null_dv_ids(self, column: str) -> np.ndarray:
+        """Sorted global doc ids with a null ``column`` doc-value across
+        all bound segments (exists-filter support) — built lazily once
+        per column (ensures the doc-values shards exist), O(missing
+        docs) memory."""
+        cache = getattr(self, "_null_dv_cache", None)
+        if cache is None:
+            cache = self._null_dv_cache = {}
+        if column not in cache:
+            from .aggs import build_doc_values
+
+            build_doc_values(self.index_dir, column)
+            parts = [_null_dv_ids_segment(self.index_dir, int(s), column)
+                     for s in self.seg_ids]
+            cache[column] = (np.sort(np.concatenate(parts))
+                             if parts else np.empty(0, np.int64))
+        return cache[column]
+
     def search_bool(self, bq: dict, k: int = 10,
                     field: str = DEFAULT_FIELD
                     ) -> tuple[np.ndarray, np.ndarray]:
@@ -2615,7 +2677,7 @@ class LocalSearcher:
                 [t for cl in spec["should"] for t in cl], score_runs)
         elif spec["filter_terms"] or spec.get("filter_any"):
             cand = None
-        else:  # range-only filter context: every doc
+        else:  # range-/exists-only filter context: every doc
             cand = np.arange(self.n_docs, dtype=np.int64)
         for f, t in spec["filter_terms"]:
             fb = (self._postings_for(f, [t])
@@ -2640,6 +2702,12 @@ class LocalSearcher:
             cand = cand[(v >= lo) & (v <= hi)]
             if len(cand) == 0:
                 return empty
+        for col in spec.get("exists", ()):
+            nulls = self._null_dv_ids(col)
+            if len(nulls):
+                cand = cand[_drop_deleted(nulls, cand)]
+                if len(cand) == 0:
+                    return empty
         for cl in spec["must_not"]:
             nids = _bool_clause_ids(cl, lambda t: mn_by.get(t, []))
             if len(nids):
@@ -3292,12 +3360,14 @@ def search(index_dir: str, queries: pa.Table | list[dict],
                     "BuildConfig(index_positions=True)")
     by_field: dict[str, list[str]] = {}
     has_bool = False
+    exists_cols: set[str] = set()
     for _qid, field, terms, _k, _m in prepared:
         if _m == "bool":
             has_bool = True
             for f, ts in terms["load"].items():
                 by_field.setdefault(f, []).extend(ts)
             by_field.setdefault(field, [])  # avgdl for the scored field
+            exists_cols.update(terms.get("exists", ()))
         elif isinstance(_m, str) and _m.startswith("boosting:"):
             by_field.setdefault(field, []).extend(terms["pos"])
             by_field[field].extend(terms["neg"])
@@ -3307,6 +3377,13 @@ def search(index_dir: str, queries: pa.Table | list[dict],
         else:
             by_field.setdefault(field, []).extend(terms)
     by_field = {f: sorted(set(ts)) for f, ts in by_field.items()}
+    if exists_cols:
+        # exists filters read doc-values shards in the actors; build them
+        # ONCE on the driver so actors never race on shard creation
+        from .aggs import build_doc_values
+
+        for colx in sorted(exists_cols):
+            build_doc_values(index_dir, colx)
     idf, _dfs, _n = load_global_idf(index_dir, by_field)
     avgdl_by_field = {f: _avgdl(stats, f) for f in by_field}
     seg_ids, _vis = _visible_seg_ids(index_dir, stats)

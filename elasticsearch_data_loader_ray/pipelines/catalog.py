@@ -2018,6 +2018,64 @@ DOC_BOOL_QUERIES = [
 ]
 
 
+EXISTS_BOOL = {"must": ["the data"],
+               "filter": [{"exists": {"field": "lang"}}]}
+
+
+def q_bool_exists_topk(sf_dir: str):
+    """ES exists query as a bool filter: the match clause's BM25 top-k
+    restricted to docs with a non-null ``lang`` doc-value — resolved
+    from per-segment null-id lists (O(missing docs), never a corpus
+    scan). The sf tables carry no null langs, so the oracle verifies the
+    plumbing end-to-end as a no-op filter; the null-dropping semantics
+    are pinned by ``test_bool_query.py``'s null-fixture test."""
+    idx = _ensure_doc_index(sf_dir)
+    res = search(idx, [{"query_id": 0, "bool": EXISTS_BOOL,
+                        "k": DOC_K + 20}]).to_pandas()
+    if len(res) == 0:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    out = _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+    return out.drop_columns(["query_id"]) if "query_id" in \
+        out.column_names else out
+
+
+def _sql_bool_exists_topk() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')"
+                     for t in query_terms(EXISTS_BOOL["must"][0]))
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lang, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "scored AS (SELECT tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl "
+        "/ s.avgdl))) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        "WHERE tf.doc_id IN (SELECT doc_id FROM docs "
+        "WHERE lang IS NOT NULL) GROUP BY 1) "
+        "SELECT rank, doc_id, score FROM ("
+        "SELECT doc_id, round(score, 6) AS score, row_number() OVER ("
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 def q_bm25_bool_topk(sf_dir: str):
     """ES bool queries over the documents index: must / should / must_not
     match clauses, non-scoring filter context (raw term + word_count
@@ -4518,6 +4576,7 @@ def queries() -> dict:
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
+        "bool_exists_topk": q_bool_exists_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "wildcard_term_search": q_wildcard_term_search,
         "regexp_term_search": q_regexp_term_search,
@@ -4617,6 +4676,7 @@ def oracle_sql() -> dict:
         "incremental_append": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
         "bm25_bool_topk": _sql_bm25_bool_topk(),
+        "bool_exists_topk": _sql_bool_exists_topk(),
         "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
         "wildcard_term_search": _sql_wildcard_term_search(),
         "regexp_term_search": _sql_regexp_term_search(),

@@ -190,3 +190,61 @@ def test_bool_msm_tightens_result_set(bool_index):
         k=1000)
     assert set(tight.tolist()) <= set(loose.tolist())
     assert len(tight) < len(loose)
+
+
+def test_bool_exists_filter_drops_missing(tmp_path_factory):
+    """ES exists query as a bool filter: docs with a null doc-value for
+    the column are excluded; scoring/order of the surviving docs is
+    untouched; local == distributed bitwise; exists-only queries match
+    every non-missing doc."""
+    import ray.data as rd
+
+    from elasticsearch_data_loader_ray.functions.analyzers import (
+        analyze,
+        token_count_batch,
+    )
+    from elasticsearch_data_loader_ray.index.build import (
+        BuildConfig,
+        build_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.search import (
+        LocalSearcher,
+        search,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["data", "query", "scan", "the", "fast"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+             for _ in range(240)]
+    lg = [None if i % 5 == 0 else "en" for i in range(240)]
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(lg, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("exists_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=64))
+    s = LocalSearcher(idx)
+    bq = {"must": ["the data"], "filter": [{"exists": {"field": "lang"}}]}
+    ids, sc = s.search_bool(bq, k=1000)
+    base_ids, base_sc = s.search_bool({"must": ["the data"]}, k=1000)
+    toks = [set(analyze("standard", t)) for t in texts]
+    want = [d for d in base_ids.tolist() if lg[d] is not None]
+    assert ids.tolist() == want
+    assert len(want) < len(base_ids)  # the filter really dropped docs
+    # surviving scores identical to the unfiltered query's
+    m = {d: v for d, v in zip(base_ids.tolist(), base_sc.tolist())}
+    assert sc.tolist() == [m[d] for d in ids.tolist()]
+    # distributed path bitwise-identical
+    got = search(idx, [{"query_id": 0, "bool": bq, "k": 1000}]).to_pandas()
+    assert got["doc_id"].tolist() == ids[:1000].tolist()
+    assert got["score"].tolist() == sc[:1000].tolist()
+    # exists-only: every doc with a lang, constant candidates via range
+    only = s.search_bool({"filter": [{"exists": {"field": "lang"}}]},
+                         k=1000)[0]
+    assert only.tolist() == [i for i in range(n) if lg[i] is not None]
