@@ -1553,3 +1553,203 @@ def cardinality_agg(index_dir: str, query: str, column: str,
     return pa.table({
         "cardinality": pa.array([round(hll_estimate(regs))], pa.int64()),
         "is_approx": pa.array([True], pa.bool_())})
+
+
+def multi_terms_agg(index_dir: str, query: str,
+                    columns: tuple[str, ...] = ("lang", "source"),
+                    size: int = 10, field: str = DEFAULT_FIELD,
+                    concurrency: int | None = None) -> pa.Table:
+    """ES ``multi_terms`` aggregation: buckets are VALUE TUPLES of the
+    source columns (``["lang", "source"]``-style terms list), ordered by
+    (doc_count desc, keys asc), top ``size`` — the non-paginated sibling
+    of :func:`composite_agg`. Per-segment partials are the composite
+    partials (bounded by distinct tuples per segment); the merge is a
+    multi-key ``groupby().sum`` and the order-by + cut happens on the
+    reduced bucket list, exactly where ES's coordinator does it. Docs
+    missing ANY source value are skipped (ES multi_terms semantics)."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    srcs = list(columns)
+    empty = pa.table({**{c: pa.array([], pa.string()) for c in srcs},
+                      "doc_count": pa.array([], pa.int64())})
+    if not terms or not seg_ids:
+        return empty
+    for c in srcs:
+        build_doc_values(index_dir, c)
+    merged = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _composite_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "columns": srcs, "field": field,
+                "terms": terms},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .groupby(srcs)
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if len(merged) == 0:
+        return empty
+    merged = merged.sort_values(
+        ["doc_count", *srcs], ascending=[False] + [True] * len(srcs)
+    ).head(size)
+    return pa.table({
+        **{c: pa.array(merged[c].astype(str), pa.string()) for c in srcs},
+        "doc_count": pa.array(merged["doc_count"].to_numpy(), pa.int64()),
+    })
+
+
+def _weighted_avg_partials(batch: pa.Table, *, index_dir: str, field: str,
+                           terms: list[str], weight_column: str) -> pa.Table:
+    """Task: per-segment weighted_avg partials — integer sums of
+    (weight * value) and weight over the matched docs, so the final
+    division is the only float op (bitwise-stable across partitionings).
+    Value = the field's per-doc token count (docs table); weight = the
+    doc's ``weight_column`` timestamp in whole hours since the Unix epoch
+    (doc-values shard). Docs with a null weight are skipped (ES
+    weighted_avg skip-missing)."""
+    _stats, deleted = worker_state(index_dir)
+    swv, sw, n = 0, 0, 0
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field, terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        docs = pq.read_table(
+            seg_docs_path(index_dir, seg_id),
+            columns=["doc_id", _dl_column(field)])
+        dlv = docs[_dl_column(field)].to_numpy()
+        base = int(docs["doc_id"][0].as_py())
+        v = dlv[ids - base].astype(np.int64)
+        dv = pq.read_table(_dv_path(index_dir, weight_column, seg_id),
+                           columns=["doc_id", weight_column])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+        wcol = dv[weight_column].combine_chunks().take(pa.array(pos))
+        ok = np.asarray(pc.is_valid(wcol))
+        # timestamp[us] -> whole hours since epoch (integer, exact)
+        w = wcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (w[ok] // 3_600_000_000).astype(np.int64)
+        v = v[ok]
+        swv += int((w * v).sum())
+        sw += int(w.sum())
+        n += len(v)
+    return pa.table({"sum_wv": pa.array([swv], pa.int64()),
+                     "sum_w": pa.array([sw], pa.int64()),
+                     "n": pa.array([n], pa.int64())})
+
+
+def weighted_avg_agg(index_dir: str, query: str,
+                     weight_column: str = "warc_ts",
+                     field: str = DEFAULT_FIELD,
+                     concurrency: int | None = None) -> pa.Table:
+    """ES ``weighted_avg`` aggregation over the matching docs:
+    ``sum(weight * value) / sum(weight)`` with value = the doc's token
+    count and weight = its ``weight_column`` timestamp in whole hours
+    since the Unix epoch (a deterministic numeric doc-value; real users
+    plug a ratings/votes column the same way). Per-segment partials are
+    two INTEGER sums, so the single final division is the only float op
+    — exact at any partitioning."""
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"weighted_avg": pa.array([], pa.float64()),
+                      "value_count": pa.array([], pa.int64())})
+    if not terms or not seg_ids:
+        return empty
+    build_doc_values(index_dir, weight_column)
+    parts = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _weighted_avg_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "field": field, "terms": terms,
+                "weight_column": weight_column},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()  # bounded: one 3-int row per task
+    )
+    sw = int(parts["sum_w"].sum())
+    n = int(parts["n"].sum())
+    if n == 0 or sw == 0:
+        return empty
+    wavg = round(float(parts["sum_wv"].sum()) / float(sw), 6)
+    return pa.table({"weighted_avg": pa.array([wavg], pa.float64()),
+                     "value_count": pa.array([n], pa.int64())})
+
+
+def _adjacency_partials(batch: pa.Table, *, index_dir: str, field: str,
+                        named_terms: list[tuple[str, list[str]]]
+                        ) -> pa.Table:
+    """Task: per-segment adjacency_matrix partials — matched-id sets per
+    named filter, then every single and pairwise-intersection count.
+    Output is bounded by ``n_filters^2`` rows per segment batch."""
+    _stats, deleted = worker_state(index_dir)
+    agg: dict[str, int] = {}
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        sets = []
+        for name, terms in named_terms:
+            ids = _matched_ids(index_dir, seg_id, field, terms)
+            if len(deleted) and len(ids):
+                ids = ids[_drop_deleted(deleted, ids)]
+            sets.append((name, ids))
+        for i, (na, ia) in enumerate(sets):
+            if len(ia):
+                agg[na] = agg.get(na, 0) + len(ia)
+            for nb, ib in sets[i + 1:]:
+                both = len(np.intersect1d(ia, ib, assume_unique=True))
+                if both:
+                    key = f"{na}&{nb}"
+                    agg[key] = agg.get(key, 0) + both
+    ks = sorted(agg)
+    return pa.table({"key": pa.array(ks, pa.string()),
+                     "doc_count": pa.array([agg[k] for k in ks], pa.int64())})
+
+
+def adjacency_matrix_agg(index_dir: str, filters: dict[str, str],
+                         field: str = DEFAULT_FIELD,
+                         concurrency: int | None = None) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation: one bucket per named filter
+    plus one per PAIR intersection (key ``"a&b"``, names in sorted order
+    — ES's separator), counting docs matching both. Only non-empty
+    buckets are returned (ES semantics), key-ascending. Per-segment
+    partials compute the intersections locally on sorted id arrays
+    (doc ids never leave the task), merged with a tiny groupby-sum —
+    O(filters^2) rows total regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    stats = _load_stats(index_dir)
+    analyzer = _field_analyzer(stats, field)
+    named_terms = [(name, query_terms(filters[name], analyzer))
+                   for name in sorted(filters)]
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "doc_count": pa.array([], pa.int64())})
+    if not seg_ids or not named_terms:
+        return empty
+    merged = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _adjacency_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "field": field,
+                "named_terms": named_terms},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .groupby("key")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if len(merged) == 0:
+        return empty
+    merged = merged.sort_values("key")
+    return pa.table({
+        "key": pa.array(merged["key"], pa.string()),
+        "doc_count": pa.array(merged["doc_count"].to_numpy(), pa.int64()),
+    })

@@ -2635,6 +2635,130 @@ def _sql_composite_agg_page() -> str:
     )
 
 
+MULTI_TERMS_SIZE = 10
+
+
+def q_multi_terms_agg(sf_dir: str):
+    """ES multi_terms aggregation: (lang, source) value-tuple buckets of
+    the docs matching an OR match query, top-10 by (doc_count desc, keys
+    asc) — the non-paginated sibling of composite. Per-segment partials
+    bounded by distinct tuples; multi-key groupby merge; order + cut on
+    the reduced bucket list (the ES coordinator shape)."""
+    from ..index.aggs import multi_terms_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return multi_terms_agg(idx, TERMS_AGG_QUERY,
+                           columns=("lang", "source"),
+                           size=MULTI_TERMS_SIZE)
+
+
+def _sql_multi_terms_agg() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lang, source, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)) "
+        "SELECT d.lang AS lang, d.source AS source, "
+        "count(*)::BIGINT AS doc_count "
+        "FROM hits h JOIN docs d USING (doc_id) "
+        "WHERE d.lang IS NOT NULL AND d.source IS NOT NULL "
+        "GROUP BY 1, 2 ORDER BY doc_count DESC, lang ASC, source ASC "
+        f"LIMIT {MULTI_TERMS_SIZE}"
+    )
+
+
+def q_weighted_avg_agg(sf_dir: str):
+    """ES weighted_avg aggregation over the matching docs: value = the
+    doc's token count, weight = its warc_ts in whole hours since the
+    Unix epoch (a deterministic numeric doc-value standing in for the
+    ratings/votes column real users plug in). Per-segment partials are
+    two INTEGER sums, so the one final division is the only float op."""
+    from ..index.aggs import weighted_avg_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return weighted_avg_agg(idx, TERMS_AGG_QUERY, weight_column="warc_ts")
+
+
+def _sql_weighted_avg_agg() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        # weight mirrors the corpus synthesis: warc_ts = 2024-01-01 +
+        # doc_id hours -> whole hours since the Unix epoch
+        "w AS (SELECT h.doc_id, date_diff('hour', TIMESTAMP '1970-01-01', "
+        "TIMESTAMP '2024-01-01' + to_hours(h.doc_id))::BIGINT AS w, "
+        "dl.dl AS v FROM hits h JOIN dl USING (doc_id)) "
+        "SELECT round(sum(w * v)::DOUBLE / sum(w)::DOUBLE, 6) "
+        "AS weighted_avg, count(*)::BIGINT AS value_count FROM w"
+    )
+
+
+ADJ_FILTERS = {"grp_data": "data query", "grp_fast": "fast scan",
+               "grp_slow": "slow"}
+
+
+def q_adjacency_matrix_agg(sf_dir: str):
+    """ES adjacency_matrix aggregation: a bucket per named filter plus
+    one per pair intersection (key "a&b", sorted names — ES's
+    separator), non-empty buckets only, key-ascending. Intersections are
+    computed per segment on sorted id arrays (ids never leave the
+    task); the merge is O(filters^2) rows."""
+    from ..index.aggs import adjacency_matrix_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return adjacency_matrix_agg(idx, ADJ_FILTERS)
+
+
+def _sql_adjacency_matrix_agg() -> str:
+    from ..index.search import query_terms
+
+    names = sorted(ADJ_FILTERS)
+    rows = []
+    for name in names:
+        for t in query_terms(ADJ_FILTERS[name]):
+            rows.append(f"('{name}', '{t}')")
+    singles = (
+        "SELECT f.name AS key, count(DISTINCT toks.doc_id)::BIGINT AS "
+        "doc_count FROM f JOIN toks USING (term) GROUP BY 1"
+    )
+    pair_parts = []
+    for i, na in enumerate(names):
+        for nb in names[i + 1:]:
+            pair_parts.append(
+                f"SELECT '{na}&{nb}' AS key, count(*)::BIGINT AS doc_count "
+                "FROM (SELECT DISTINCT toks.doc_id FROM f JOIN toks "
+                f"USING (term) WHERE f.name = '{na}') a "
+                "JOIN (SELECT DISTINCT toks.doc_id FROM f JOIN toks "
+                f"USING (term) WHERE f.name = '{nb}') b USING (doc_id)"
+            )
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"f(name, term) AS (VALUES {', '.join(rows)}), "
+        "allb AS (" + singles + " UNION ALL "
+        + " UNION ALL ".join(pair_parts) + ") "
+        "SELECT key, doc_count FROM allb WHERE doc_count > 0 "
+        "ORDER BY key ASC"
+    )
+
+
 def q_extended_stats_match(sf_dir: str):
     """ES extended_stats aggregation: stats plus sum_of_squares,
     population variance and std_deviation of word_count over the docs
@@ -4587,6 +4711,9 @@ def queries() -> dict:
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
+        "multi_terms_agg": q_multi_terms_agg,
+        "weighted_avg_agg": q_weighted_avg_agg,
+        "adjacency_matrix_agg": q_adjacency_matrix_agg,
         "extended_stats_match": q_extended_stats_match,
         "mget_docs": q_mget_docs,
         "stats_agg_match": q_stats_agg_match,
@@ -4687,6 +4814,9 @@ def oracle_sql() -> dict:
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),
+        "multi_terms_agg": _sql_multi_terms_agg(),
+        "weighted_avg_agg": _sql_weighted_avg_agg(),
+        "adjacency_matrix_agg": _sql_adjacency_matrix_agg(),
         "extended_stats_match": _sql_extended_stats_match(),
         "mget_docs": _sql_mget_docs(),
         "stats_agg_match": _sql_stats_agg_match(),
