@@ -28,6 +28,7 @@ Scoring modes:
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -245,6 +246,66 @@ def _null_dv_ids_segment(index_dir: str, seg_id: int, column: str
     p = _dv_path(index_dir, column, seg_id)
     return _null_dv_ids_segment_impl(index_dir, int(seg_id), column,
                                      os.stat(p).st_mtime_ns)
+
+
+_QS_RANGE_RE = re.compile(
+    r"(\w+):\[\s*(\*|-?\d+(?:\.\d+)?)\s+TO\s+(\*|-?\d+(?:\.\d+)?)\s*\]")
+
+
+def parse_query_string(q: str) -> dict:
+    """Lucene-classic ``query_string``-lite parser -> ES ``bool`` body.
+
+    Supported syntax (the flat subset; no parens/boosts/phrases):
+
+    * bare terms — optional OR clauses (``should``, one clause per
+      whitespace token, ``minimum_should_match=1`` like Lucene's
+      default_operator=OR);
+    * ``+term`` — required (``must``);
+    * ``-term`` — prohibited (``must_not``);
+    * ``word_count:[lo TO hi]`` — non-scoring range filter on the
+      per-doc token count (either end ``*`` for open).
+
+    The output feeds :func:`prepare_bool_spec` unchanged, so local and
+    distributed serving and the DuckDB oracle all share one lowering.
+    """
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    filters: list[dict] = []
+
+    def _range(m: re.Match) -> str:
+        r: dict = {"field": m.group(1)}
+        if m.group(2) != "*":
+            r["gte"] = float(m.group(2))
+        if m.group(3) != "*":
+            r["lte"] = float(m.group(3))
+        filters.append({"range": r})
+        return " "
+
+    rest = _QS_RANGE_RE.sub(_range, q)
+    for tok in rest.split():
+        if tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            must_not.append(tok[1:])
+        else:
+            should.append(tok)
+    bq: dict = {}
+    if must:
+        bq["must"] = must
+    if should:
+        bq["should"] = should
+        # documented convention: bare terms are optional-OR, but at
+        # least one must match unless required (+) clauses exist —
+        # Lucene default_operator=OR. Range syntax lowers to REQUIRED
+        # non-scoring filter context (ES bool filter), so a doc
+        # matching only the range never matches the bare terms' clause.
+        bq["minimum_should_match"] = 0 if must else 1
+    if must_not:
+        bq["must_not"] = must_not
+    if filters:
+        bq["filter"] = filters
+    return bq
 
 
 def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:

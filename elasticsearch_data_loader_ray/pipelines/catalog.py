@@ -2095,10 +2095,17 @@ def q_bm25_bool_topk(sf_dir: str):
 
 
 def _sql_bm25_bool_topk() -> str:
+    return _sql_bool_queries(DOC_BOOL_QUERIES)
+
+
+def _sql_bool_queries(bool_queries: list[dict]) -> str:
+    """Shared DuckDB lowering of a list of ES bool bodies (the
+    ``DOC_BOOL_QUERIES`` shapes) — also the oracle for every surface
+    that lowers INTO bool (query_string)."""
     from ..index.search import query_terms
 
     crows, rrows, mrows = [], [], []
-    for qid, bq in enumerate(DOC_BOOL_QUERIES):
+    for qid, bq in enumerate(bool_queries):
         cid = 0
         for kind in ("must", "should", "must_not"):
             for s in bq.get(kind, ()):
@@ -2175,6 +2182,44 @@ def _sql_bm25_bool_topk() -> str:
         "ON sc.query_id = e.query_id AND sc.doc_id = e.doc_id) "
         f"WHERE rank <= {DOC_K}"
     )
+
+
+DOC_QS_QUERIES = [
+    "data +query -slow",
+    "+table +part",
+    "scan hash join",
+    "data word_count:[30 TO 70]",
+    "+stream -window agg",
+    "filter word_count:[* TO 55]",
+]
+
+
+def q_query_string_topk(sf_dir: str):
+    """ES ``query_string``-lite: Lucene-classic syntax (`bare` OR terms,
+    ``+must``, ``-must_not``, ``field:[lo TO hi]`` range filters) parsed
+    by ``search.parse_query_string`` and lowered onto the bool-query
+    engine — one parser feeding both serving paths and the SQL oracle,
+    distributed segment-parallel top-k."""
+    from ..index.search import parse_query_string
+
+    idx = _ensure_doc_index(sf_dir)
+    qs = [{"query_id": i, "bool": parse_query_string(q), "k": DOC_K + 20}
+          for i, q in enumerate(DOC_QS_QUERIES)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_query_string_topk() -> str:
+    from ..index.search import parse_query_string
+
+    return _sql_bool_queries([parse_query_string(q)
+                              for q in DOC_QS_QUERIES])
 
 
 DOC_FUZZY_QUERIES = ["quer", "scann tabl", "strem", "windoq agr", "joinn"]
@@ -4701,6 +4746,7 @@ def queries() -> dict:
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
         "bool_exists_topk": q_bool_exists_topk,
+        "query_string_topk": q_query_string_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
         "wildcard_term_search": q_wildcard_term_search,
         "regexp_term_search": q_regexp_term_search,
@@ -4804,6 +4850,7 @@ def oracle_sql() -> dict:
         "bm25_and_topk": _sql_bm25_and_topk(),
         "bm25_bool_topk": _sql_bm25_bool_topk(),
         "bool_exists_topk": _sql_bool_exists_topk(),
+        "query_string_topk": _sql_query_string_topk(),
         "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
         "wildcard_term_search": _sql_wildcard_term_search(),
         "regexp_term_search": _sql_regexp_term_search(),

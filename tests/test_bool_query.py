@@ -248,3 +248,34 @@ def test_bool_exists_filter_drops_missing(tmp_path_factory):
     only = s.search_bool({"filter": [{"exists": {"field": "lang"}}]},
                          k=1000)[0]
     assert only.tolist() == [i for i in range(n) if lg[i] is not None]
+
+
+def test_parse_query_string_lowering():
+    from elasticsearch_data_loader_ray.index.search import parse_query_string
+
+    bq = parse_query_string("data +query -slow word_count:[30 TO 70]")
+    assert bq["must"] == ["query"]
+    assert bq["should"] == ["data"]
+    assert bq["must_not"] == ["slow"]
+    assert bq["minimum_should_match"] == 0  # must present -> optional OR
+    assert bq["filter"] == [
+        {"range": {"field": "word_count", "gte": 30.0, "lte": 70.0}}]
+    # bare terms only: at least one must match (default_operator=OR)
+    assert parse_query_string("a b")["minimum_should_match"] == 1
+    # open-ended range bounds
+    f = parse_query_string("x word_count:[* TO 55]")["filter"][0]["range"]
+    assert "gte" not in f and f["lte"] == 55.0
+
+
+def test_query_string_vs_explicit_bool(bool_index):
+    idx, texts = bool_index
+    from elasticsearch_data_loader_ray.index.search import (
+        LocalSearcher, parse_query_string)
+
+    s = LocalSearcher(idx)
+    got = s.search_bool(parse_query_string("data +query -slow"), k=20)
+    want = s.search_bool({"must": ["query"], "should": ["data"],
+                          "must_not": ["slow"],
+                          "minimum_should_match": 0}, k=20)
+    assert got[0].tolist() == want[0].tolist()
+    assert got[1].tolist() == want[1].tolist()
