@@ -1679,6 +1679,103 @@ class LocalSearcher:
                 return arr
         return np.memmap(path, dtype=np.float64, mode="r", shape=(n,))
 
+    def _dv_hours(self, column: str) -> np.ndarray:
+        """Per-doc numeric doc-value lookup for a timestamp ``column`` in
+        WHOLE HOURS since the Unix epoch — a read-only float64 memmap
+        sidecar (``doclen/dv.<column>.<n_docs>.f64``) built once from the
+        column's doc-values shards, same page-touch behavior as
+        :meth:`_dl_for` (per-query residency tracks the candidates, not
+        the corpus). Hours keep the values exactly representable in
+        float64 (raw microseconds would not be); docs with a null value
+        get NaN (decay treats them as non-matching the function, ES
+        skip-missing)."""
+        cache = getattr(self, "_dv_num_cache", None)
+        if cache is None:
+            cache = self._dv_num_cache = {}
+        if column in cache:
+            return cache[column]
+        import uuid as _uuid
+
+        from .aggs import _dv_path, build_doc_values
+
+        n = self.n_docs
+        if n == 0:
+            return np.zeros(max(n, 1), dtype=np.float64)
+        path = os.path.join(self.index_dir, "doclen",
+                            f"dv.{column}.{n}.f64")
+        if not os.path.exists(path):
+            build_doc_values(self.index_dir, column)
+
+            def fill(arr):
+                for s in self.seg_ids:
+                    dt = pq.read_table(_dv_path(self.index_dir, column,
+                                                int(s)),
+                                       columns=["doc_id", column])
+                    col = dt[column].cast(pa.int64())
+                    ok = np.asarray(pc.is_valid(col))
+                    # integer floordiv BEFORE the float cast: raw
+                    # microseconds exceed float64's exact-integer range
+                    iv = np.asarray(pc.fill_null(col, 0),
+                                    dtype=np.int64) // 3_600_000_000
+                    v = iv.astype(np.float64)
+                    v[~ok] = np.nan
+                    arr[dt["doc_id"].to_numpy()] = v
+
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+                arr = np.memmap(tmp, dtype=np.float64, mode="w+",
+                                shape=(n,))
+                arr[:] = np.nan
+                fill(arr)
+                arr.flush()
+                del arr
+                os.replace(tmp, path)
+            except OSError:  # read-only index dir: dense in-heap fallback
+                arr = np.full(n, np.nan, dtype=np.float64)
+                fill(arr)
+                cache[column] = arr
+                return arr
+        out = np.memmap(path, dtype=np.float64, mode="r", shape=(n,))
+        cache[column] = out
+        return out
+
+    def search_decay(self, query: str, k: int = 10,
+                     field: str = DEFAULT_FIELD, column: str = "warc_ts",
+                     origin_hours: float = 0.0, scale_hours: float = 240.0,
+                     offset_hours: float = 0.0, decay: float = 0.5,
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``function_score`` with a ``gauss`` decay on a timestamp
+        doc-value: ``score = BM25 * exp(-max(0, |x - origin| - offset)^2
+        / (2 sigma^2))`` with ``sigma^2 = scale^2 / (2 ln(1/decay))`` —
+        the value at ``origin±(offset+scale)`` is exactly ``decay``.
+        All distances in whole hours (exactly representable, see
+        :meth:`_dv_hours`). The multiplicative factor breaks block-max
+        admissibility, so this routes through exhaustive accumulation
+        with the modifier applied before the top-k cut — the same shape
+        as ``search_function_score``. Docs missing the doc-value score 0
+        for the function (dropped from the top-k unless k exceeds the
+        matched set)."""
+        self._maybe_auto_refresh()
+        all_terms = query_terms(query, _field_analyzer(self.stats, field))
+        idf = self._idf(field, all_terms)
+        terms = [t for t in all_terms if t in idf]
+        if not terms or self.term_ds is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        hours = self._dv_hours(column)
+        sigma2 = (scale_hours * scale_hours) / (2.0 * np.log(1.0 / decay))
+
+        def mod(sc, loc):
+            d = np.abs(hours[loc] - origin_hours) - offset_hours
+            d = np.maximum(d, 0.0)
+            g = np.exp(-(d * d) / (2.0 * sigma2))
+            return sc * np.where(np.isnan(g), 0.0, g)
+
+        dl = self._dl_for(field)
+        return self._search_or_fulldecode(
+            field, terms, k, idf, dl, _avgdl(self.stats, field),
+            score_mod=mod)
+
     def _idf(self, field: str, terms: list[str]) -> dict[str, float]:
         missing = [t for t in terms if (field, t) not in self._idf_cache]
         if missing:

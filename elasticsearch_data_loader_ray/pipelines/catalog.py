@@ -1646,6 +1646,85 @@ BOOSTING_NEG = "slow"
 BOOSTING_NB = 0.3
 
 
+DECAY_ORIGIN_H = 473352 + 500  # warc_ts synthesis epoch (2024-01-01) + 500h
+DECAY_SCALE_H = 240.0
+DECAY_OFFSET_H = 24.0
+DECAY_DECAY = 0.5
+_DECAY_SIGMA2 = (DECAY_SCALE_H * DECAY_SCALE_H) / (
+    2.0 * math.log(1.0 / DECAY_DECAY))
+
+
+def q_decay_score_topk(sf_dir: str):
+    """ES function_score with a gauss decay on the warc_ts doc-value:
+    score = BM25 * exp(-max(0, |t-origin|-offset)^2 / (2 sigma^2)) with
+    distances in whole hours (exactly representable — see
+    LocalSearcher._dv_hours, a memmap sidecar like the doc-length
+    norms). Multiplicative factor -> exhaustive accumulation with the
+    modifier applied before the top-k cut."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        ids, sc = lo.search_decay(
+            q, k=DOC_K + 20, origin_hours=DECAY_ORIGIN_H,
+            scale_hours=DECAY_SCALE_H, offset_hours=DECAY_OFFSET_H,
+            decay=DECAY_DECAY)
+        for d, s in zip(ids.tolist(), sc.tolist()):
+            rows.append((qid, d, s))
+    if not rows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    res["doc_id"] = dmap[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_decay_score_topk() -> str:
+    from ..index.search import query_terms
+
+    values = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for t in query_terms(q):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    k1, b = codec.BM25_K1, codec.BM25_B
+    # hours since the Unix epoch of the synthesized warc_ts
+    hrs = ("date_diff('hour', TIMESTAMP '1970-01-01', "
+           "TIMESTAMP '2024-01-01' + to_hours(tf.doc_id))::DOUBLE")
+    gauss = (f"exp(-pow(greatest(abs({hrs} - {DECAY_ORIGIN_H!r}) - "
+             f"{DECAY_OFFSET_H!r}, 0), 2) / {2.0 * _DECAY_SIGMA2!r})")
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / "
+        f"s.avgdl))) * any_value({gauss}) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1, 2) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 def q_boosting_topk(sf_dir: str):
     """ES boosting query: positive BM25 ranking with docs matching the
     negative query demoted by negative_boost (0.3) — demotion applied
@@ -4738,6 +4817,7 @@ def queries() -> dict:
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
+        "decay_score_topk": q_decay_score_topk,
         "boosting_topk": q_boosting_topk,
         "more_like_this": q_more_like_this,
         "collapse_topk": q_collapse_topk,
@@ -4840,6 +4920,7 @@ def oracle_sql() -> dict:
         "bm25_pruned_topk": _sql_bm25_topk(),
         "search_after_page": _sql_search_after_page(),
         "function_score_topk": _sql_function_score_topk(),
+        "decay_score_topk": _sql_decay_score_topk(),
         "boosting_topk": _sql_boosting_topk(),
         "more_like_this": _sql_more_like_this(),
         "collapse_topk": _sql_collapse_topk(),
