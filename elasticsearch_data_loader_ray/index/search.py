@@ -3362,6 +3362,89 @@ class PhraseSearcher:
         order = np.lexsort((hits_a, -scores))[:k]
         return hits_a[order], scores[order], freqs_a[order].astype(np.int64)
 
+    def span_near(self, clauses: list[str], slop: int = 0,
+                  field: str = DEFAULT_FIELD) -> np.ndarray:
+        """ES ``span_near`` with ``in_order=true``: docs where the clause
+        terms occur in order with at most ``slop`` total intervening
+        positions (``slop=0`` = exact adjacency = phrase). Returns the
+        sorted matching doc ids (span queries are match predicates here;
+        callers score the matched set as ES does with sloppy-freq — the
+        doc set is the oracle-checkable contract).
+
+        Per-doc cost is a vectorized DP over the clause position arrays:
+        ``mincost(q) = q - 1 - max_{p<q}(p - mincost(p))`` per step, so
+        each step is one searchsorted + one prefix-max over the previous
+        clause's positions — O(total positions) per doc, no pairwise
+        blowup. Each clause is a single analyzed term (span_term)."""
+        lo = self.local
+        if (lo.term_ds is not None
+                and not blobs.has_positions(lo.term_ds.schema)):
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig.index_positions=True required)")
+        analyzer = _field_analyzer(lo.stats, field)
+        seq: list[str] = []
+        for c in clauses:
+            toks = list(analyze(analyzer, c))
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_near clause {c!r} must analyze to one term")
+            seq.append(toks[0])
+        if not seq:
+            return np.empty(0, np.int64)
+        uniq = sorted(set(seq))
+        tt = lo._read_terms(["term", "df"], {field: uniq}, positions=True)
+        per_term_docs: dict[str, list[np.ndarray]] = {t: [] for t in uniq}
+        per_term_pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            enc_pos = tt["positions_enc"][i].as_py()
+            if enc_pos is None:
+                raise ValueError(
+                    "index was built without positions "
+                    "(BuildConfig.index_positions=True required)")
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()))
+            per_term_docs[t].append(ids)
+            per_term_pos[t].update(_positions_by_doc(ids, tfs, enc_pos))
+        cand = None
+        for t in uniq:
+            docs_t = (np.sort(np.concatenate(per_term_docs[t]))
+                      if per_term_docs[t] else np.empty(0, np.int64))
+            cand = docs_t if cand is None else np.intersect1d(
+                cand, docs_t, assume_unique=True)
+            if len(cand) == 0:
+                return np.empty(0, np.int64)
+        if len(lo._deleted):
+            cand = cand[_drop_deleted(lo._deleted, cand)]
+        hits = []
+        for d in cand:
+            di = int(d)
+            chain = [per_term_pos[t][di] for t in seq]
+            # DP over the ordered chain: carry, per position p of the
+            # current clause, the minimal total gap of any in-order
+            # span ending at p; prefix-max of (p - cost) makes each
+            # transition a binary search instead of a cross product.
+            cost = np.zeros(len(chain[0]), dtype=np.int64)
+            best = chain[0] - cost  # p - cost(p), prefix-maxed below
+            alive = True
+            for i in range(1, len(chain)):
+                prefmax = np.maximum.accumulate(best)
+                q = chain[i]
+                idx = np.searchsorted(chain[i - 1], q) - 1
+                ok = idx >= 0
+                if not ok.any():
+                    alive = False
+                    break
+                q = q[ok]
+                cost = q - 1 - prefmax[idx[ok]]
+                best = q - cost
+                chain[i] = q
+            if alive and (cost <= slop).any():
+                hits.append(di)
+        return np.array(sorted(hits), dtype=np.int64)
+
 
 def highlight_matches(local: "LocalSearcher", query: str,
                       field: str = DEFAULT_FIELD) -> pa.Table:

@@ -3808,6 +3808,54 @@ def _sql_phrase_match() -> str:
     )
 
 
+SPAN_NEAR_QUERIES = [
+    ("data", "query", 2),
+    ("hash", "join", 1),
+    ("slow", "scan", 3),
+    ("the", "table", 0),
+    ("fast", "data", 4),
+]
+
+
+def q_span_near_match(sf_dir: str):
+    """ES span_near (in_order=true): docs where the two span_term
+    clauses occur in order with at most ``slop`` intervening positions —
+    positional-index DP (one searchsorted + prefix-max per clause step,
+    O(positions) per doc). slop=0 degenerates to exact phrase."""
+    from ..index.search import LocalSearcher, PhraseSearcher
+
+    idx = _ensure_doc_index(sf_dir, positions=True)
+    ps = PhraseSearcher(LocalSearcher(idx))
+    dmap = _docid_map(idx)
+    out_q, out_d = [], []
+    for qid, (a, b, slop) in enumerate(SPAN_NEAR_QUERIES):
+        ids = ps.span_near([a, b], slop=slop)
+        out_q.extend([qid] * len(ids))
+        out_d.extend(sorted(int(dmap[i]) for i in ids))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _sql_span_near_match() -> str:
+    parts = []
+    for qid, (a, b, slop) in enumerate(SPAN_NEAR_QUERIES):
+        parts.append(
+            f"SELECT {qid} AS query_id, a.doc_id FROM pos a JOIN pos b "
+            f"ON b.doc_id = a.doc_id AND a.term = '{a}' AND "
+            f"b.term = '{b}' AND b.p > a.p AND b.p - a.p - 1 <= {slop} "
+            "GROUP BY 1, 2"
+        )
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}') AS toks FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        # zipped unnests: (term, position) pairs per doc
+        "pos AS (SELECT doc_id, unnest(toks) AS term, "
+        "unnest(range(1, len(toks) + 1)) AS p FROM docs) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 # phrases whose LAST token is a prefix; expansions stay under ES's
 # max_expansions=50 cap on this vocabulary, so engine and oracle agree
 DOC_PREFIX_PHRASES = ["query s", "hash jo", "the da", "v", "fast fil"]
@@ -4860,6 +4908,7 @@ def queries() -> dict:
         "bm25_multi_topk": q_bm25_multi_topk,
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
+        "span_near_match": q_span_near_match,
         "contamination_scan": q_contamination_scan,
         "repetition_quality": q_repetition_quality,
         "match_phrase_prefix": q_match_phrase_prefix,
@@ -4965,6 +5014,7 @@ def oracle_sql() -> dict:
         "bm25_multi_topk": _sql_bm25_multi_topk(),
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),
+        "span_near_match": _sql_span_near_match(),
         "contamination_scan": _sql_contamination_scan(),
         "repetition_quality": SQL_REPETITION_QUALITY,
         "match_phrase_prefix": _sql_match_phrase_prefix(),

@@ -257,3 +257,50 @@ def test_rescore_combines_primary_and_phrase(pos_index):
     assert ids.tolist() != w_ids[:10].tolist()
     with pytest.raises(ValueError, match="window"):
         lo.rescore("the data", k=20, window_size=10)
+
+
+def brute_span_near(t, clauses: list[str], slop: int) -> list[int]:
+    """In-order span_near oracle: exists p1<...<pn with total gap <= slop."""
+    _urls, toks = corpus_from_webtext(t)
+    seq = [analyze("standard", c)[0] for c in clauses]
+    hits = []
+    for d, tk in enumerate(toks):
+        pos = [[i for i, w in enumerate(tk) if w == s] for s in seq]
+        if any(not p for p in pos):
+            continue
+        # exhaustive min-total-gap (test-sized docs)
+        best = {p: 0 for p in pos[0]}
+        for layer in pos[1:]:
+            nxt = {}
+            for q in layer:
+                cands = [c + (q - p - 1) for p, c in best.items() if p < q]
+                if cands:
+                    nxt[q] = min(cands)
+            best = nxt
+            if not best:
+                break
+        if best and min(best.values()) <= slop:
+            hits.append(d)
+    return hits
+
+
+@pytest.mark.parametrize("clauses,slop", [
+    (["data", "query"], 0),
+    (["data", "query"], 2),
+    (["the", "data", "query"], 1),
+    (["fast", "scan"], 5),
+    (["the", "the"], 0),  # repeated term: strict position ordering
+])
+def test_span_near_matches_brute(pos_index, clauses, slop):
+    out, t = pos_index
+    ps = PhraseSearcher(LocalSearcher(out))
+    got = ps.span_near(clauses, slop=slop)
+    assert got.tolist() == brute_span_near(t, clauses, slop)
+
+
+def test_span_near_slop0_equals_phrase(pos_index):
+    out, _t = pos_index
+    ps = PhraseSearcher(LocalSearcher(out))
+    ids, _sc, _fq = ps.search("data query", k=10**9)
+    assert ps.span_near(["data", "query"], slop=0).tolist() == sorted(
+        ids.tolist())
