@@ -2659,7 +2659,11 @@ class LocalSearcher:
                 np.array([dl[doc_id]]), avgdl)[0]) if tf else 0.0
             contrib = idf[t] * impact
             total += contrib
-            parts.append({"term": t, "tf": tf, "idf": idf[t],
+            # global df — postings runs span all visible generations, so
+            # the sum of run lengths is the scoring df (Lucene keeps df
+            # through tombstones until compaction, as the scorer does)
+            df_t = int(sum(len(ids) for ids, _tfs in runs))
+            parts.append({"term": t, "tf": tf, "df": df_t, "idf": idf[t],
                           "dl": float(dl[doc_id]), "avgdl": avgdl,
                           "contribution": contrib})
         return {"doc_id": int(doc_id), "score": total, "terms": parts,

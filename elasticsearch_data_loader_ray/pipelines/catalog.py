@@ -1521,6 +1521,103 @@ def q_bm25_pruned_topk(sf_dir: str):
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
+EXPLAIN_K = 3
+
+
+def q_explain_score(sf_dir: str):
+    """ES _explain API: per-term BM25 breakdown (tf, df, idf,
+    contribution) for each of the top-3 docs of the first three bm25
+    queries — the sum of a doc's contributions is exactly its search
+    score (same float64 pieces, LocalSearcher.explain)."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    inv = {int(o): e for e, o in enumerate(dmap.tolist()) if o >= 0}
+    out = []
+    for qid, q in enumerate(DOC_QUERIES[:3]):
+        ids, sc = lo.search(q, k=DOC_K + 20)
+        if len(ids) == 0:
+            continue
+        res = pd.DataFrame({"query_id": qid,
+                            "doc_id": dmap[ids],
+                            "score": sc})
+        top = _round_rerank(res, EXPLAIN_K, "query_id", "score",
+                            "doc_id").to_pandas()
+        for orig in top["doc_id"].tolist():
+            ex = lo.explain(q, inv[int(orig)])
+            for r in ex["terms"]:
+                if r["tf"] == 0:  # ES lists non-matching terms; the
+                    continue      # oracle-checked rows are the matches
+                out.append((qid, int(orig), r["term"], int(r["tf"]),
+                            int(r["df"]), round(r["idf"], 6),
+                            round(r["contribution"], 6)))
+    if not out:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64()),
+                         "idf": pa.array([], pa.float64()),
+                         "contribution": pa.array([], pa.float64())})
+    out.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int64()),
+        "doc_id": pa.array([r[1] for r in out], pa.int64()),
+        "term": pa.array([r[2] for r in out], pa.string()),
+        "tf": pa.array([r[3] for r in out], pa.int64()),
+        "df": pa.array([r[4] for r in out], pa.int64()),
+        "idf": pa.array([r[5] for r in out], pa.float64()),
+        "contribution": pa.array([r[6] for r in out], pa.float64()),
+    })
+
+
+def _sql_explain_score() -> str:
+    from ..index.search import query_terms
+
+    values = []
+    for qid, q in enumerate(DOC_QUERIES[:3]):
+        for t in query_terms(q):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    k1, b = codec.BM25_K1, codec.BM25_B
+    contrib = (
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / "
+        "s.avgdl))"
+    )
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        "parts AS (SELECT q.query_id, tf.doc_id, q.term, tf.tf, df.df, "
+        "round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 6) AS idf, "
+        f"round({contrib}, 6) AS contribution, {contrib} AS raw "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT query_id, doc_id, round(sum(raw), 6) AS score "
+        "FROM parts GROUP BY 1, 2), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank "
+        "FROM scored) "
+        "SELECT p.query_id, p.doc_id, p.term, p.tf::BIGINT AS tf, "
+        "p.df::BIGINT AS df, p.idf, p.contribution "
+        "FROM parts p JOIN ranked r ON r.query_id = p.query_id "
+        f"AND r.doc_id = p.doc_id WHERE r.rank <= {EXPLAIN_K} "
+        "ORDER BY 1, 2, 3"
+    )
+
+
 def _ensure_append_index(sf_dir: str) -> str:
     """Half-build + half-append index over the documents table: docs below
     the median doc_id are built, the rest APPENDED as a second generation
@@ -4862,6 +4959,7 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "dup_spans": q_dup_spans,
         "bm25_topk": q_bm25_topk,
+        "explain_score": q_explain_score,
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
@@ -4965,6 +5063,7 @@ def oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "dup_spans": _sql_dup_spans(),
         "bm25_topk": _sql_bm25_topk(),
+        "explain_score": _sql_explain_score(),
         # keep_frac=1.0 makes the pruned path bitwise-exact -> same oracle
         "bm25_pruned_topk": _sql_bm25_topk(),
         "search_after_page": _sql_search_after_page(),
