@@ -1246,6 +1246,119 @@ def _sql_gopher_rules() -> str:
     )
 
 
+def q_bigram_lm_quality(sf_dir: str):
+    """CCNet-style language-model quality scoring: per-doc mean negative
+    log-likelihood of its token bigrams under an add-one-smoothed bigram
+    model TRAINED ON THE CORPUS ITSELF —
+    ``-mean(ln((c2(w1,w2)+1) / (c1(w1)+V)))`` with V the unigram
+    vocabulary size. Low scores = predictable (fluent/repetitive) text,
+    high = noise; the standard perplexity-filter signal for web-crawl
+    curation.
+
+    Scale shape: pass 1 builds the count tables with per-batch partial
+    counts shuffled by gram (exchange bounded by bigram vocabulary, not
+    corpus size) and broadcasts them once via ``ray.put``; pass 2 scores
+    each batch vectorized (pandas hash-map gather + one bincount per
+    batch). At open-web vocabulary sizes the broadcast becomes the
+    pruned-model route (count-min sketch or top-K model — the standard
+    KenLM-filter deployment); the full-count path here is the exactness
+    oracle for it."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def gram_parts(t: pa.Table) -> pa.Table:
+        _idx, toks, _dl = an.standard_tokenize_batch(t["text"])
+        idx = _idx
+        if len(toks) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "kind": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        uni = (pa.table({"gram": toks})
+               .group_by("gram").aggregate([([], "count_all")]))
+        parts = [pa.table({"gram": uni["gram"],
+                           "kind": pa.array(["u"] * len(uni), pa.string()),
+                           "cnt": pc.cast(uni["count_all"], pa.int64())})]
+        if len(toks) >= 2:
+            same = np.flatnonzero(idx[1:] == idx[:-1])
+            if len(same):
+                t1 = toks.take(pa.array(same))
+                t2 = toks.take(pa.array(same + 1))
+                key = pc.binary_join_element_wise(t1, t2, "\x00")
+                bi = (pa.table({"gram": key})
+                      .group_by("gram").aggregate([([], "count_all")]))
+                parts.append(pa.table({
+                    "gram": bi["gram"],
+                    "kind": pa.array(["b"] * len(bi), pa.string()),
+                    "cnt": pc.cast(bi["count_all"], pa.int64())}))
+        return pa.concat_tables(parts)
+
+    counts = (rd.read_parquet(path, columns=["text"])
+              .map_batches(gram_parts, batch_format="pyarrow")
+              .groupby(["gram", "kind"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .to_arrow_refs())
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for ref in counts:  # bounded by vocabulary, not corpus
+        t = ray.get(ref)
+        for g, k, c in zip(t["gram"].to_pylist(), t["kind"].to_pylist(),
+                           t["cnt"].to_pylist()):
+            (c1 if k == "u" else c2)[g] = int(c)
+    v = float(len(c1))
+    model_ref = ray.put((c1, c2, v))
+
+    def score(t: pa.Table) -> pa.Table:
+        m1, m2, vv = ray.get(model_ref)
+        idx, toks, _dl = an.standard_tokenize_batch(t["text"])
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "lm_score": pa.array([], pa.float64())})
+        if len(toks) < 2:
+            return empty
+        same = np.flatnonzero(idx[1:] == idx[:-1])
+        if len(same) == 0:
+            return empty
+        t1 = toks.take(pa.array(same))
+        key = pc.binary_join_element_wise(
+            t1, toks.take(pa.array(same + 1)), "\x00")
+        cb = pd.Series(key.to_pandas()).map(m2).to_numpy(np.float64)
+        cu = pd.Series(t1.to_pandas()).map(m1).to_numpy(np.float64)
+        nll = -np.log((cb + 1.0) / (cu + vv))
+        rows = idx[same]  # batch row of each bigram
+        nb = np.bincount(rows, minlength=t.num_rows)
+        sums = np.bincount(rows, weights=nll, minlength=t.num_rows)
+        keep = np.flatnonzero(nb > 0)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(keep)),
+            "n_bigrams": pa.array(nb[keep], pa.int64()),
+            "lm_score": pa.array(np.round(sums[keep] / nb[keep], 6),
+                                 pa.float64()),
+        })
+
+    return rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LM = (
+    "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}') AS l FROM documents), "
+    "pos AS (SELECT doc_id, unnest(l) AS term, "
+    "unnest(range(1, len(l) + 1)) AS p FROM docs), "
+    "big AS (SELECT doc_id, term AS w1, lead(term) OVER ("
+    "PARTITION BY doc_id ORDER BY p) AS w2 FROM pos), "
+    "c2 AS (SELECT w1, w2, count(*) AS c FROM big "
+    "WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+    "c1 AS (SELECT term, count(*) AS c FROM pos GROUP BY 1), "
+    "v AS (SELECT count(*)::DOUBLE AS v FROM c1), "
+    "sc AS (SELECT b.doc_id, -ln((c2.c + 1) / (c1.c + v.v)) AS nll "
+    "FROM big b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2 "
+    "JOIN c1 ON c1.term = b.w1 CROSS JOIN v WHERE b.w2 IS NOT NULL) "
+    "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+    "round(avg(nll), 6) AS lm_score FROM sc GROUP BY 1"
+)
+
+
 def q_fingerprint(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -4956,6 +5069,7 @@ def queries() -> dict:
         "simhash": q_simhash,
         "langid_quality": q_langid_quality,
         "gopher_rules": q_gopher_rules,
+        "bigram_lm_quality": q_bigram_lm_quality,
         "fingerprint": q_fingerprint,
         "dup_spans": q_dup_spans,
         "bm25_topk": q_bm25_topk,
@@ -5060,6 +5174,7 @@ def oracle_sql() -> dict:
         # simhash: rows-only (hash values are not SQL-expressible)
         "langid_quality": SQL_LANGID_QUALITY,
         "gopher_rules": _sql_gopher_rules(),
+        "bigram_lm_quality": SQL_BIGRAM_LM,
         "fingerprint": SQL_FINGERPRINT,
         "dup_spans": _sql_dup_spans(),
         "bm25_topk": _sql_bm25_topk(),
