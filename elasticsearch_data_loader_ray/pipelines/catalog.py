@@ -4387,6 +4387,161 @@ SQL_EMBEDDING_KMEANS = (
 )
 
 
+SEMDEDUP_T = 0.35
+
+
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup-style semantic near-dup candidates: k-means-assign every
+    embedding to a cluster (broadcast centroids, vectorized argmin —
+    the same assignment as ``embedding_kmeans``), then emit all
+    WITHIN-CLUSTER pairs with round(cos, 6) >= threshold. The clustering
+    prunes the candidate space from O(n^2) to sum of per-cluster
+    squares — the standard embedding-dedup shape at corpus scale; the
+    exact all-pairs baseline (``embedding_neardup``) is its oracle for
+    recall. Per-cluster pairing runs as ``groupby(cluster).map_groups``
+    (one task per cluster, dense matmul inside)."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import vec_matrix
+
+    ct = pq.read_table(emb_path, filters=[("vec_id", "<", KMEANS_K)])
+    order = np.argsort(ct["vec_id"].to_numpy())
+    cents = vec_matrix(ct["embedding"]).astype(np.float64)[order]
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import vec_matrix as _vm
+
+        c = ray.get(c_ref)
+        x = _vm(t["embedding"]).astype(np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        xn = x / nrm
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(xn.reshape(-1), pa.float64()), x.shape[1]),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        o = np.argsort(ids)
+        ids = ids[o]
+        m = np.stack(g["vec"].to_numpy()[o])
+        sims = np.round(m @ m.T, 6)
+        ra, cb = np.nonzero(sims >= SEMDEDUP_T)
+        keep = ra < cb
+        ra, cb = ra[keep], cb[keep]
+        return pd.DataFrame({
+            "cluster": g["cluster"].iloc[0],
+            "vec_id_a": ids[ra], "vec_id_b": ids[cb],
+            "cos_sim": sims[ra, cb]})
+
+    res = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+           .map_batches(assign, batch_format="pyarrow")
+           .groupby("cluster")
+           .map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return pa.Table.from_pandas(
+        res.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+SQL_SEMDEDUP_PAIRS = (
+    f"WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c "
+    f"FROM embeddings WHERE vec_id < {KMEANS_K}), "
+    "d AS (SELECT e.vec_id, c.cid, "
+    "list_distance(e.embedding::DOUBLE[], c.c) AS dist "
+    "FROM embeddings e CROSS JOIN cents c), "
+    "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() "
+    "OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d) "
+    "WHERE rn = 1) "
+    "SELECT aa.cid::BIGINT AS cluster, a.vec_id AS vec_id_a, "
+    "b.vec_id AS vec_id_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]), 6) AS cos_sim "
+    "FROM embeddings a JOIN asg aa ON aa.vec_id = a.vec_id "
+    "JOIN embeddings b ON b.vec_id > a.vec_id "
+    "JOIN asg bb ON bb.vec_id = b.vec_id AND bb.cid = aa.cid "
+    "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    f"b.embedding::DOUBLE[]), 6) >= {SEMDEDUP_T}"
+)
+
+
+KNN_FILTER_LABEL = 2
+
+
+def q_knn_filtered_topk(sf_dir: str):
+    """ES 8 filtered kNN: cosine top-k per query vector restricted to
+    docs passing a filter (label == 2) — the filter applies DURING the
+    search (per-batch mask before scoring), not as a post-filter, so
+    the result always has k hits when the filtered corpus allows (ES
+    kNN-filter semantics, unlike post-filtering which can return
+    fewer)."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import vec_matrix
+
+    qt = pq.read_table(emb_path, filters=[("vec_id", "in", EMB_QUERY_IDS)])
+    q_ids = qt["vec_id"].to_pylist()
+    q_mat = vec_matrix(qt["embedding"])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import vec_matrix as _vm
+
+        t = t.filter(pc.equal(t["label"], KNN_FILTER_LABEL))
+        if t.num_rows == 0:
+            return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        ids_q, qm = ray.get(q_ref)
+        vecs = _vm(t["embedding"])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ qm.T
+        vids = t["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for c, qid in enumerate(ids_q):
+            s = sims[:, c]
+            k = min(EMB_K + 10, len(s))
+            if len(s) > k:
+                kth = np.partition(s, -k)[-k]
+                part = np.flatnonzero(s >= kth)
+            else:
+                part = np.arange(len(s))
+            out_q.extend([qid] * len(part))
+            out_v.extend(vids[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table({"query_vec_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos_sim": pa.array(out_s, pa.float64())})
+
+    parts = (rd.read_parquet(emb_path,
+                             columns=["vec_id", "embedding", "label"])
+             .map_batches(score, batch_format="pyarrow").to_pandas())
+    return _round_rerank(parts, EMB_K, "query_vec_id", "cos_sim", "vec_id")
+
+
+SQL_KNN_FILTERED = (
+    f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe "
+    f"FROM embeddings WHERE vec_id IN ({_EMB_IDS_SQL})), "
+    "s AS (SELECT q.qid AS query_vec_id, e.vec_id, "
+    "round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) "
+    "AS cos_sim FROM embeddings e CROSS JOIN q "
+    f"WHERE e.label = {KNN_FILTER_LABEL}) "
+    "SELECT query_vec_id, rank, vec_id, cos_sim FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_vec_id "
+    "ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s) "
+    f"WHERE rank <= {EMB_K}"
+)
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth: pricing summary (pre-aggregation pattern), windowed agg
 # ---------------------------------------------------------------------------
@@ -5129,6 +5284,8 @@ def queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_kmeans": q_embedding_kmeans,
+        "semdedup_pairs": q_semdedup_pairs,
+        "knn_filtered_topk": q_knn_filtered_topk,
         "pii_redact": q_pii_redact,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "events_tumbling": q_events_tumbling,
@@ -5237,6 +5394,8 @@ def oracle_sql() -> dict:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+        "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
+        "knn_filtered_topk": SQL_KNN_FILTERED,
         "pii_redact": _sql_pii_redact(),
         "lineitem_pricing_summary": SQL_LINEITEM_PRICING,
         "events_tumbling": SQL_EVENTS_TUMBLING,
