@@ -1359,6 +1359,137 @@ SQL_BIGRAM_LM = (
 )
 
 
+CHUNK_W = 64
+
+
+def q_token_chunks(sf_dir: str):
+    """Context-window chunking — the standard LLM-pretraining packing
+    op: split every document into fixed ``CHUNK_W``-token windows
+    (non-overlapping; the last window keeps the remainder) and emit one
+    row per chunk with its token count and an md5 fingerprint of the
+    space-joined tokens (the dedup/lineage key downstream packers use).
+    Flat-map shape: one vectorized tokenize per batch, numpy position
+    arithmetic for the chunk ids; the per-chunk join+hash is
+    output-row-bounded work, exactly like the sample/fingerprint
+    entries."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def chunks(t: pa.Table) -> pa.Table:
+        idx, toks, dls = an.standard_tokenize_batch(t["text"])
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_hash": pa.array([], pa.string())})
+        if len(toks) == 0:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(dls)[:-1]))
+        pos = np.arange(len(toks)) - np.repeat(starts, dls)
+        df = pd.DataFrame({"row": idx, "chunk_id": pos // CHUNK_W,
+                           "tok": toks.to_pandas()})
+        g = (df.groupby(["row", "chunk_id"], sort=True)["tok"]
+             .agg([("joined", " ".join), ("n_tokens", "size")])
+             .reset_index())
+        ids = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[g["row"].to_numpy()], pa.int64()),
+            "chunk_id": pa.array(g["chunk_id"].to_numpy(), pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64()),
+            "chunk_hash": pa.array(
+                [hashlib.md5(s.encode()).hexdigest()
+                 for s in g["joined"]], pa.string()),
+        })
+
+    return rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow")
+
+
+SQL_TOKEN_CHUNKS = (
+    "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}') AS l FROM documents), "
+    "pos AS (SELECT doc_id, unnest(l) AS term, "
+    "unnest(range(0, len(l))) AS p FROM docs) "
+    f"SELECT doc_id, (p // {CHUNK_W})::BIGINT AS chunk_id, "
+    "count(*)::BIGINT AS n_tokens, "
+    "md5(string_agg(term, ' ' ORDER BY p)) AS chunk_hash "
+    f"FROM pos GROUP BY doc_id, p // {CHUNK_W}"
+)
+
+
+PERC_QUERIES = [
+    (0, "data query", "or"),
+    (1, "hash join", "and"),
+    (2, "slow scan", "or"),
+    (3, "the data query", "and"),
+    (4, "stream", "or"),
+]
+
+
+def q_percolate_match(sf_dir: str):
+    """ES percolator (reverse search): STORED queries are matched
+    against a stream of documents — the alerting/classification shape.
+    The analyzed query term sets broadcast once via ``ray.put``; each
+    batch tokenizes its docs once and answers every stored query with
+    set-membership tests on the flat (row, token) arrays: OR = any
+    query term present, AND = all present (distinct matched terms per
+    row counted with one np.unique pass per query). Emits
+    (query_id, doc_id) matches."""
+    path = f"{sf_dir}/documents.parquet"
+    specs = [(qid, sorted({t for t in
+                           an.analyze("standard", q)}), kind)
+             for qid, q, kind in PERC_QUERIES]
+    specs_ref = ray.put(specs)
+
+    def perc(t: pa.Table) -> pa.Table:
+        sp = ray.get(specs_ref)
+        idx, toks, _dl = an.standard_tokenize_batch(t["text"])
+        ids = t["doc_id"].to_numpy()
+        out_q, out_d = [], []
+        if len(toks):
+            tok_pd = toks.to_pandas()
+            for qid, terms, kind in sp:
+                mask = tok_pd.isin(terms).to_numpy()
+                rows = idx[mask]
+                if kind == "or":
+                    docs = np.unique(rows)
+                else:
+                    mt = tok_pd.to_numpy()[mask]
+                    pairs = np.unique(
+                        np.stack([rows, pd.factorize(mt)[0]], axis=1),
+                        axis=0)
+                    r, cnt = np.unique(pairs[:, 0], return_counts=True)
+                    docs = r[cnt == len(terms)]
+                out_q.extend([qid] * len(docs))
+                out_d.extend(ids[docs].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    return rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        perc, batch_format="pyarrow")
+
+
+def _sql_percolate_match() -> str:
+    parts = []
+    for qid, q, kind in PERC_QUERIES:
+        from ..functions.analyzers import analyze
+
+        terms = sorted({t for t in analyze("standard", q)})
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        if kind == "or":
+            parts.append(
+                f"SELECT {qid} AS query_id, doc_id FROM toks "
+                f"WHERE term IN ({inlist}) GROUP BY 1, 2")
+        else:
+            parts.append(
+                f"SELECT {qid} AS query_id, doc_id FROM toks "
+                f"WHERE term IN ({inlist}) GROUP BY 1, 2 "
+                f"HAVING count(DISTINCT term) = {len(terms)}")
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        f"lower(text), '{TOKEN_RE_SQL}')) AS term FROM documents) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def q_fingerprint(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -2223,6 +2354,49 @@ def q_search_after_page(sf_dir: str):
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "doc_id": pa.array(out_d, pa.int64()),
                      "score": pa.array(out_s, pa.float64())})
+
+
+def q_index_stats(sf_dir: str):
+    """ES ``_stats`` API + index-integrity gate: the index's OWN
+    metadata — n_docs, total token count and postings count from
+    ``stats.json``, distinct-term count from the term dictionary —
+    checked against SQL ground truth recomputed from the raw table.
+    Nothing is recomputed engine-side: a build bug that dropped or
+    duplicated postings would fail this entry even if every query
+    entry happened to still agree."""
+    import json as _json
+
+    import pyarrow.parquet as pq_
+
+    idx = _ensure_doc_index(sf_dir)
+    with open(os.path.join(idx, "stats.json")) as f:
+        st = _json.load(f)
+    ts_files = [f for f in sorted(
+        os.listdir(os.path.join(idx, "term_stats")))
+        if f.endswith(".parquet")]
+    tt = pq_.read_table([os.path.join(idx, "term_stats", f)
+                         for f in ts_files], columns=["field", "term"])
+    n_terms = int(pc.sum(pc.cast(pc.equal(tt["field"], "text"),
+                                 pa.int64())).as_py() or 0)
+    return pa.table({
+        "n_docs": pa.array([int(st["n_docs"])], pa.int64()),
+        "dl_total": pa.array([int(st["dl_total"])], pa.int64()),
+        "n_terms": pa.array([n_terms], pa.int64()),
+        "n_postings": pa.array([int(st["n_postings"])], pa.int64()),
+    })
+
+
+SQL_INDEX_STATS = (
+    "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+    "WHERE text IS NOT NULL AND text <> ''), "
+    f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+    f"'{TOKEN_RE_SQL}')) AS term FROM docs) "
+    "SELECT (SELECT count(*) FROM docs)::BIGINT AS n_docs, "
+    "(SELECT count(*) FROM toks)::BIGINT AS dl_total, "
+    "(SELECT count(DISTINCT term) FROM toks)::BIGINT AS n_terms, "
+    "(SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks))"
+    "::BIGINT AS n_postings"
+)
 
 
 def _sql_search_after_page() -> str:
@@ -5225,6 +5399,9 @@ def queries() -> dict:
         "langid_quality": q_langid_quality,
         "gopher_rules": q_gopher_rules,
         "bigram_lm_quality": q_bigram_lm_quality,
+        "token_chunks": q_token_chunks,
+        "percolate_match": q_percolate_match,
+        "index_stats": q_index_stats,
         "fingerprint": q_fingerprint,
         "dup_spans": q_dup_spans,
         "bm25_topk": q_bm25_topk,
@@ -5332,6 +5509,9 @@ def oracle_sql() -> dict:
         "langid_quality": SQL_LANGID_QUALITY,
         "gopher_rules": _sql_gopher_rules(),
         "bigram_lm_quality": SQL_BIGRAM_LM,
+        "token_chunks": SQL_TOKEN_CHUNKS,
+        "percolate_match": _sql_percolate_match(),
+        "index_stats": SQL_INDEX_STATS,
         "fingerprint": SQL_FINGERPRINT,
         "dup_spans": _sql_dup_spans(),
         "bm25_topk": _sql_bm25_topk(),
