@@ -1987,6 +1987,97 @@ BOOSTING_NEG = "slow"
 BOOSTING_NB = 0.3
 
 
+RANDOM_SCORE_SEED = 7
+RANDOM_SCORE_QUERY = "data"
+
+
+def q_random_score_topk(sf_dir: str):
+    """ES function_score random_score with a fixed seed (boost_mode=
+    replace): the matched docs ranked by a deterministic per-doc hash —
+    ES's seeded random ordering is exactly this (a hash of seed + doc
+    identity), so the result is stable across runs, machines and
+    partitionings. Hash = md5('<seed>:<url>') over the doc's stable url
+    key (the engine's doc ids are internal); top-10 ascending."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    ids, _sc = lo.search(RANDOM_SCORE_QUERY, k=10**9)
+    orig = dmap[ids]
+    hs = [hashlib.md5(f"{RANDOM_SCORE_SEED}:{o:015d}".encode()).hexdigest()
+          for o in orig.tolist()]
+    order = sorted(range(len(hs)), key=lambda i: (hs[i], int(orig[i])))
+    top = order[:DOC_K]
+    return pa.table({
+        "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        "doc_id": pa.array([int(orig[i]) for i in top], pa.int64()),
+        "rnd_hash": pa.array([hs[i] for i in top], pa.string()),
+    })
+
+
+def _sql_random_score_topk() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(RANDOM_SCORE_QUERY))
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        f"lower(text), '{TOKEN_RE_SQL}')) AS term FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        f"h AS (SELECT doc_id, md5('{RANDOM_SCORE_SEED}:' || "
+        "lpad(doc_id::VARCHAR, 15, '0')) AS rnd_hash FROM hits) "
+        "SELECT row_number() OVER (ORDER BY rnd_hash ASC, doc_id ASC) "
+        "AS rank, doc_id, rnd_hash FROM h "
+        f"ORDER BY rnd_hash ASC, doc_id ASC LIMIT {DOC_K}"
+    )
+
+
+STRAT_N = 5
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: the N pseudo-random docs per
+    ``lang`` stratum, chosen by content-independent hash order
+    (md5 of the doc's stable key) — the standard recipe for balanced
+    eval/holdout splits over skewed corpora. Local-top-N-per-stratum
+    partials per batch, merged once: the same bounded-partials shape as
+    ``top_docs_per_source``, never a full sort."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        hs = [hashlib.md5(f"s:{i:015d}".encode()).hexdigest()
+              for i in ids.tolist()]
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(), "doc_id": ids,
+                           "rnd_hash": hs})
+        df = df[df["lang"].notna()]
+        df = df.sort_values(["lang", "rnd_hash", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=True).head(STRAT_N),
+            preserve_index=False)
+
+    parts = (rd.read_parquet(path, columns=["doc_id", "lang"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())  # bounded: n_batches x strata x N rows
+    parts = parts.sort_values(["lang", "rnd_hash", "doc_id"])
+    out = parts.groupby("lang", sort=True).head(STRAT_N)
+    out = out.reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_STRATIFIED_SAMPLE = (
+    "WITH h AS (SELECT lang, doc_id, "
+    "md5('s:' || lpad(doc_id::VARCHAR, 15, '0')) AS rnd_hash "
+    "FROM documents WHERE lang IS NOT NULL) "
+    "SELECT lang, doc_id, rnd_hash FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY lang "
+    "ORDER BY rnd_hash ASC, doc_id ASC) AS rn FROM h) "
+    f"WHERE rn <= {STRAT_N}"
+)
+
+
 DECAY_ORIGIN_H = 473352 + 500  # warc_ts synthesis epoch (2024-01-01) + 500h
 DECAY_SCALE_H = 240.0
 DECAY_OFFSET_H = 24.0
@@ -5409,6 +5500,7 @@ def queries() -> dict:
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "search_after_page": q_search_after_page,
         "function_score_topk": q_function_score_topk,
+        "random_score_topk": q_random_score_topk,
         "decay_score_topk": q_decay_score_topk,
         "boosting_topk": q_boosting_topk,
         "more_like_this": q_more_like_this,
@@ -5481,6 +5573,7 @@ def queries() -> dict:
         "events_asof_join": q_events_asof_join,
         "distinct_count_hll": q_distinct_count_hll,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -5520,6 +5613,7 @@ def oracle_sql() -> dict:
         "bm25_pruned_topk": _sql_bm25_topk(),
         "search_after_page": _sql_search_after_page(),
         "function_score_topk": _sql_function_score_topk(),
+        "random_score_topk": _sql_random_score_topk(),
         "decay_score_topk": _sql_decay_score_topk(),
         "boosting_topk": _sql_boosting_topk(),
         "more_like_this": _sql_more_like_this(),
@@ -5590,4 +5684,5 @@ def oracle_sql() -> dict:
         "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
     }
