@@ -573,6 +573,37 @@ def expand_regexp(index_dir: str, field: str, pattern: str) -> list[str]:
     return sorted(tbl.filter(m)["term"].to_pylist())
 
 
+def suggest_completions(index_dir: str, prefixes: list[str],
+                        field: str = DEFAULT_FIELD,
+                        size: int = 5) -> pa.Table:
+    """ES completion suggester (search-as-you-type): for each prefix,
+    the top dictionary terms carrying it, ranked by weight — here the
+    term's document frequency, ES's default when no explicit weights
+    are indexed — then term-ascending. Each prefix reads only its
+    closed dictionary range (row-group-pruned), so cost tracks the
+    prefix's vocabulary slice, not the corpus. Returns
+    (prefix, suggestion, weight) rows."""
+    out_p, out_s, out_w = [], [], []
+    for p in prefixes:
+        p = p.lower()
+        tbl = _read_term_dict(index_dir, field, p)
+        if tbl.num_rows == 0:
+            continue
+        # duplicate (term) rows across generations sum their dfs
+        agg = tbl.group_by("term").aggregate([("df", "sum")])
+        terms = np.asarray(agg["term"].to_pylist())
+        dfs = agg["df_sum"].to_numpy()
+        order = np.lexsort((terms, -dfs))[:size]
+        out_p.extend([p] * len(order))
+        out_s.extend(terms[order].tolist())
+        out_w.extend(dfs[order].tolist())
+    return pa.table({
+        "prefix": pa.array(out_p, pa.string()),
+        "suggestion": pa.array(out_s, pa.string()),
+        "weight": pa.array(out_w, pa.int64()),
+    })
+
+
 def suggest_terms(index_dir: str, inputs: list[str],
                   field: str = DEFAULT_FIELD, max_edits: int = 2,
                   prefix_length: int = 1, size: int = 5) -> pa.Table:

@@ -3688,6 +3688,40 @@ SIG_SIZE = 10
 ANALYZE_DOC_IDS = [3, 57, 101, 202]
 
 
+COMPLETION_PREFIXES = ["da", "sc", "qu", "t", "filt"]
+COMPLETION_SIZE = 5
+
+
+def q_completion_suggest(sf_dir: str):
+    """ES completion suggester: top dictionary terms per prefix ranked
+    by document frequency (ES's default weight), term-ascending ties —
+    each prefix reads only its closed term-dictionary range."""
+    from ..index.search import suggest_completions
+
+    idx = _ensure_doc_index(sf_dir)
+    return suggest_completions(idx, COMPLETION_PREFIXES,
+                               size=COMPLETION_SIZE)
+
+
+def _sql_completion_suggest() -> str:
+    parts = []
+    for p in COMPLETION_PREFIXES:
+        parts.append(
+            f"SELECT '{p}' AS prefix, term AS suggestion, df AS weight, "
+            "row_number() OVER (ORDER BY df DESC, term ASC) AS rn "
+            f"FROM dict WHERE term LIKE '{p}%'")
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        f"lower(text), '{TOKEN_RE_SQL}')) AS term FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        "dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM toks GROUP BY 1) "
+        "SELECT prefix, suggestion, weight FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + f") WHERE rn <= {COMPLETION_SIZE}"
+    )
+
+
 def q_analyze_api(sf_dir: str):
     """ES ``_analyze`` API: the standard-chain token stream (token +
     0-based position) for a requested set of docs — the
@@ -5538,6 +5572,7 @@ def queries() -> dict:
         "analyze_api": q_analyze_api,
         "term_suggest": q_term_suggest,
         "phrase_suggest": q_phrase_suggest,
+        "completion_suggest": q_completion_suggest,
         "delete_by_query": q_delete_by_query,
         "match_export": q_match_export,
         "sorted_match_topk": q_sorted_match_topk,
@@ -5653,6 +5688,7 @@ def oracle_sql() -> dict:
         "analyze_api": _sql_analyze_api(),
         "term_suggest": _sql_term_suggest(),
         "phrase_suggest": _sql_phrase_suggest(),
+        "completion_suggest": _sql_completion_suggest(),
         "delete_by_query": _sql_delete_by_query(),
         "match_export": _sql_match_export(),
         "sorted_match_topk": _sql_sorted_match_topk(),
