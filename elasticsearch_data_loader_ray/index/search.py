@@ -1468,6 +1468,11 @@ class LocalSearcher:
         # exact-request result cache (see search()); per-epoch by
         # construction — _bind recreates it on every swap
         self._request_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        # per-column doc-value caches (exists-filter null ids, numeric
+        # decay values) — epoch-scoped like every cache above: an append
+        # adds docs whose null/value rows the old entries don't carry
+        self._null_dv_cache: dict[str, np.ndarray] = {}
+        self._dv_num_cache: dict[str, np.ndarray] = {}
         self.last_block_stats = (0, 0)  # (decoded, total) of last AND query
         # per-file row-group (field, term) bounds, parsed lazily from
         # parquet footers once per epoch (see _read_terms_direct)
