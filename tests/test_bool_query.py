@@ -279,3 +279,53 @@ def test_query_string_vs_explicit_bool(bool_index):
                           "minimum_should_match": 0}, k=20)
     assert got[0].tolist() == want[0].tolist()
     assert got[1].tolist() == want[1].tolist()
+
+
+def test_exists_cache_is_epoch_scoped(tmp_path_factory):
+    """An append adding docs with null doc-values must be visible to an
+    already-bound searcher after refresh() — the null-id cache is
+    epoch-scoped, not process-lifetime (regression: getattr-created
+    caches survived _bind)."""
+    import ray.data as rd
+
+    from elasticsearch_data_loader_ray.functions.analyzers import (
+        token_count_batch,
+    )
+    from elasticsearch_data_loader_ray.index.append import (
+        append_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.build import (
+        BuildConfig,
+        build_index_from_corpus,
+    )
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    def corpus(urls, texts, langs):
+        ta = pa.array(texts, pa.large_string())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+            "text": ta,
+            "lang": pa.array(langs, pa.string()),
+            "doc_len": pa.array(token_count_batch(ta), pa.int32()),
+        })
+
+    idx = str(tmp_path_factory.mktemp("exists_epoch"))
+    base = corpus([f"a{i:04d}" for i in range(40)],
+                  ["the data query"] * 40, ["en"] * 40)
+    build_index_from_corpus(rd.from_arrow(base), idx,
+                            BuildConfig(docs_per_segment=16))
+    s = LocalSearcher(idx)
+    bq = {"must": ["the data"], "filter": [{"exists": {"field": "lang"}}]}
+    n_before = len(s.search_bool(bq, k=1000)[0])
+    assert n_before == 40
+    # append docs WITHOUT a lang value
+    extra = corpus([f"b{i:04d}" for i in range(10)],
+                   ["the data query"] * 10, [None] * 10)
+    append_index_from_corpus(rd.from_arrow(extra), idx,
+                             BuildConfig(docs_per_segment=16))
+    assert s.refresh()
+    ids, _sc = s.search_bool(bq, k=1000)
+    assert len(ids) == 40  # the 10 null-lang appends are filtered out
+    all_ids, _ = s.search_bool({"must": ["the data"]}, k=1000)
+    assert len(all_ids) == 50  # ...but they are in the unfiltered match
