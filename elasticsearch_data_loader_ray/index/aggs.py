@@ -1632,9 +1632,12 @@ def _weighted_avg_partials(batch: pa.Table, *, index_dir: str, field: str,
         pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
         wcol = dv[weight_column].combine_chunks().take(pa.array(pos))
         ok = np.asarray(pc.is_valid(wcol))
-        # timestamp[us] -> whole hours since epoch (integer, exact)
-        w = wcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        w = (w[ok] // 3_600_000_000).astype(np.int64)
+        # timestamp[us] -> whole hours since epoch; integer floordiv
+        # BEFORE any float conversion (raw microseconds exceed float64's
+        # exact-integer range for far-future dates)
+        w = np.asarray(pc.fill_null(wcol.cast(pa.int64()), 0),
+                       dtype=np.int64) // 3_600_000_000
+        w = w[ok]
         v = v[ok]
         swv += int((w * v).sum())
         sw += int(w.sum())
