@@ -893,6 +893,84 @@ def date_histogram_pipeline_agg(index_dir: str, query: str,
     })
 
 
+def date_histogram_bucket_pipeline_agg(
+        index_dir: str, query: str, calendar_interval: str = "day",
+        window: int = 7, lag: int = 7, column: str = "warc_ts",
+        field: str = DEFAULT_FIELD,
+        concurrency: int | None = None) -> pa.Table:
+    """The remaining ES pipeline-agg family over a date_histogram:
+
+    * ``moving_fn`` (``MovingFunctions.unweightedAvg``, ``shift=0``):
+      the window is the ``window`` buckets strictly BEFORE the current
+      one (ES's default shift excludes the current bucket); shorter
+      head windows average what exists; the first bucket is null.
+    * ``serial_diff`` (``lag``): ``doc_count[i] - doc_count[i-lag]``,
+      null for the first ``lag`` buckets.
+    * sibling aggs ``avg_bucket`` / ``min_bucket`` / ``max_bucket`` /
+      ``sum_bucket`` over the whole bucket list (constant columns —
+      the shape ES returns them in, one value beside the histogram).
+
+    Like cumulative_sum/derivative these are computed on the REDUCED
+    bucket list — ES computes every pipeline agg coordinator-side after
+    the shard merge, so driver-side numpy here is the scale-correct
+    shape (bucket count is bounded, never corpus-sized)."""
+    base = date_histogram_agg(index_dir, query, calendar_interval,
+                              column=column, field=field,
+                              concurrency=concurrency)
+    dc = base["doc_count"].to_numpy().astype(np.int64)
+    n = len(dc)
+    csum = np.concatenate([[0], np.cumsum(dc)])
+    idx = np.arange(n)
+    lo = np.maximum(0, idx - window)
+    cnt = idx - lo  # window end is exclusive of the current bucket
+    mov = np.divide(csum[idx] - csum[lo], np.maximum(cnt, 1),
+                    dtype=np.float64)
+    mov_col = pa.array([None if cnt[i] == 0 else float(mov[i])
+                        for i in range(n)], pa.float64())
+    sd = [None] * n
+    for i in range(lag, n):
+        sd[i] = float(dc[i] - dc[i - lag])
+    tot = int(dc.sum()) if n else 0
+    return pa.table({
+        "key": base["key"],
+        "doc_count": base["doc_count"],
+        "moving_avg": mov_col,
+        "serial_diff": pa.array(sd, pa.float64()),
+        "avg_bucket": pa.array([tot / n if n else None] * n, pa.float64()),
+        "min_bucket": pa.array([int(dc.min()) if n else None] * n,
+                               pa.int64()),
+        "max_bucket": pa.array([int(dc.max()) if n else None] * n,
+                               pa.int64()),
+        "sum_bucket": pa.array([tot] * n, pa.int64()),
+    })
+
+
+def date_histogram_bucket_select_agg(
+        index_dir: str, query: str, calendar_interval: str = "day",
+        min_doc_count: int = 1, size: int = 10, column: str = "warc_ts",
+        field: str = DEFAULT_FIELD,
+        concurrency: int | None = None) -> pa.Table:
+    """ES ``bucket_script`` + ``bucket_selector`` + ``bucket_sort`` over
+    a date_histogram: a derived per-bucket metric (percent of total
+    matched docs), a predicate dropping buckets below ``min_doc_count``,
+    then a sort (doc_count desc, key asc) truncated to ``size`` — the
+    three bucket-mutating pipeline aggs ES applies coordinator-side in
+    exactly this order. Bounded by bucket count, never doc count."""
+    base = date_histogram_agg(index_dir, query, calendar_interval,
+                              column=column, field=field,
+                              concurrency=concurrency)
+    dc = base["doc_count"].to_numpy().astype(np.int64)
+    tot = int(dc.sum()) if len(dc) else 0
+    # bucket_script: params.count / params.total * 100
+    pct = (dc / tot * 100.0) if tot else np.zeros(len(dc))
+    t = base.append_column("pct_of_total", pa.array(pct, pa.float64()))
+    keep = dc >= min_doc_count  # bucket_selector
+    t = t.filter(pa.array(keep))
+    order = pc.sort_indices(t, sort_keys=[("doc_count", "descending"),
+                                          ("key", "ascending")])
+    return t.take(order[:size])  # bucket_sort: sort + from/size truncate
+
+
 def _missing_partials(batch: pa.Table, *, index_dir: str, column: str,
                       field: str, terms: list[str]) -> pa.Table:
     """Task: per-segment count of matched docs whose ``column``

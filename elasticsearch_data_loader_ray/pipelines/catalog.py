@@ -3152,6 +3152,89 @@ def _sql_date_pipeline_agg() -> str:
     )
 
 
+def q_bucket_pipeline_aggs(sf_dir: str):
+    """ES moving_fn (unweightedAvg, shift=0), serial_diff, and the
+    sibling avg/min/max/sum_bucket aggs over a day date_histogram —
+    pipeline values computed on the reduced bucket list (the ES
+    coordinator shape), windows exact-integer-summed."""
+    from ..index.aggs import date_histogram_bucket_pipeline_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return date_histogram_bucket_pipeline_agg(
+        idx, TERMS_AGG_QUERY, "day", window=7, lag=7)
+
+
+def _sql_bucket_pipeline_aggs() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "hist AS (SELECT date_trunc('day', TIMESTAMP '2024-01-01' "
+        "+ to_hours(doc_id)) AS key, count(*)::BIGINT AS doc_count "
+        "FROM hits GROUP BY 1) "
+        "SELECT key, doc_count, "
+        # exact integer window sum, ONE double division (bitwise-stable
+        # vs the numpy csum-diff divide)
+        "CAST(sum(doc_count) OVER mw AS DOUBLE) "
+        "/ count(doc_count) OVER mw AS moving_avg, "
+        "CAST(doc_count - lag(doc_count, 7) OVER (ORDER BY key) AS DOUBLE) "
+        "AS serial_diff, "
+        "CAST(sum(doc_count) OVER () AS DOUBLE) / count(*) OVER () "
+        "AS avg_bucket, "
+        "min(doc_count) OVER ()::BIGINT AS min_bucket, "
+        "max(doc_count) OVER ()::BIGINT AS max_bucket, "
+        "sum(doc_count) OVER ()::BIGINT AS sum_bucket "
+        "FROM hist WINDOW mw AS (ORDER BY key "
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) ORDER BY key ASC"
+    )
+
+
+BUCKET_SELECT_MIN_DOCS = 22
+BUCKET_SELECT_SIZE = 5
+
+
+def q_bucket_select_sort(sf_dir: str):
+    """ES bucket_script (percent-of-total) + bucket_selector
+    (doc_count >= threshold) + bucket_sort (doc_count desc, size cut)
+    over a day date_histogram — the three bucket-mutating pipeline aggs
+    applied coordinator-side in ES's order."""
+    from ..index.aggs import date_histogram_bucket_select_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return date_histogram_bucket_select_agg(
+        idx, TERMS_AGG_QUERY, "day",
+        min_doc_count=BUCKET_SELECT_MIN_DOCS, size=BUCKET_SELECT_SIZE)
+
+
+def _sql_bucket_select_sort() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "hist AS (SELECT date_trunc('day', TIMESTAMP '2024-01-01' "
+        "+ to_hours(doc_id)) AS key, count(*)::BIGINT AS doc_count "
+        "FROM hits GROUP BY 1), "
+        "scripted AS (SELECT key, doc_count, "
+        "CAST(doc_count AS DOUBLE) / (sum(doc_count) OVER ()) * 100.0 "
+        "AS pct_of_total FROM hist) "
+        f"SELECT key, doc_count, pct_of_total FROM scripted "
+        f"WHERE doc_count >= {BUCKET_SELECT_MIN_DOCS} "
+        f"ORDER BY doc_count DESC, key ASC LIMIT {BUCKET_SELECT_SIZE}"
+    )
+
+
 # ES filters agg: named buckets, each independently counting its own
 # query's matches (buckets overlap); one includes a zero-hit filter
 FILTERS_AGG = {
@@ -5552,6 +5635,8 @@ def queries() -> dict:
         "histogram_agg_match": q_histogram_agg_match,
         "date_histogram_match": q_date_histogram_match,
         "date_pipeline_agg": q_date_pipeline_agg,
+        "bucket_pipeline_aggs": q_bucket_pipeline_aggs,
+        "bucket_select_sort": q_bucket_select_sort,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -5668,6 +5753,8 @@ def oracle_sql() -> dict:
         "histogram_agg_match": _sql_histogram_agg_match(),
         "date_histogram_match": _sql_date_histogram_match(),
         "date_pipeline_agg": _sql_date_pipeline_agg(),
+        "bucket_pipeline_aggs": _sql_bucket_pipeline_aggs(),
+        "bucket_select_sort": _sql_bucket_select_sort(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),

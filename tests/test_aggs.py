@@ -484,6 +484,103 @@ def test_date_pipeline_agg_unmatched_empty(agg_index):
                                 "derivative"]
 
 
+def test_bucket_pipeline_aggs_match_numpy(tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        date_histogram_agg,
+        date_histogram_bucket_pipeline_agg,
+    )
+
+    n = 90
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = [base + np.timedelta64(i * 11, "h") for i in range(n)]
+    texts = ["match me" if i % 2 else "other text" for i in range(n)]
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("bpipe_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=32))
+    w, lag = 3, 2
+    base_t = date_histogram_agg(idx, "match", "day").to_pandas()
+    got = date_histogram_bucket_pipeline_agg(
+        idx, "match", "day", window=w, lag=lag).to_pandas()
+    dc = base_t["doc_count"].to_numpy()
+    assert got["doc_count"].tolist() == dc.tolist()
+    # moving_fn shift=0: unweightedAvg over the w buckets BEFORE i
+    assert np.isnan(got["moving_avg"].iloc[0])
+    for i in range(1, len(dc)):
+        win = dc[max(0, i - w):i]
+        assert got["moving_avg"].iloc[i] == win.sum() / len(win)
+    # serial_diff: null for the first `lag` buckets
+    assert got["serial_diff"].iloc[:lag].isna().all()
+    for i in range(lag, len(dc)):
+        assert got["serial_diff"].iloc[i] == float(dc[i] - dc[i - lag])
+    # sibling aggs are constant columns over the whole bucket list
+    assert (got["avg_bucket"] == dc.sum() / len(dc)).all()
+    assert (got["min_bucket"] == dc.min()).all()
+    assert (got["max_bucket"] == dc.max()).all()
+    assert (got["sum_bucket"] == dc.sum()).all()
+
+
+def test_bucket_select_sort_filters_and_truncates(tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        date_histogram_agg,
+        date_histogram_bucket_select_agg,
+    )
+
+    n = 90
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = [base + np.timedelta64(i * 7, "h") for i in range(n)]
+    texts = ["match me" if i % 3 else "other text" for i in range(n)]
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("bsel_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=32))
+    base_t = date_histogram_agg(idx, "match", "day").to_pandas()
+    dc = base_t["doc_count"].to_numpy()
+    thr = int(np.median(dc))
+    size = 3
+    got = date_histogram_bucket_select_agg(
+        idx, "match", "day", min_doc_count=thr, size=size).to_pandas()
+    kept = base_t[base_t["doc_count"] >= thr]
+    want = kept.sort_values(["doc_count", "key"],
+                            ascending=[False, True]).head(size)
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+    # bucket_script percent-of-total uses the PRE-selector total
+    tot = dc.sum()
+    assert got["pct_of_total"].tolist() == [
+        c / tot * 100.0 for c in got["doc_count"]]
+
+
+def test_bucket_pipeline_aggs_unmatched_empty(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        date_histogram_bucket_pipeline_agg,
+        date_histogram_bucket_select_agg,
+    )
+
+    idx, _t, _l = agg_index
+    got = date_histogram_bucket_pipeline_agg(idx, "zzqnothing", "day")
+    assert got.num_rows == 0
+    assert got.column_names == ["key", "doc_count", "moving_avg",
+                                "serial_diff", "avg_bucket", "min_bucket",
+                                "max_bucket", "sum_bucket"]
+    sel = date_histogram_bucket_select_agg(idx, "zzqnothing", "day")
+    assert sel.num_rows == 0
+
+
 def test_top_hits_agg_matches_brute_force(agg_index):
     from elasticsearch_data_loader_ray.index.aggs import top_hits_agg
     from elasticsearch_data_loader_ray.index.search import LocalSearcher
