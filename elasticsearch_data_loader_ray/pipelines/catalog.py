@@ -1246,6 +1246,142 @@ def _sql_gopher_rules() -> str:
     )
 
 
+# C4 entry injection knobs: chunk the analyzed tokens into 6-word lines,
+# then deterministically violate each rule on a doc_id-derived schedule
+C4_CHUNK = 6
+C4_JS_MOD = 17      # (doc_id + line) % -> line gains the word 'javascript'
+C4_NOPUNCT_MOD = 4  # (doc_id + line) % == 0 -> line keeps no terminal '.'
+C4_SHORT_MOD = 5    # doc gains a 2-word line (fails the >=5-words rule)
+C4_LOREM_MOD = 97   # doc gains a 'lorem ipsum' line (page dropped)
+C4_BRACE_MOD = 89   # doc gains a '{' line (page dropped)
+
+
+def q_c4_filters(sf_dir: str):
+    """C4-style cleaning (Raffel et al.'s public line rules — terminal
+    punctuation, >=5 words/line, no 'javascript' lines; page-level
+    lorem-ipsum / curly-brace / <3-surviving-lines drops), vectorized in
+    ``stages/c4.py`` (one split + one RE2 scan per rule + offsets
+    regroup; no row loop).
+
+    The synthetic corpus is single-line prose, so the entry first
+    BUILDS a deterministic multi-line page per doc (6-token lines from
+    the doc's own analyzed tokens, rule violations injected on
+    doc_id-derived schedules — same expression in the SQL oracle), then
+    cleans it; the oracle verifies line counts, the page-keep decision
+    AND the cleaned text md5-exactly."""
+    from ..stages.c4 import c4_clean
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        idx, toks, dl = an.standard_tokenize_batch(t["text"])
+        did = t["doc_id"].to_numpy()
+        n = t.num_rows
+        nl = (dl // C4_CHUNK).astype(np.int64)
+        parent = np.repeat(np.arange(n), nl)
+        cum = np.concatenate([[0], np.cumsum(nl)])[:-1]
+        li = np.arange(int(nl.sum())) - np.repeat(cum, nl)
+        tok_off = np.concatenate([[0], np.cumsum(dl)])[:-1]
+        starts = tok_off[parent] + C4_CHUNK * li
+        sa = pa.array(starts)
+        shifted = [pc.take(toks, pc.add(sa, k)) for k in range(C4_CHUNK)]
+        ln = pc.binary_join_element_wise(*shifted, " ")
+        key = did[parent] + li
+        ln = pc.binary_join_element_wise(
+            pc.cast(ln, pa.large_string()),
+            pc.cast(pa.array(np.where(key % C4_JS_MOD == 0,
+                                      " javascript", "")),
+                    pa.large_string()),
+            pc.cast(pa.array(np.where(key % C4_NOPUNCT_MOD != 0, ".", "")),
+                    pa.large_string()),
+            pa.scalar("", pa.large_string()))
+        # per-doc extra lines on their schedules, ordered after chunks
+        ex_parent, ex_li, ex_txt = [], [], []
+        for mod, off, txt in (
+                (C4_SHORT_MOD, 0, "too short."),
+                (C4_LOREM_MOD, 1, "we sprinkle some lorem ipsum in here."),
+                (C4_BRACE_MOD, 2, "this page has a { brace inside it.")):
+            hit = np.flatnonzero(did % mod == 0)
+            ex_parent.append(hit)
+            ex_li.append(np.full(len(hit), 1_000_000 + off))
+            ex_txt.extend([txt] * len(hit))
+        all_parent = np.concatenate([parent, *ex_parent])
+        all_li = np.concatenate([li, *ex_li])
+        all_ln = pa.concat_arrays([
+            pc.cast(ln, pa.large_string()).combine_chunks()
+            if isinstance(ln, pa.ChunkedArray)
+            else pc.cast(ln, pa.large_string()),
+            pa.array(ex_txt, pa.large_string())])
+        order = np.lexsort((all_li, all_parent))
+        counts = np.bincount(all_parent, minlength=n)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        pages = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()),
+                                          all_ln.take(pa.array(order))),
+            pa.scalar("\n", pa.large_string()))
+        out = c4_clean(pages)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": out["n_lines"],
+            "n_kept": out["n_kept"],
+            "keep": out["keep"],
+            "cleaned_md5": _md5_batch(out["cleaned"]),
+        })
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def _sql_c4_filters() -> str:
+    wc = "len(regexp_extract_all(trim(x), '\\S+'))"
+    line_ok = (f"regexp_matches(x, '[.!?\"]$') AND NOT "
+               f"regexp_matches(x, '(?i)\\bjavascript\\b') AND {wc} >= 5")
+    return (
+        f"WITH tc AS (SELECT doc_id, regexp_extract_all("
+        f"lower(coalesce(text, '')), '{TOKEN_RE_SQL}') AS ts "
+        "FROM documents), "
+        f"pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, "
+        f"{C4_CHUNK})) AS i FROM tc), "
+        f"chunks AS (SELECT doc_id, (i - 1) // {C4_CHUNK} AS li, "
+        f"array_to_string(ts[i:i+{C4_CHUNK - 1}], ' ') "
+        f"|| CASE WHEN (doc_id + (i - 1) // {C4_CHUNK}) % {C4_JS_MOD} = 0 "
+        "THEN ' javascript' ELSE '' END "
+        f"|| CASE WHEN (doc_id + (i - 1) // {C4_CHUNK}) % {C4_NOPUNCT_MOD} "
+        "<> 0 THEN '.' ELSE '' END AS ln "
+        f"FROM pos WHERE i + {C4_CHUNK - 1} <= len(ts)), "
+        "extras AS ("
+        f"SELECT doc_id, 1000000 AS li, 'too short.' AS ln FROM tc "
+        f"WHERE doc_id % {C4_SHORT_MOD} = 0 UNION ALL "
+        f"SELECT doc_id, 1000001, "
+        f"'we sprinkle some lorem ipsum in here.' FROM tc "
+        f"WHERE doc_id % {C4_LOREM_MOD} = 0 UNION ALL "
+        f"SELECT doc_id, 1000002, "
+        "'this page has a { brace inside it.' FROM tc "
+        f"WHERE doc_id % {C4_BRACE_MOD} = 0), "
+        "pages AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) "
+        "AS page FROM (SELECT * FROM chunks UNION ALL "
+        "SELECT * FROM extras) GROUP BY 1), "
+        # split of the empty page yields one empty line — same as the
+        # Ray side's split_pattern("") — so counts line up for docs
+        # that produced no lines at all
+        "rules AS (SELECT t.doc_id, "
+        "string_split(coalesce(p.page, ''), chr(10)) AS lines, "
+        "coalesce(p.page, '') AS page FROM tc t "
+        "LEFT JOIN pages p USING (doc_id)), "
+        "scored AS (SELECT doc_id, len(lines) AS n_lines, "
+        f"len(list_filter(lines, x -> {line_ok})) AS n_kept, page, "
+        f"array_to_string(list_filter(lines, x -> {line_ok}), chr(10)) "
+        "AS cleaned FROM rules) "
+        "SELECT doc_id, n_lines::BIGINT AS n_lines, "
+        "n_kept::BIGINT AS n_kept, "
+        "(NOT regexp_matches(page, '(?i)lorem ipsum') "
+        "AND NOT contains(page, '{') AND n_kept >= 3) AS keep, "
+        "md5(CASE WHEN (NOT regexp_matches(page, '(?i)lorem ipsum') "
+        "AND NOT contains(page, '{') AND n_kept >= 3) "
+        "THEN cleaned ELSE '' END) AS cleaned_md5 FROM scored"
+    )
+
+
 def q_bigram_lm_quality(sf_dir: str):
     """CCNet-style language-model quality scoring: per-doc mean negative
     log-likelihood of its token bigrams under an add-one-smoothed bigram
@@ -5637,6 +5773,7 @@ def queries() -> dict:
         "date_pipeline_agg": q_date_pipeline_agg,
         "bucket_pipeline_aggs": q_bucket_pipeline_aggs,
         "bucket_select_sort": q_bucket_select_sort,
+        "c4_filters": q_c4_filters,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -5755,6 +5892,7 @@ def oracle_sql() -> dict:
         "date_pipeline_agg": _sql_date_pipeline_agg(),
         "bucket_pipeline_aggs": _sql_bucket_pipeline_aggs(),
         "bucket_select_sort": _sql_bucket_select_sort(),
+        "c4_filters": _sql_c4_filters(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),
