@@ -1495,6 +1495,151 @@ SQL_BIGRAM_LM = (
 )
 
 
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _md5_bucket(grams: list[str]) -> np.ndarray:
+    """md5-derived feature bucket: first 6 hex chars as an integer,
+    mod ``DSIR_BUCKETS`` — cheap, stable, and expressible in the DuckDB
+    oracle (hex-digit polynomial over ``md5(gram)``)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % DSIR_BUCKETS
+         for g in grams), dtype=np.int64, count=len(grams))
+
+
+def _sql_md5_bucket(expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f"::BIGINT * {16 ** (5 - i)}" for i in range(6))
+    return f"(({terms}) % {DSIR_BUCKETS})"
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc log importance
+    weight ``sum_f c_f * (ln p_f - ln q_f)`` over HASHED unigram+bigram
+    features, where ``p`` is the target distribution (here docs with
+    ``lang='en'``) and ``q`` the raw-pool distribution, both add-one
+    smoothed over ``DSIR_BUCKETS`` buckets. High-weight docs are the
+    ones importance resampling would keep.
+
+    Scale shape: hashing is THE scale mechanism (the feature space is
+    fixed at B buckets regardless of corpus vocabulary); pass 1 reduces
+    per-batch bucket partials through a groupby-sum bounded by B and
+    broadcasts the B-sized log-ratio vector once via ``ray.put``; pass 2
+    scores each batch with a factorize + gather + bincount — no Python
+    in the per-instance path (md5 runs once per DISTINCT gram per
+    batch)."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    B = DSIR_BUCKETS
+
+    def gram_keys(t: pa.Table):
+        idx, toks, _dl = an.standard_tokenize_batch(t["text"])
+        if len(toks) == 0:
+            return None
+        parts = [toks]
+        rows = [idx]
+        same = np.flatnonzero(idx[1:] == idx[:-1])
+        if len(same):
+            parts.append(pc.binary_join_element_wise(
+                toks.take(pa.array(same)), toks.take(pa.array(same + 1)),
+                " "))
+            rows.append(idx[same])
+        grams = pa.concat_arrays([pc.cast(p, pa.string()) for p in parts])
+        return np.concatenate(rows), grams
+
+    def bucket_of(grams: pa.Array) -> np.ndarray:
+        codes, uniq = pd.factorize(grams.to_pandas())
+        return _md5_bucket(list(uniq))[codes]
+
+    def bucket_parts(t: pa.Table) -> pa.Table:
+        gk = gram_keys(t)
+        if gk is None:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "ct": pa.array([], pa.int64()),
+                             "cs": pa.array([], pa.int64())})
+        rows, grams = gk
+        b = bucket_of(grams)
+        is_tgt = np.asarray(pc.equal(
+            pc.fill_null(t["lang"], ""), DSIR_TARGET_LANG))[rows]
+        cs = np.bincount(b, minlength=B)
+        ct = np.bincount(b[is_tgt], minlength=B)
+        keep = np.flatnonzero(cs)
+        return pa.table({"b": pa.array(keep, pa.int64()),
+                         "ct": pa.array(ct[keep], pa.int64()),
+                         "cs": pa.array(cs[keep], pa.int64())})
+
+    parts = (rd.read_parquet(path, columns=["text", "lang"])
+             .map_batches(bucket_parts, batch_format="pyarrow")
+             .groupby("b")
+             .aggregate(Sum("ct", alias_name="ct"),
+                        Sum("cs", alias_name="cs"))
+             .to_pandas())  # bounded by B buckets, never corpus-sized
+    ct = np.zeros(B, np.int64)
+    cs = np.zeros(B, np.int64)
+    ct[parts["b"].to_numpy()] = parts["ct"].to_numpy()
+    cs[parts["b"].to_numpy()] = parts["cs"].to_numpy()
+    tt, ts = int(ct.sum()), int(cs.sum())
+    lam = (np.log((ct + 1.0) / (tt + B)) - np.log((cs + 1.0) / (ts + B)))
+    lam_ref = ray.put(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        lam_v = ray.get(lam_ref)
+        gk = gram_keys(t)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_feats": pa.array([], pa.int64()),
+                          "log_weight": pa.array([], pa.float64())})
+        if gk is None:
+            return empty
+        rows, grams = gk
+        w = lam_v[bucket_of(grams)]
+        nf = np.bincount(rows, minlength=t.num_rows)
+        sums = np.bincount(rows, weights=w, minlength=t.num_rows)
+        keep = np.flatnonzero(nf > 0)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(keep)),
+            "n_feats": pa.array(nf[keep], pa.int64()),
+            "log_weight": pa.array(np.round(sums[keep], 6), pa.float64()),
+        })
+
+    return rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def _sql_dsir_weights() -> str:
+    B = DSIR_BUCKETS
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}') AS l FROM documents), "
+        "pos AS (SELECT doc_id, unnest(l) AS term, "
+        "unnest(range(1, len(l) + 1)) AS p FROM docs), "
+        "big AS (SELECT doc_id, term AS w1, lead(term) OVER ("
+        "PARTITION BY doc_id ORDER BY p) AS w2 FROM pos), "
+        "grams AS (SELECT doc_id, term AS gram FROM pos UNION ALL "
+        "SELECT doc_id, w1 || ' ' || w2 FROM big WHERE w2 IS NOT NULL), "
+        f"bk AS (SELECT doc_id, {_sql_md5_bucket('gram')} AS b "
+        "FROM grams), "
+        "tgt AS (SELECT doc_id FROM documents "
+        f"WHERE lang = '{DSIR_TARGET_LANG}'), "
+        "cnts AS (SELECT b, count(*)::BIGINT AS cs, "
+        "count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM tgt))"
+        "::BIGINT AS ct FROM bk GROUP BY 1), "
+        "tot AS (SELECT sum(cs)::BIGINT AS ts, sum(ct)::BIGINT AS tt "
+        "FROM cnts), "
+        f"lam AS (SELECT b, ln((ct + 1)::DOUBLE / (tt + {B})) "
+        f"- ln((cs + 1)::DOUBLE / (ts + {B})) AS lam "
+        "FROM cnts CROSS JOIN tot) "
+        "SELECT bk.doc_id, count(*)::BIGINT AS n_feats, "
+        "round(sum(lam.lam), 6) AS log_weight "
+        "FROM bk JOIN lam USING (b) GROUP BY 1"
+    )
+
+
 CHUNK_W = 64
 
 
@@ -5774,6 +5919,7 @@ def queries() -> dict:
         "bucket_pipeline_aggs": q_bucket_pipeline_aggs,
         "bucket_select_sort": q_bucket_select_sort,
         "c4_filters": q_c4_filters,
+        "dsir_weights": q_dsir_weights,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -5893,6 +6039,7 @@ def oracle_sql() -> dict:
         "bucket_pipeline_aggs": _sql_bucket_pipeline_aggs(),
         "bucket_select_sort": _sql_bucket_select_sort(),
         "c4_filters": _sql_c4_filters(),
+        "dsir_weights": _sql_dsir_weights(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),

@@ -1,0 +1,44 @@
+"""DSIR hashed-ngram importance weights: bucket hash determinism and
+the selection signal's direction on the fixture corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from elasticsearch_data_loader_ray.pipelines.catalog import (
+    DSIR_BUCKETS,
+    DSIR_TARGET_LANG,
+    _md5_bucket,
+    q_dsir_weights,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_md5_bucket_deterministic_and_bounded():
+    grams = ["the", "fast join", "a", "spark", "the data", ""]
+    b1 = _md5_bucket(grams)
+    b2 = _md5_bucket(grams)
+    assert (b1 == b2).all()
+    assert ((0 <= b1) & (b1 < DSIR_BUCKETS)).all()
+    # known value pins the hash definition the SQL oracle mirrors
+    import hashlib
+
+    assert b1[0] == int(hashlib.md5(b"the").hexdigest()[:6],
+                        16) % DSIR_BUCKETS
+
+
+def test_dsir_weights_favor_target_language(ray_session):
+    got = q_dsir_weights(SF0001).to_pandas()
+    lang = pq.read_table(f"{SF0001}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    m = got.merge(lang, on="doc_id")
+    # every doc with >=1 token is scored
+    assert (m["n_feats"] > 0).all()
+    tgt = m[m["lang"] == DSIR_TARGET_LANG]["log_weight"]
+    rest = m[m["lang"] != DSIR_TARGET_LANG]["log_weight"]
+    assert len(tgt) and len(rest)
+    # importance resampling must up-weight the target class on average
+    assert tgt.mean() > rest.mean()
+    assert np.isfinite(m["log_weight"]).all()
