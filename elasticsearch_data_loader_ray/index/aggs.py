@@ -651,6 +651,99 @@ def date_histogram_agg(index_dir: str, query: str,
     })
 
 
+def _ts_minmax_partials(batch: pa.Table, *, index_dir: str, column: str,
+                        field: str, terms: list[str]) -> pa.Table:
+    """Task: per-segment (min, max) of the matched docs' non-null
+    ``column`` timestamps — two int64 microsecond values per segment."""
+    _stats, deleted = worker_state(index_dir)
+    mns, mxs = [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field, terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        dv = pq.read_table(_dv_path(index_dir, column, seg_id),
+                           columns=["doc_id", column])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+        arr = dv[column].combine_chunks().take(pa.array(pos)).to_numpy(
+            zero_copy_only=False)
+        arr = arr[~np.isnat(arr)]
+        if len(arr) == 0:
+            continue
+        mns.append(int(arr.min().astype("M8[us]").astype(np.int64)))
+        mxs.append(int(arr.max().astype("M8[us]").astype(np.int64)))
+    return pa.table({"mn": pa.array(mns, pa.int64()),
+                     "mx": pa.array(mxs, pa.int64())})
+
+
+# auto_date_histogram ladder, finest first. ES's real ladder also has
+# sub-unit multiples (5m, 3h, ...); this engine's calendar units are the
+# supported rungs — documented simplification, mirrored by the oracle.
+_AUTO_LADDER = ("hour", "day", "week", "month", "year")
+
+
+def _span_buckets(mn_us: int, mx_us: int, unit: str) -> int:
+    """Bucket count the span would produce at ``unit`` (inclusive of
+    both truncated endpoints) — the ladder decision input."""
+    mn = np.datetime64(mn_us, "us")
+    mx = np.datetime64(mx_us, "us")
+    if unit == "week":
+        d0, d1 = (np.array([mn, mx]).astype("M8[D]").astype(np.int64))
+        d0 -= (d0 + 3) % 7
+        d1 -= (d1 + 3) % 7
+        return int((d1 - d0) // 7) + 1
+    code = _CAL_UNITS[unit]
+    a, b = np.array([mn, mx]).astype(f"M8[{code}]").astype(np.int64)
+    return int(b - a) + 1
+
+
+def auto_date_histogram_agg(index_dir: str, query: str,
+                            target_buckets: int = 10,
+                            column: str = "warc_ts",
+                            field: str = DEFAULT_FIELD,
+                            concurrency: int | None = None) -> pa.Table:
+    """ES ``auto_date_histogram``: pick the finest calendar interval
+    from the ladder (hour → day → week → month → year) whose
+    span-implied bucket count fits ``target_buckets``, then histogram
+    at that interval; the chosen interval is returned as a constant
+    column (ES returns it in the agg metadata). The decision needs only
+    the matched span — one tiny per-segment (min, max) partials job —
+    never a trial histogram per rung."""
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"key": pa.array([], pa.timestamp("us")),
+                      "doc_count": pa.array([], pa.int64()),
+                      "interval": pa.array([], pa.string())})
+    if not terms or not seg_ids:
+        return empty
+    build_doc_values(index_dir, column)
+    mm = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _ts_minmax_partials,
+            fn_kwargs={"index_dir": index_dir, "column": column,
+                       "field": field, "terms": terms},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()  # one row per segment
+    )
+    if len(mm) == 0:
+        return empty
+    mn, mx = int(mm["mn"].min()), int(mm["mx"].max())
+    unit = _AUTO_LADDER[-1]
+    for cand in _AUTO_LADDER:
+        if _span_buckets(mn, mx, cand) <= target_buckets:
+            unit = cand
+            break
+    base = date_histogram_agg(index_dir, query, unit, column=column,
+                              field=field, concurrency=concurrency)
+    return base.append_column(
+        "interval", pa.array([unit] * base.num_rows, pa.string()))
+
+
 def stats_agg(index_dir: str, query: str, field: str = DEFAULT_FIELD,
               metric_field: str | None = None,
               concurrency: int | None = None) -> pa.Table:

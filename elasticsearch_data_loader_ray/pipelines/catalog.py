@@ -3476,6 +3476,60 @@ def _sql_bucket_pipeline_aggs() -> str:
     )
 
 
+AUTO_HIST_TARGET = 10
+
+
+def q_auto_date_hist(sf_dir: str):
+    """ES auto_date_histogram: the engine picks the finest calendar
+    interval (hour→day→week→month→year) whose span-implied bucket count
+    fits the target, from one tiny per-segment (min, max) partials job,
+    then runs the ordinary distributed date_histogram at that interval.
+    The chosen interval is a verified output column."""
+    from ..index.aggs import auto_date_histogram_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return auto_date_histogram_agg(idx, TERMS_AGG_QUERY,
+                                   target_buckets=AUTO_HIST_TARGET)
+
+
+def _sql_auto_date_hist() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    T = AUTO_HIST_TARGET
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "ts AS (SELECT TIMESTAMP '2024-01-01' + to_hours(doc_id) AS t "
+        "FROM hits), "
+        "mm AS (SELECT min(t) AS mn, max(t) AS mx FROM ts), "
+        "spans AS (SELECT "
+        "date_diff('hour', date_trunc('hour', mn), date_trunc('hour', mx)) "
+        "+ 1 AS nh, "
+        "date_diff('day', date_trunc('day', mn), date_trunc('day', mx)) "
+        "+ 1 AS nd, "
+        "date_diff('day', date_trunc('week', mn), date_trunc('week', mx)) "
+        "// 7 + 1 AS nw, "
+        "date_diff('month', date_trunc('month', mn), "
+        "date_trunc('month', mx)) + 1 AS nm FROM mm), "
+        f"u AS (SELECT CASE WHEN nh <= {T} THEN 'hour' "
+        f"WHEN nd <= {T} THEN 'day' WHEN nw <= {T} THEN 'week' "
+        f"WHEN nm <= {T} THEN 'month' ELSE 'year' END AS unit "
+        "FROM spans) "
+        "SELECT CASE u.unit WHEN 'hour' THEN date_trunc('hour', t) "
+        "WHEN 'day' THEN date_trunc('day', t) "
+        "WHEN 'week' THEN date_trunc('week', t) "
+        "WHEN 'month' THEN date_trunc('month', t) "
+        "ELSE date_trunc('year', t) END AS key, "
+        "count(*)::BIGINT AS doc_count, u.unit AS interval "
+        "FROM ts CROSS JOIN u GROUP BY 1, 3 ORDER BY key ASC"
+    )
+
+
 BUCKET_SELECT_MIN_DOCS = 22
 BUCKET_SELECT_SIZE = 5
 
@@ -5920,6 +5974,7 @@ def queries() -> dict:
         "bucket_select_sort": q_bucket_select_sort,
         "c4_filters": q_c4_filters,
         "dsir_weights": q_dsir_weights,
+        "auto_date_hist": q_auto_date_hist,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6040,6 +6095,7 @@ def oracle_sql() -> dict:
         "bucket_select_sort": _sql_bucket_select_sort(),
         "c4_filters": _sql_c4_filters(),
         "dsir_weights": _sql_dsir_weights(),
+        "auto_date_hist": _sql_auto_date_hist(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),

@@ -581,6 +581,43 @@ def test_bucket_pipeline_aggs_unmatched_empty(agg_index):
     assert sel.num_rows == 0
 
 
+def test_auto_date_histogram_ladder(tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        auto_date_histogram_agg,
+        date_histogram_agg,
+    )
+
+    n = 60
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    # span ~27 days: hour (~660 buckets) and day (28) fail target 10,
+    # week (5) fits
+    ts = [base + np.timedelta64(i * 11, "h") for i in range(n)]
+    texts = ["match me"] * n
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("auto_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=16))
+    got = auto_date_histogram_agg(idx, "match", target_buckets=10)
+    assert set(got["interval"].to_pylist()) == {"week"}
+    want = date_histogram_agg(idx, "match", "week")
+    assert got["key"].to_pylist() == want["key"].to_pylist()
+    assert got["doc_count"].to_pylist() == want["doc_count"].to_pylist()
+    # a generous target picks the finest rung
+    fine = auto_date_histogram_agg(idx, "match", target_buckets=100000)
+    assert set(fine["interval"].to_pylist()) == {"hour"}
+    # unmatched query: empty with the interval column present
+    nothing = auto_date_histogram_agg(idx, "zzqnothing")
+    assert nothing.num_rows == 0
+    assert nothing.column_names == ["key", "doc_count", "interval"]
+
+
 def test_top_hits_agg_matches_brute_force(agg_index):
     from elasticsearch_data_loader_ray.index.aggs import top_hits_agg
     from elasticsearch_data_loader_ray.index.search import LocalSearcher
