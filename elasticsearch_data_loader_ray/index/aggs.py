@@ -1303,16 +1303,21 @@ def terms_agg(index_dir: str, query: str, column: str, size: int = 10,
 
 def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
                         field: str, terms: list[str],
-                        shard_size: int | None = None) -> pa.Table:
+                        shard_size: int | None = None,
+                        drop_ref=None) -> pa.Table:
     """Task: per-segment foreground doc-frequency partials — the matched
     docs' stored text re-tokenized, one (term, fg_count) row per distinct
     term. Work is O(matched docs' tokens), not O(segment vocabulary):
     texts come positionally from the segment's stored-field shard, so a
     query matching a sliver of a 100-TB corpus tokenizes only that
-    sliver."""
+    sliver. ``drop_ref`` (significant_text's duplicate-text filter) is a
+    ``ray.put`` sorted int64 array of doc ids to exclude."""
+    import ray as _ray
+
     _stats, deleted = worker_state(index_dir)
     from ..functions import analyzers as an
 
+    drop = _ray.get(drop_ref) if drop_ref is not None else None
     outs = []
     n_matched = 0
     for seg_id in batch["segment_id"].to_pylist():
@@ -1321,6 +1326,10 @@ def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
                            terms)
         if len(deleted) and len(ids):
             ids = ids[_drop_deleted(deleted, ids)]
+        if drop is not None and len(drop) and len(ids):
+            pos = np.searchsorted(drop, ids)
+            pos[pos == len(drop)] = 0
+            ids = ids[drop[pos] != ids]
         if len(ids) == 0:
             continue
         n_matched += len(ids)
@@ -1366,7 +1375,8 @@ def _sig_terms_partials(batch: pa.Table, *, index_dir: str,
 def significant_terms_agg(index_dir: str, query: str, size: int = 10,
                           field: str = DEFAULT_FIELD,
                           shard_size: int | None = None,
-                          concurrency: int | None = None) -> pa.Table:
+                          concurrency: int | None = None,
+                          drop_ref=None) -> pa.Table:
     """ES ``significant_terms`` aggregation: terms over-represented in the
     docs matching an OR match query vs the whole corpus, scored with the
     JLH heuristic ``(fg% - bg%) * (fg% / bg%)`` (ES's default), positive
@@ -1408,7 +1418,8 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
             fn_kwargs={
                 "index_dir": index_dir, "field": field,
                 "terms": sorted(set(terms)),
-                "shard_size": shard_size},
+                "shard_size": shard_size,
+                "drop_ref": drop_ref},
             batch_format="pyarrow", batch_size=8,
             concurrency=concurrency)
         .groupby("term")
@@ -1466,6 +1477,197 @@ def significant_terms_agg(index_dir: str, query: str, size: int = 10,
         "bg_count": pa.array(out["bg_count"].to_numpy(), pa.int64()),
         "score": pa.array(out["score"].to_numpy(), pa.float64()),
     })
+
+
+def _sampler_partials(batch: pa.Table, *, index_dir: str, column: str,
+                      field: str, terms: list[str], idf: dict,
+                      avgdl: float, shard_size: int) -> pa.Table:
+    """Task: per-segment top-``shard_size`` matched docs by BM25 (the
+    serving-path scoring convention) with their ``column`` doc-values —
+    rows bounded by shard_size per segment."""
+    from . import codec
+
+    _stats, deleted = worker_state(index_dir)
+    out_d, out_sc, out_v = [], [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        runs = _segment_postings(index_dir, seg_id, field, terms,
+                                 with_tf=True)
+        if not runs:
+            continue
+        all_ids = [ids for rs in runs.values() for ids, _tfs in rs]
+        loc = np.unique(np.concatenate(all_ids))
+        docs = pq.read_table(seg_docs_path(index_dir, seg_id),
+                             columns=["doc_id", _dl_column(field)])
+        base = int(docs["doc_id"][0].as_py())
+        dl = docs[_dl_column(field)].to_numpy().astype(np.float64)
+        sc = np.zeros(len(loc), dtype=np.float64)
+        for t in terms:  # lexicographic accumulation order
+            for ids, tfs in runs.get(t, []):
+                sc[np.searchsorted(loc, ids)] += idf[t] * \
+                    codec.bm25_tf_impact(tfs.astype(np.float64),
+                                         dl[ids - base], avgdl)
+        if len(deleted):
+            keep = _drop_deleted(deleted, loc)
+            loc, sc = loc[keep], sc[keep]
+        if len(loc) == 0:
+            continue
+        r = np.round(sc, 6)
+        sel = np.lexsort((loc, -r))[:shard_size]
+        loc, r = loc[sel], r[sel]
+        dv = pq.read_table(_dv_path(index_dir, column, seg_id),
+                           columns=["doc_id", column])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), loc)
+        vals = dv[column].combine_chunks().take(pa.array(pos))
+        out_d.extend(loc.tolist())
+        out_sc.extend(r.tolist())
+        out_v.append(vals)
+    return pa.table({
+        "doc_id": pa.array(out_d, pa.int64()),
+        "score": pa.array(out_sc, pa.float64()),
+        "value": (pc.cast(pa.concat_arrays(
+            [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+             for v in out_v]), pa.string())
+            if out_v else pa.array([], pa.string())),
+    })
+
+
+def sampler_terms_agg(index_dir: str, query: str, column: str,
+                      shard_size: int = 100, num_buckets: int = 10,
+                      field: str = DEFAULT_FIELD,
+                      concurrency: int | None = None) -> pa.Table:
+    """ES ``sampler`` aggregation with a ``terms`` sub-aggregation: the
+    sub-agg sees only the top-``shard_size`` matched docs by relevance.
+    This index is one logical shard, so the sample is the exact GLOBAL
+    top-``shard_size`` (score desc, doc_id asc) — per-segment
+    top-shard_size partials merged on the driver (bounded by
+    segments x shard_size, never doc count), then one bincount over the
+    <= shard_size sampled values. ES's per-shard sampling is the
+    multi-shard generalization of the same partials."""
+    from .search import _avgdl, load_global_idf
+
+    stats = _load_stats(index_dir)
+    terms = query_terms(query, _field_analyzer(stats, field))
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "doc_count": pa.array([], pa.int64())})
+    if not terms or not seg_ids:
+        return empty
+    idf_map, _dfs, _n = load_global_idf(index_dir, {field: terms})
+    idf = {t: v for (f, t), v in idf_map.items() if f == field}
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return empty
+    build_doc_values(index_dir, column)
+    parts = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _sampler_partials,
+            fn_kwargs={
+                "index_dir": index_dir, "column": column, "field": field,
+                "terms": sorted(set(terms)), "idf": idf,
+                "avgdl": _avgdl(stats, field),
+                "shard_size": int(shard_size)},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .to_pandas()  # <= segments x shard_size rows
+    )
+    if len(parts) == 0:
+        return empty
+    parts = parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(shard_size)
+    counts = (parts.dropna(subset=["value"]).groupby("value").size()
+              .reset_index(name="doc_count")
+              .sort_values(["doc_count", "value"],
+                           ascending=[False, True]).head(num_buckets))
+    return pa.table({
+        "key": pa.array(counts["value"].tolist(), pa.string()),
+        "doc_count": pa.array(counts["doc_count"].to_numpy(), pa.int64()),
+    })
+
+
+def _text_hash_partials(batch: pa.Table, *, index_dir: str, field: str,
+                        terms: list[str]) -> pa.Table:
+    """Task: (md5(text), doc_id) for each matched doc in the segment —
+    the duplicate-text probe for significant_text."""
+    import hashlib
+
+    _stats, deleted = worker_state(index_dir)
+    out_h, out_d = [], []
+    for seg_id in batch["segment_id"].to_pylist():
+        seg_id = int(seg_id)
+        ids = _matched_ids(index_dir, seg_id, field, terms)
+        if len(deleted) and len(ids):
+            ids = ids[_drop_deleted(deleted, ids)]
+        if len(ids) == 0:
+            continue
+        dv = pq.read_table(_dv_path(index_dir, "text", seg_id),
+                           columns=["doc_id", "text"])
+        pos = np.searchsorted(dv["doc_id"].to_numpy(), ids)
+        texts = dv["text"].combine_chunks().take(pa.array(pos))
+        out_h.extend(hashlib.md5(
+            (x or "").encode()).hexdigest() for x in texts.to_pylist())
+        out_d.extend(ids.tolist())
+    return pa.table({"h": pa.array(out_h, pa.string()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def significant_text_agg(index_dir: str, query: str, size: int = 10,
+                         field: str = DEFAULT_FIELD,
+                         filter_duplicate_text: bool = True,
+                         concurrency: int | None = None) -> pa.Table:
+    """ES ``significant_text`` aggregation: significant_terms computed
+    directly from the matched docs' stored text (which is exactly how
+    this engine's significant_terms already gets its foreground), plus
+    ES's ``filter_duplicate_text`` — duplicate docs (same text bytes)
+    are counted ONCE, keeping the lowest doc_id, so boilerplate/mirror
+    pages cannot manufacture significance. Doc-level hash dedup is the
+    documented simplification of ES's paragraph-level near-dup filter.
+
+    The drop set is found by a per-segment (md5, doc_id) probe over the
+    matched slice merged through one groupby — O(matched docs), the
+    exact_dedup shape — and shipped to the fg partials via ``ray.put``
+    (bounded by the number of duplicate docs)."""
+    import ray as _ray
+
+    if not filter_duplicate_text:
+        return significant_terms_agg(index_dir, query, size, field=field,
+                                     concurrency=concurrency)
+    stats = _load_stats(index_dir)
+    analyzer = _field_analyzer(stats, field)
+    terms = query_terms(query, analyzer)
+    seg_ids, _vis = _visible_seg_ids(index_dir, stats)
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "fg_count": pa.array([], pa.int64()),
+                      "bg_count": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not terms or not seg_ids:
+        return empty
+    build_doc_values(index_dir, "text")
+
+    def _dups(df: pd.DataFrame) -> pd.DataFrame:
+        # all but the lowest doc_id of each identical-text group
+        return df[df["doc_id"] != df["doc_id"].min()][["doc_id"]]
+
+    drops = (
+        rd.from_items([{"segment_id": s} for s in seg_ids])
+        .map_batches(
+            _text_hash_partials,
+            fn_kwargs={"index_dir": index_dir, "field": field,
+                       "terms": sorted(set(terms))},
+            batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency)
+        .groupby("h")
+        .map_groups(_dups, batch_format="pandas")
+        .to_pandas()  # bounded by the number of DUPLICATE docs
+    )
+    drop_ids = (np.sort(drops["doc_id"].to_numpy(np.int64))
+                if len(drops) and "doc_id" in drops.columns
+                else np.empty(0, np.int64))
+    drop_ref = _ray.put(drop_ids)
+    return significant_terms_agg(index_dir, query, size, field=field,
+                                 concurrency=concurrency,
+                                 drop_ref=drop_ref)
 
 
 def _range_key(frm, to) -> str:

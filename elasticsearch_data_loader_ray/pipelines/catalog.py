@@ -4249,6 +4249,100 @@ def _sql_percentile_ranks_match() -> str:
     )
 
 
+SAMPLER_SHARD_SIZE = 50
+SAMPLER_BUCKETS = 5
+
+
+def q_sampler_agg_match(sf_dir: str):
+    """ES sampler aggregation + terms sub-agg: the sub-agg counts lang
+    over only the top-``SAMPLER_SHARD_SIZE`` matched docs by BM25.
+    Single-logical-shard semantics: the sample is the exact global
+    top-N from per-segment top-N partials (bounded by segments x N)."""
+    from ..index.aggs import sampler_terms_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return sampler_terms_agg(idx, TERMS_AGG_QUERY, "lang",
+                             shard_size=SAMPLER_SHARD_SIZE,
+                             num_buckets=SAMPLER_BUCKETS)
+
+
+def _sql_sampler_agg_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "scored AS (SELECT tf.doc_id, "
+        "round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl "
+        "/ s.avgdl))), 6) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1), "
+        "top AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC "
+        f"LIMIT {SAMPLER_SHARD_SIZE}) "
+        "SELECT d.lang AS key, count(*)::BIGINT AS doc_count "
+        "FROM top JOIN docs d USING (doc_id) WHERE d.lang IS NOT NULL "
+        f"GROUP BY 1 ORDER BY doc_count DESC, key ASC "
+        f"LIMIT {SAMPLER_BUCKETS}"
+    )
+
+
+def q_significant_text_match(sf_dir: str):
+    """ES significant_text aggregation with filter_duplicate_text:
+    significant_terms computed from the matched docs' stored text with
+    duplicate-text docs counted once (doc-level md5 dedup keeping the
+    lowest doc_id — the documented simplification of ES's
+    paragraph-level filter). The drop set comes from a distributed
+    (md5, doc_id) probe and ships via ray.put."""
+    from ..index.aggs import significant_text_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return significant_text_agg(idx, SIG_QUERY, size=SIG_SIZE)
+
+
+def _sql_significant_text_match() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(SIG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, text, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits0 AS (SELECT DISTINCT toks.doc_id FROM toks "
+        "JOIN q USING (term)), "
+        # filter_duplicate_text: one representative (lowest doc_id) per
+        # identical text among the matched docs
+        "hits AS (SELECT min(h.doc_id) AS doc_id FROM hits0 h "
+        "JOIN docs d USING (doc_id) GROUP BY md5(d.text)), "
+        "n AS (SELECT count(*)::DOUBLE AS n_docs FROM docs), "
+        "fgt AS (SELECT count(*)::DOUBLE AS fg_total FROM hits), "
+        "fg AS (SELECT term, count(DISTINCT toks.doc_id)::BIGINT AS fg_count "
+        "FROM toks JOIN hits h ON toks.doc_id = h.doc_id GROUP BY 1), "
+        "bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count "
+        "FROM toks GROUP BY 1), "
+        "scored AS (SELECT fg.term, fg_count, bg_count, "
+        "round(((fg_count / fg_total) - (bg_count / n_docs)) * "
+        "((fg_count / fg_total) / (bg_count / n_docs)), 6) AS score "
+        "FROM fg JOIN bg USING (term) CROSS JOIN n CROSS JOIN fgt) "
+        "SELECT term, fg_count, bg_count, score FROM scored "
+        f"WHERE score > 0 ORDER BY score DESC, term ASC LIMIT {SIG_SIZE}"
+    )
+
+
 def q_significant_terms_match(sf_dir: str):
     """ES significant_terms aggregation: terms over-represented in the
     matched docs vs the corpus (JLH score, ES default heuristic) —
@@ -5975,6 +6069,8 @@ def queries() -> dict:
         "c4_filters": q_c4_filters,
         "dsir_weights": q_dsir_weights,
         "auto_date_hist": q_auto_date_hist,
+        "sampler_agg_match": q_sampler_agg_match,
+        "significant_text_match": q_significant_text_match,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6096,6 +6192,8 @@ def oracle_sql() -> dict:
         "c4_filters": _sql_c4_filters(),
         "dsir_weights": _sql_dsir_weights(),
         "auto_date_hist": _sql_auto_date_hist(),
+        "sampler_agg_match": _sql_sampler_agg_match(),
+        "significant_text_match": _sql_significant_text_match(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),

@@ -581,6 +581,67 @@ def test_bucket_pipeline_aggs_unmatched_empty(agg_index):
     assert sel.num_rows == 0
 
 
+def test_sampler_terms_agg_matches_brute_force(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import sampler_terms_agg
+    from elasticsearch_data_loader_ray.index.search import LocalSearcher
+
+    idx, _texts, lg = agg_index
+    n_sample = 7
+    got = sampler_terms_agg(idx, "the data", "lang",
+                            shard_size=n_sample, num_buckets=10)
+    # brute force: exact global top-n_sample by (score desc, id asc),
+    # then count their lang values
+    s = LocalSearcher(idx)
+    ids, _sc = s.search("the data", k=n_sample)
+    want = Counter(lg[i] for i in ids if lg[i] is not None)
+    got_map = dict(zip(got["key"].to_pylist(),
+                       got["doc_count"].to_pylist()))
+    assert got_map == dict(want)
+    # the sample bound is respected
+    assert sum(got_map.values()) <= n_sample
+
+
+def test_significant_text_filters_duplicate_text(tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        significant_terms_agg,
+        significant_text_agg,
+    )
+
+    # 1 original + 5 byte-identical copies carrying a marker term, plus
+    # background docs; with dedup the marker's fg support drops to 1
+    dup = "zebra quokka signal text here"
+    bg = ["plain filler words body text", "more plain filler body words",
+          "other ordinary text body here", "quokka appears once more here"]
+    texts = [dup] * 6 + bg * 6
+    n = len(texts)
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(
+            [np.datetime64("2024-01-01", "us")] * n, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("sigtext_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=8))
+    raw = significant_terms_agg(idx, "quokka", size=20).to_pandas()
+    ded = significant_text_agg(idx, "quokka", size=20).to_pandas()
+    raw_fg = dict(zip(raw["term"], raw["fg_count"]))
+    ded_fg = dict(zip(ded["term"], ded["fg_count"]))
+    assert raw_fg["zebra"] == 6    # every copy counted
+    assert ded_fg["zebra"] == 1    # copies collapse to one
+    # the repeated background doc is byte-identical too: its 6 copies
+    # also collapse, so quokka keeps 1 dup + 1 bg representative
+    assert raw_fg["quokka"] == 12
+    assert ded_fg["quokka"] == 2
+    # disabled filter reproduces significant_terms exactly
+    off = significant_text_agg(idx, "quokka", size=20,
+                               filter_duplicate_text=False).to_pandas()
+    assert off.equals(raw)
+
+
 def test_auto_date_histogram_ladder(tmp_path_factory):
     from elasticsearch_data_loader_ray.index.aggs import (
         auto_date_histogram_agg,
