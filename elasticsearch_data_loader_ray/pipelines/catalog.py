@@ -5553,6 +5553,26 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(out, q_mat, q_ids, k=EMB_K, n_probe=6)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """PQ (product-quantization) ANN over embeddings: 64-dim float32
+    vectors compressed 32x to 8 uint8 codes (seeded per-subspace
+    k-means codebooks), queried via ADC lookup-table scans — rows-only;
+    pytest gates recall vs brute-force and reconstruction error."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.pq import pq_build, pq_topk
+
+    key = hashlib.md5((sf_dir + _code_fingerprint()).encode()).hexdigest()[:12]
+    out = f"/tmp/edlr_cache/pq_{key}"
+    emb = f"{sf_dir}/embeddings.parquet"
+    pq_build(emb, out, m=8, k=16)
+    qt = pq_.read_table(emb, filters=[("vec_id", "in", EMB_QUERY_IDS)])
+    q_ids = qt["vec_id"].to_pylist()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in qt["embedding"].to_pylist()])
+    return pq_topk(out, q_mat, q_ids, k=EMB_K)
+
+
 def q_multimodal_features(sf_dir: str):
     """Media pipeline over documents rendered as REAL P6 netpbm images
     (text bytes -> RGB raster), decoded with the pure-numpy netpbm decoder
@@ -6071,6 +6091,7 @@ def queries() -> dict:
         "auto_date_hist": q_auto_date_hist,
         "sampler_agg_match": q_sampler_agg_match,
         "significant_text_match": q_significant_text_match,
+        "ann_pq_topk": q_ann_pq_topk,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
