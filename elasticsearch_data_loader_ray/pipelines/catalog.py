@@ -4794,6 +4794,191 @@ SQL_REPETITION_QUALITY = (
 )
 
 
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization (the RefinedWeb/CCNet normalization that
+    precedes url-keyed crawl dedup): lowercase scheme+host, strip
+    default ports, drop fragments and tracking params (utm_*/fbclid/
+    gclid), sort surviving params, trim trailing slashes — vectorized
+    in ``stages/urltools.py``. The synthetic corpus has no URL column,
+    so the entry builds deterministic messy URLs from doc_id (4 variants
+    exercising every rule; same expression in the SQL oracle) and the
+    oracle compares the canonical strings byte-exactly."""
+    from ..stages.urltools import canonicalize_urls
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        ids = did.astype("U20")
+        mod = (did % 50).astype("U3")
+        v = did % 4
+
+        def cat(*parts):
+            out = np.full(len(did), "", dtype="U120")
+            for p in parts:
+                out = np.char.add(out, p)
+            return out
+
+        u = np.where(
+            v == 0,
+            cat("https://WWW.Example", mod, ".com:443/path/", ids,
+                "/?utm_source=x&b=2&a=1#frag"),
+            np.where(
+                v == 1,
+                cat("http://example", mod, ".org:80/a/b", ids,
+                    "?fbclid=abc&z=9"),
+                np.where(
+                    v == 2,
+                    cat("https://sub.site", mod, ".net/p", ids, "//"),
+                    cat("http://Mixed.Case", mod, ".com/x", ids,
+                        "?z=1&y=2&utm_campaign=c"))))
+        urls = pa.array(u, pa.string())
+        return pa.table({"doc_id": t["doc_id"], "url": urls,
+                         "canon_url": canonicalize_urls(urls)})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def _sql_url_canonicalize() -> str:
+    return (
+        "WITH base AS (SELECT doc_id, CASE doc_id % 4 "
+        "WHEN 0 THEN 'https://WWW.Example' || (doc_id % 50) "
+        "|| '.com:443/path/' || doc_id || '/?utm_source=x&b=2&a=1#frag' "
+        "WHEN 1 THEN 'http://example' || (doc_id % 50) || '.org:80/a/b' "
+        "|| doc_id || '?fbclid=abc&z=9' "
+        "WHEN 2 THEN 'https://sub.site' || (doc_id % 50) || '.net/p' "
+        "|| doc_id || '//' "
+        "ELSE 'http://Mixed.Case' || (doc_id % 50) || '.com/x' || doc_id "
+        "|| '?z=1&y=2&utm_campaign=c' END AS url FROM documents), "
+        "parts AS (SELECT doc_id, url, "
+        "lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) "
+        "AS scheme, "
+        "lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport, "
+        "regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path, "
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM base), "
+        "p2 AS (SELECT doc_id, url, scheme, "
+        "CASE WHEN scheme = 'http' AND hostport LIKE '%:80' "
+        "THEN left(hostport, len(hostport) - 3) "
+        "WHEN scheme = 'https' AND hostport LIKE '%:443' "
+        "THEN left(hostport, len(hostport) - 4) ELSE hostport END AS host, "
+        "regexp_replace(path, '(.+?)/+$', '\\1') AS path, query "
+        "FROM parts), "
+        "prm AS (SELECT doc_id, array_to_string(list_sort(list_filter("
+        "string_split(query, '&'), x -> x <> '' AND NOT regexp_matches(x, "
+        "'^(utm_[^=]*|fbclid|gclid)='))), '&') AS q FROM p2) "
+        "SELECT p2.doc_id, p2.url, p2.scheme || '://' || p2.host || p2.path "
+        "|| CASE WHEN prm.q <> '' THEN '?' || prm.q ELSE '' END "
+        "AS canon_url FROM p2 JOIN prm USING (doc_id)"
+    )
+
+
+GOPHER_DUP2_FRAC = 0.4  # Gopher thresholds (token-level adaptation)
+GOPHER_TOP2_FRAC = 0.2
+
+
+def q_ngram_repetition(sf_dir: str):
+    """Gopher's n-gram repetition signals (token-level adaptation of the
+    character fractions): per doc and per n in {2, 3} — the share of
+    tokens covered by the single most frequent n-gram
+    (``n * top_count / word_count``) and by ALL duplicated n-grams
+    (``n * sum(count | count > 1) / word_count``), plus a pass flag at
+    the Gopher-style thresholds. One tokenize per batch; n-gram
+    instances from shifted Arrow takes; per-(doc, gram) counts from one
+    np.unique; scatter-max/-add for the fractions — no row loop."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(t["text"].is_valid(), pc.not_equal(t["text"], ""))
+        t = t.filter(keep)
+        idx, toks, dl = an.standard_tokenize_batch(
+            pc.cast(t["text"], pa.large_string()))
+        dl64 = dl.astype(np.int64)
+        n_rows = t.num_rows
+        cols = {"doc_id": None, "word_count": None}
+        tops, dups = {}, {}
+        if isinstance(toks, pa.ChunkedArray):
+            toks = pc.cast(toks.combine_chunks(), pa.large_string())
+        else:
+            toks = pc.cast(toks, pa.large_string())
+        for n in (2, 3):
+            top = np.zeros(n_rows, np.int64)
+            dup = np.zeros(n_rows, np.int64)
+            if len(toks) >= n:
+                ok = idx[n - 1:] == idx[:len(toks) - n + 1]
+                starts = np.flatnonzero(ok)
+                if len(starts):
+                    sa = pa.array(starts)
+                    grams = pc.binary_join_element_wise(
+                        *[pc.take(toks, pc.add(sa, j)) for j in range(n)],
+                        pa.scalar(" ", pa.large_string()))
+                    codes = np.asarray(pc.dictionary_encode(grams).indices,
+                                       dtype=np.int64)
+                    nv = int(codes.max()) + 1
+                    rows = idx[starts].astype(np.int64)
+                    pair, cnt = np.unique(rows * nv + codes,
+                                          return_counts=True)
+                    prow = (pair // nv).astype(np.int64)
+                    np.maximum.at(top, prow, cnt)
+                    d = np.where(cnt > 1, cnt, 0)
+                    np.add.at(dup, prow, d)
+            tops[n], dups[n] = top, dup
+        has = np.flatnonzero(dl64 > 0)
+        safe = dl64[has].astype(np.float64)
+        out = {"doc_id": t["doc_id"].take(pa.array(has)),
+               "word_count": pa.array(dl64[has], pa.int64())}
+        for n in (2, 3):
+            out[f"top{n}_frac"] = pa.array(
+                np.round(n * tops[n][has] / safe, 6), pa.float64())
+            out[f"dup{n}_frac"] = pa.array(
+                np.round(n * dups[n][has] / safe, 6), pa.float64())
+        passes = ((2 * tops[2][has] / safe <= GOPHER_TOP2_FRAC)
+                  & (2 * dups[2][has] / safe <= GOPHER_DUP2_FRAC))
+        out["passes"] = pa.array(passes, pa.bool_())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_ngram_repetition() -> str:
+    def gram_cte(n: int) -> str:
+        return (
+            f"g{n} AS (SELECT doc_id, array_to_string(ts[i:i+{n - 1}], ' ') "
+            "AS gram FROM (SELECT doc_id, ts, unnest(range(1, "
+            f"greatest(len(ts) - {n - 2}, 1))) AS i FROM tc) "
+            f"WHERE i + {n - 1} <= len(ts)), "
+            f"c{n} AS (SELECT doc_id, count(*) AS c FROM g{n} "
+            "GROUP BY doc_id, gram), "
+            f"a{n} AS (SELECT doc_id, max(c) AS top{n}, "
+            f"coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup{n} "
+            f"FROM c{n} GROUP BY 1)")
+
+    return (
+        f"WITH tc AS (SELECT doc_id, regexp_extract_all("
+        f"lower(coalesce(text, '')), '{TOKEN_RE_SQL}') AS ts "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), "
+        f"{gram_cte(2)}, {gram_cte(3)}, "
+        "base AS (SELECT doc_id, len(ts)::BIGINT AS word_count FROM tc "
+        "WHERE len(ts) > 0) "
+        "SELECT b.doc_id, b.word_count, "
+        "round(2 * coalesce(a2.top2, 0)::DOUBLE / b.word_count, 6) "
+        "AS top2_frac, "
+        "round(2 * coalesce(a2.dup2, 0)::DOUBLE / b.word_count, 6) "
+        "AS dup2_frac, "
+        "round(3 * coalesce(a3.top3, 0)::DOUBLE / b.word_count, 6) "
+        "AS top3_frac, "
+        "round(3 * coalesce(a3.dup3, 0)::DOUBLE / b.word_count, 6) "
+        "AS dup3_frac, "
+        f"(2 * coalesce(a2.top2, 0)::DOUBLE / b.word_count "
+        f"<= {GOPHER_TOP2_FRAC} AND "
+        f"2 * coalesce(a2.dup2, 0)::DOUBLE / b.word_count "
+        f"<= {GOPHER_DUP2_FRAC}) AS passes "
+        "FROM base b LEFT JOIN a2 USING (doc_id) "
+        "LEFT JOIN a3 USING (doc_id)"
+    )
+
+
 def q_phrase_match(sf_dir: str):
     """Phrase (match_phrase) queries via the positional index: matching doc
     set per phrase. Requires index_positions=True (separate cached index)."""
@@ -6092,6 +6277,8 @@ def queries() -> dict:
         "sampler_agg_match": q_sampler_agg_match,
         "significant_text_match": q_significant_text_match,
         "ann_pq_topk": q_ann_pq_topk,
+        "ngram_repetition": q_ngram_repetition,
+        "url_canonicalize": q_url_canonicalize,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6215,6 +6402,8 @@ def oracle_sql() -> dict:
         "auto_date_hist": _sql_auto_date_hist(),
         "sampler_agg_match": _sql_sampler_agg_match(),
         "significant_text_match": _sql_significant_text_match(),
+        "ngram_repetition": _sql_ngram_repetition(),
+        "url_canonicalize": _sql_url_canonicalize(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),
