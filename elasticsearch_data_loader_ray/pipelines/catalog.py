@@ -1499,22 +1499,25 @@ DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
 
 
-def _md5_bucket(grams: list[str]) -> np.ndarray:
+def _md5_bucket(grams: list[str], n_buckets: int | None = None) -> np.ndarray:
     """md5-derived feature bucket: first 6 hex chars as an integer,
-    mod ``DSIR_BUCKETS`` — cheap, stable, and expressible in the DuckDB
-    oracle (hex-digit polynomial over ``md5(gram)``)."""
+    mod ``n_buckets`` (default ``DSIR_BUCKETS``) — cheap, stable, and
+    expressible in the DuckDB oracle (hex-digit polynomial over
+    ``md5(gram)``)."""
     import hashlib
 
+    B = DSIR_BUCKETS if n_buckets is None else n_buckets
     return np.fromiter(
-        (int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % DSIR_BUCKETS
+        (int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % B
          for g in grams), dtype=np.int64, count=len(grams))
 
 
-def _sql_md5_bucket(expr: str) -> str:
+def _sql_md5_bucket(expr: str, n_buckets: int | None = None) -> str:
+    B = DSIR_BUCKETS if n_buckets is None else n_buckets
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
         f"::BIGINT * {16 ** (5 - i)}" for i in range(6))
-    return f"(({terms}) % {DSIR_BUCKETS})"
+    return f"(({terms}) % {B})"
 
 
 def q_dsir_weights(sf_dir: str):
@@ -1637,6 +1640,155 @@ def _sql_dsir_weights() -> str:
         "SELECT bk.doc_id, count(*)::BIGINT AS n_feats, "
         "round(sum(lam.lam), 6) AS log_weight "
         "FROM bk JOIN lam USING (b) GROUP BY 1"
+    )
+
+
+RRF_K = 60          # ES rank_constant default
+RRF_WINDOW = 50     # ES rank_window_size per ranking
+RRF_DIM = 64        # hashed-BoW vector dimension
+RRF_TOPK = 10
+RRF_QUERY = "the fast data"
+
+
+def q_rrf_hybrid(sf_dir: str):
+    """ES 8 hybrid retrieval with reciprocal rank fusion: a lexical
+    BM25 ranking and a "vector" ranking (cosine over hashed
+    bag-of-words doc vectors — the deterministic stand-in for a dense
+    embedding model, same hash as the DSIR features) each produce their
+    top-``RRF_WINDOW``; fused score = sum over rankings of
+    ``1 / (RRF_K + rank)`` (missing -> 0), top-``RRF_TOPK`` by (fused
+    desc, doc_id asc) — exactly ES's rrf retriever reduce.
+
+    Scale shape: ranking A is the ordinary distributed BM25 search;
+    ranking B is one map_batches pass emitting per-block top-W cosine
+    partials (query vector broadcast inline — RRF_DIM ints); the fuse
+    runs on 2 x RRF_WINDOW rows."""
+    from ..index.search import query_terms
+
+    idx = _ensure_doc_index(sf_dir)
+    # ranking A: BM25 top-W
+    queries = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "query": pa.array([RRF_QUERY], pa.string()),
+        "k": pa.array([RRF_WINDOW + 20], pa.int64()),
+    })
+    res = search(idx, queries).to_pandas()
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    ranked_a = _round_rerank(res, RRF_WINDOW, "query_id", "score",
+                             "doc_id").to_pandas()
+    rank_a = dict(zip(ranked_a["doc_id"].astype(int),
+                      ranked_a["rank"].astype(int)))
+    # ranking B: hashed-BoW cosine top-W (distributed partials)
+    q_terms = query_terms(RRF_QUERY)
+    qv = np.bincount(_md5_bucket(q_terms, RRF_DIM),
+                     minlength=RRF_DIM).astype(np.int64)
+    nb = float(np.sqrt((qv ** 2).sum()))
+
+    def bow_topw(t: pa.Table) -> pa.Table:
+        idx_, toks, _dl = an.standard_tokenize_batch(t["text"])
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if len(toks) == 0:
+            return empty
+        codes, uniq = pd.factorize(toks.to_pandas())
+        bk = _md5_bucket(list(uniq), RRF_DIM)[codes]
+        rows = idx_.astype(np.int64)
+        pair, cnt = np.unique(rows * RRF_DIM + bk, return_counts=True)
+        prow = (pair // RRF_DIM).astype(np.int64)
+        pbkt = (pair % RRF_DIM).astype(np.int64)
+        n = t.num_rows
+        dot = np.zeros(n, np.int64)
+        na = np.zeros(n, np.int64)
+        np.add.at(dot, prow, cnt * qv[pbkt])
+        np.add.at(na, prow, cnt * cnt)
+        keep = np.flatnonzero(dot > 0)
+        if len(keep) == 0:
+            return empty
+        cos = np.round(dot[keep]
+                       / (np.sqrt(na[keep].astype(np.float64)) * nb), 6)
+        did = t["doc_id"].to_numpy()[keep]
+        sel = np.lexsort((did, -cos))[:RRF_WINDOW]
+        return pa.table({"doc_id": pa.array(did[sel], pa.int64()),
+                         "cos": pa.array(cos[sel], pa.float64())})
+
+    parts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+             .map_batches(bow_topw, batch_format="pyarrow")
+             .to_pandas())  # <= W x blocks rows
+    parts = parts.sort_values(["cos", "doc_id"],
+                              ascending=[False, True]).head(RRF_WINDOW)
+    rank_b = {int(d): r for r, d in enumerate(parts["doc_id"], start=1)}
+    # fuse
+    fused = []
+    for d in set(rank_a) | set(rank_b):
+        s = 0.0
+        if d in rank_a:
+            s += 1.0 / (RRF_K + rank_a[d])
+        if d in rank_b:
+            s += 1.0 / (RRF_K + rank_b[d])
+        fused.append((d, round(s, 6)))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    fused = fused[:RRF_TOPK]
+    return pa.table({
+        "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_score": pa.array([s for _, s in fused], pa.float64()),
+    })
+
+
+def _sql_rrf_hybrid() -> str:
+    from ..index.search import query_terms
+
+    terms = query_terms(RRF_QUERY)
+    vals = ", ".join(f"('{t}')" for t in terms)
+    qv = np.bincount(_md5_bucket(terms, RRF_DIM),
+                     minlength=RRF_DIM).astype(np.int64)
+    nz = np.flatnonzero(qv)
+    qvals = ", ".join(f"({int(b)}, {int(qv[b])})" for b in nz)
+    nb_sq = int((qv ** 2).sum())
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {vals}), "
+        "scored AS (SELECT tf.doc_id, "
+        "round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl "
+        "/ s.avgdl))), 6) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1), "
+        "ranked_a AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS ra FROM scored "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {RRF_WINDOW}), "
+        # hashed-BoW cosine ranking (same md5-bucket hash as DSIR)
+        f"bk AS (SELECT doc_id, {_sql_md5_bucket('term', RRF_DIM)} AS b, "
+        "count(*) AS c FROM toks GROUP BY 1, 2), "
+        f"qv(b, qc) AS (VALUES {qvals}), "
+        "dotna AS (SELECT bk.doc_id, "
+        "sum(bk.c * coalesce(qv.qc, 0))::BIGINT AS dot, "
+        "sum(bk.c * bk.c)::BIGINT AS na "
+        "FROM bk LEFT JOIN qv USING (b) GROUP BY 1), "
+        "cosd AS (SELECT doc_id, round(dot / (sqrt(na) * "
+        f"sqrt({nb_sq})), 6) AS cos FROM dotna WHERE dot > 0), "
+        "ranked_b AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY cos DESC, doc_id ASC) AS rb FROM cosd "
+        f"ORDER BY cos DESC, doc_id ASC LIMIT {RRF_WINDOW}), "
+        "fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+        f"round(coalesce(1.0 / ({RRF_K} + a.ra), 0) "
+        f"+ coalesce(1.0 / ({RRF_K} + b.rb), 0), 6) AS rrf_score "
+        "FROM ranked_a a FULL OUTER JOIN ranked_b b USING (doc_id)) "
+        "SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)"
+        "::BIGINT AS rank, doc_id, rrf_score FROM fused "
+        f"ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOPK}"
     )
 
 
@@ -6279,6 +6431,7 @@ def queries() -> dict:
         "ann_pq_topk": q_ann_pq_topk,
         "ngram_repetition": q_ngram_repetition,
         "url_canonicalize": q_url_canonicalize,
+        "rrf_hybrid": q_rrf_hybrid,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6404,6 +6557,7 @@ def oracle_sql() -> dict:
         "significant_text_match": _sql_significant_text_match(),
         "ngram_repetition": _sql_ngram_repetition(),
         "url_canonicalize": _sql_url_canonicalize(),
+        "rrf_hybrid": _sql_rrf_hybrid(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),

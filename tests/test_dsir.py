@@ -29,6 +29,27 @@ def test_md5_bucket_deterministic_and_bounded():
                         16) % DSIR_BUCKETS
 
 
+def test_rrf_hybrid_fusion_semantics(ray_session):
+    from elasticsearch_data_loader_ray.pipelines.catalog import (
+        RRF_K,
+        RRF_TOPK,
+        q_rrf_hybrid,
+    )
+
+    got = q_rrf_hybrid(SF0001).to_pandas()
+    assert len(got) == RRF_TOPK
+    assert got["rank"].tolist() == list(range(1, RRF_TOPK + 1))
+    s = got["rrf_score"].to_numpy()
+    assert (np.diff(s) <= 0).all()  # fused score descends with rank
+    # a score above 1/(K+1) is only reachable by appearing in BOTH
+    # rankings; the top fused doc must exceed the single-ranking maximum
+    assert s[0] > 1.0 / (RRF_K + 1)
+    assert (s <= 2.0 / (RRF_K + 1) + 1e-9).all()
+    # deterministic
+    again = q_rrf_hybrid(SF0001).to_pandas()
+    assert got.equals(again)
+
+
 def test_dsir_weights_favor_target_language(ray_session):
     got = q_dsir_weights(SF0001).to_pandas()
     lang = pq.read_table(f"{SF0001}/documents.parquet",
