@@ -74,6 +74,20 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--min-df", type=int, default=100_000)
     pr.add_argument("--keep-frac", type=float, default=0.1)
 
+    sn = sub.add_parser("snapshot",
+                        help="snapshot an index into a content-addressed "
+                             "repo (incremental at the file level)")
+    sn.add_argument("index_dir")
+    sn.add_argument("repo")
+    sn.add_argument("name")
+
+    rs = sub.add_parser("restore",
+                        help="restore a snapshot into a fresh index dir "
+                             "(every blob checksum-verified)")
+    rs.add_argument("repo")
+    rs.add_argument("name")
+    rs.add_argument("dest_dir")
+
     dq = sub.add_parser("delete-by-query")
     dq.add_argument("index_dir")
     dq.add_argument("query")
@@ -138,6 +152,19 @@ def main(argv: list[str] | None = None) -> int:
                                       keep_frac=args.keep_frac)
             print(json.dumps({"pruned_lists": n, "min_df": args.min_df,
                               "keep_frac": args.keep_frac}))
+        elif args.cmd == "snapshot":
+            from .index.snapshot import snapshot_index
+
+            m = snapshot_index(args.index_dir, args.repo, args.name)
+            print(json.dumps({k: m[k] for k in
+                              ("name", "n_files", "n_new_blobs",
+                               "total_bytes")}))
+        elif args.cmd == "restore":
+            from .index.snapshot import restore_index
+
+            m = restore_index(args.repo, args.name, args.dest_dir)
+            print(json.dumps({"name": m["name"],
+                              "n_files": m["n_files"]}))
         elif args.cmd == "delete-by-query":
             from .index.append import delete_by_query
 

@@ -2164,6 +2164,39 @@ def q_bm25_topk(sf_dir: str):
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
+def q_snapshot_restore(sf_dir: str):
+    """ES _snapshot/_restore parity (index/snapshot.py): snapshot the
+    built index into a content-addressed repo (incremental blobs, one
+    Ray Data hashing/upload pass), restore into a FRESH directory with
+    every blob checksum-verified, then serve the standard BM25 queries
+    from the RESTORED index — the oracle is the ordinary bm25 SQL, so
+    restore correctness is value-hash-gated, not just file-count-gated.
+    A second snapshot of the unchanged index must create zero new
+    blobs (the ES incremental contract), asserted inline."""
+    import tempfile as _tf
+
+    from ..index.snapshot import restore_index, snapshot_index
+
+    idx = _ensure_doc_index(sf_dir)
+    work = _tf.mkdtemp(prefix="edlr_snap_")
+    repo = os.path.join(work, "repo")
+    m1 = snapshot_index(idx, repo, "s1")
+    m2 = snapshot_index(idx, repo, "s2")  # incremental: nothing changed
+    assert m2["n_new_blobs"] == 0, m2
+    restored = os.path.join(work, "restored")
+    restore_index(repo, "s1", restored)
+    queries = pa.table({
+        "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+        "query": pa.array(DOC_QUERIES, pa.string()),
+        "k": pa.array([DOC_K + 20] * len(DOC_QUERIES), pa.int64()),
+    })
+    res = search(restored, queries).to_pandas()
+    res["doc_id"] = _docid_map(restored)[res["doc_id"].to_numpy()]
+    out = _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_bm25_pruned_topk(sf_dir: str):
     """BM25 top-k served from the statically-pruned postings sidecar
     (index/pruned.py, ``or_strategy="pruned"``). Built with keep_frac=1.0,
@@ -6432,6 +6465,7 @@ def queries() -> dict:
         "ngram_repetition": q_ngram_repetition,
         "url_canonicalize": q_url_canonicalize,
         "rrf_hybrid": q_rrf_hybrid,
+        "snapshot_restore": q_snapshot_restore,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6558,6 +6592,9 @@ def oracle_sql() -> dict:
         "ngram_repetition": _sql_ngram_repetition(),
         "url_canonicalize": _sql_url_canonicalize(),
         "rrf_hybrid": _sql_rrf_hybrid(),
+        # restore correctness gates on the ordinary bm25 oracle: the
+        # restored index must serve value-identical results
+        "snapshot_restore": _sql_bm25_topk(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),
