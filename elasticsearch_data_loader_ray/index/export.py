@@ -720,3 +720,39 @@ def sorted_matches(index_dir: str, query: str, sort_field: str,
         "doc_id": pa.array(ids[order], pa.int64()),
         "sort_value": pa.array(v[order], pa.int64()),
     })
+
+
+def reindex_matches(index_dir: str, dest_dir: str, query: str,
+                    mode: str = "or", field: str = DEFAULT_FIELD,
+                    docs_per_segment: int | None = None,
+                    concurrency: int | None = None) -> dict:
+    """ES ``_reindex`` with a query filter: stream every matching doc's
+    stored source out of ``index_dir`` (the scroll path) and build a
+    FRESH index at ``dest_dir`` from that sub-corpus — df/avgdl/idf are
+    recomputed over the subset, exactly like ES reindex-then-search.
+    The copy never materializes: ``export_matches`` is a lazy Dataset
+    and the builder consumes it segment-stream-wise. Returns the new
+    index's build stats."""
+    import pyarrow.compute as _pc
+
+    from ..functions.analyzers import token_count_batch
+    from .build import BuildConfig, build_index_from_corpus
+
+    ds = export_matches(index_dir, query, field=field, mode=mode,
+                        stored_columns=("text", "lang", "warc_ts"),
+                        concurrency=concurrency)
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        text = _pc.cast(t["text"], pa.large_string())
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": _pc.cast(t["warc_ts"], pa.timestamp("us")),
+            "text": text,
+            "lang": t["lang"],
+            "doc_len": pa.array(token_count_batch(text), pa.int32()),
+        })
+
+    cfg = BuildConfig(docs_per_segment=docs_per_segment) \
+        if docs_per_segment else BuildConfig()
+    return build_index_from_corpus(
+        ds.map_batches(to_corpus, batch_format="pyarrow"), dest_dir, cfg)

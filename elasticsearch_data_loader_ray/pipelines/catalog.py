@@ -2164,6 +2164,75 @@ def q_bm25_topk(sf_dir: str):
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
+REINDEX_FILTER = "spark"
+REINDEX_SEARCH = "the data"
+REINDEX_K = 10
+
+
+def q_reindex_filtered(sf_dir: str):
+    """ES _reindex with a query filter (index/export.py::
+    reindex_matches): stream the docs matching ``REINDEX_FILTER`` out
+    of the source index (lazy scroll Dataset) into a FRESH index, then
+    BM25-search the destination — df/avgdl recomputed over the
+    sub-corpus, which the oracle mirrors by scoring over the filtered
+    doc set only."""
+    import tempfile as _tf
+
+    from ..index.export import reindex_matches
+
+    idx = _ensure_doc_index(sf_dir)
+    dest = _tf.mkdtemp(prefix="edlr_reindex_")
+    shutil.rmtree(dest, ignore_errors=True)
+    reindex_matches(idx, dest, REINDEX_FILTER)
+    queries = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "query": pa.array([REINDEX_SEARCH], pa.string()),
+        "k": pa.array([REINDEX_K + 20], pa.int64()),
+    })
+    res = search(dest, queries).to_pandas()
+    res["doc_id"] = _docid_map(dest)[res["doc_id"].to_numpy()]
+    out = _round_rerank(res, REINDEX_K, "query_id", "score", "doc_id")
+    shutil.rmtree(dest, ignore_errors=True)
+    return out
+
+
+def _sql_reindex_filtered() -> str:
+    from ..index.search import query_terms
+
+    fvals = ", ".join(f"('{t}')" for t in query_terms(REINDEX_FILTER))
+    svals = ", ".join(f"('{t}')" for t in query_terms(REINDEX_SEARCH))
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs0 AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks0 AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs0), "
+        f"fq(term) AS (VALUES {fvals}), "
+        # the reindexed sub-corpus: docs matching the filter query
+        "docs AS (SELECT DISTINCT toks0.doc_id FROM toks0 "
+        "JOIN fq USING (term)), "
+        "toks AS (SELECT toks0.doc_id, term FROM toks0 "
+        "JOIN docs USING (doc_id)), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(term) AS (VALUES {svals}), "
+        "scored AS (SELECT tf.doc_id, "
+        "round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl "
+        "/ s.avgdl))), 6) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1) "
+        "SELECT 0::BIGINT AS query_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC)::BIGINT AS rank, doc_id, score "
+        f"FROM scored ORDER BY score DESC, doc_id ASC LIMIT {REINDEX_K}"
+    )
+
+
 def q_snapshot_restore(sf_dir: str):
     """ES _snapshot/_restore parity (index/snapshot.py): snapshot the
     built index into a content-addressed repo (incremental blobs, one
@@ -6466,6 +6535,7 @@ def queries() -> dict:
         "url_canonicalize": q_url_canonicalize,
         "rrf_hybrid": q_rrf_hybrid,
         "snapshot_restore": q_snapshot_restore,
+        "reindex_filtered": q_reindex_filtered,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6595,6 +6665,7 @@ def oracle_sql() -> dict:
         # restore correctness gates on the ordinary bm25 oracle: the
         # restored index must serve value-identical results
         "snapshot_restore": _sql_bm25_topk(),
+        "reindex_filtered": _sql_reindex_filtered(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),
