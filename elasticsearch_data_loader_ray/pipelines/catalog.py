@@ -6289,6 +6289,68 @@ SQL_DISTINCT_SOURCES = (
 SAMPLE_HEX_THRESHOLD = "0d"  # md5(text) hex prefix < '0d' ~ 5.1% of docs
 
 
+# training-mixture weights: repeat factor per lang (epochs over that
+# slice). >1 up-samples with integer epochs + a deterministic fractional
+# epoch; <1 down-samples; 0 drops the source entirely.
+MIX_WEIGHTS = {"en": 2.25, "de": 1.75, "zh": 1.0, "es": 0.5, "fr": 0.0}
+
+
+def q_data_mixture(sf_dir: str):
+    """Training-data mixture construction (the Pile/Llama-style recipe):
+    each corpus slice gets a repeat factor — doc appears ``floor(w)``
+    times (epochs 0..floor(w)-1) plus one more epoch with probability
+    ``frac(w)``, decided by a deterministic per-doc md5 threshold, so
+    the same mixture materializes bit-identically on any partitioning /
+    any cluster size. Emits the mixture manifest (doc_id, lang, epoch);
+    one vectorized pass (np.repeat for integer epochs, one hash compare
+    for the fractional one), no shuffle."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def xf(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_pandas().fillna("")
+        w = lang.map(MIX_WEIGHTS).fillna(0.0).to_numpy(np.float64)
+        ids = t["doc_id"].to_numpy()
+        base = np.floor(w).astype(np.int64)
+        frac = w - base
+        hf = np.fromiter(
+            (int(hashlib.md5(f"m:{i:015d}".encode()).hexdigest()[:6], 16)
+             / 16777216.0 for i in ids.tolist()),
+            np.float64, count=len(ids))
+        reps = base + (hf < frac)
+        rows = np.repeat(np.arange(len(ids)), reps)
+        counts_cum = np.concatenate([[0], np.cumsum(reps)])[:-1]
+        epoch = np.arange(int(reps.sum())) - np.repeat(counts_cum, reps)
+        return pa.table({
+            "doc_id": pa.array(ids[rows], pa.int64()),
+            "lang": pa.array(lang.to_numpy(dtype=object)[rows],
+                             pa.string()),
+            "epoch": pa.array(epoch, pa.int64()),
+        })
+
+    return rd.read_parquet(path, columns=["doc_id", "lang"]).map_batches(
+        xf, batch_format="pyarrow")
+
+
+def _sql_data_mixture() -> str:
+    wcase = " ".join(f"WHEN '{k}' THEN {v}" for k, v in
+                     sorted(MIX_WEIGHTS.items()))
+    hexpr = " + ".join(
+        "(strpos('0123456789abcdef', substr(h, %d, 1)) - 1)::BIGINT * %d"
+        % (i + 1, 16 ** (5 - i)) for i in range(6))
+    return (
+        "WITH base AS (SELECT doc_id, coalesce(lang, '') AS lang, "
+        f"CASE coalesce(lang, '') {wcase} ELSE 0.0 END AS w, "
+        "md5('m:' || lpad(doc_id::VARCHAR, 15, '0')) AS h "
+        "FROM documents), "
+        f"hv AS (SELECT doc_id, lang, w, ({hexpr}) / 16777216.0 AS hf "
+        "FROM base), "
+        "reps AS (SELECT doc_id, lang, (floor(w)::BIGINT + "
+        "CASE WHEN hf < w - floor(w) THEN 1 ELSE 0 END) AS n FROM hv) "
+        "SELECT doc_id, lang, unnest(range(n)) AS epoch FROM reps "
+        "WHERE n > 0"
+    )
+
+
 def q_deterministic_sample(sf_dir: str):
     """Reproducible corpus subsampling: keep documents whose content-hash
     falls below a fixed threshold (md5 hex < '0d' ~ 5%). Hash-threshold
@@ -6536,6 +6598,7 @@ def queries() -> dict:
         "rrf_hybrid": q_rrf_hybrid,
         "snapshot_restore": q_snapshot_restore,
         "reindex_filtered": q_reindex_filtered,
+        "data_mixture": q_data_mixture,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6666,6 +6729,7 @@ def oracle_sql() -> dict:
         # restored index must serve value-identical results
         "snapshot_restore": _sql_bm25_topk(),
         "reindex_filtered": _sql_reindex_filtered(),
+        "data_mixture": _sql_data_mixture(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),
