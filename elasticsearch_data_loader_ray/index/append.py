@@ -367,9 +367,12 @@ def delete_by_query(index_dir: str, query: str, field: str | None = None,
     file each (nothing matched-set-sized reaches the driver); one atomic
     ``stats.json`` rewrite makes them visible — a crash beforehand leaves
     the index unchanged with inert orphan files. Lucene deletion
-    semantics: df / avgdl keep counting the deleted docs until a
-    compaction rebuilds the segments; every search / agg / export path
-    drops tombstoned ids. Returns the number of docs deleted."""
+    semantics: df / avgdl keep counting the deleted docs; segment merges
+    carry tombstones through unchanged (global term_stats cannot shrink
+    per-merge), and the expunge-deletes analogue is a REINDEX of the
+    live docs (``export.reindex_matches`` — tested in
+    ``test_snapshot.py``). Every search / agg / export path drops
+    tombstoned ids. Returns the number of docs deleted."""
     import hashlib
 
     from .search import DEFAULT_FIELD, _field_analyzer, _load_stats, \
@@ -404,3 +407,48 @@ def delete_by_query(index_dir: str, query: str, field: str | None = None,
     stats["n_deleted"] = int(stats.get("n_deleted", 0)) + n_deleted
     mf.write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
     return n_deleted
+
+
+def update_by_query(index_dir: str, query: str, set_columns: dict[str, str],
+                    field: str | None = None, mode: str = "or",
+                    cfg: BuildConfig | None = None) -> dict:
+    """ES ``_update_by_query``: every currently-visible doc matching the
+    match query gets the ``set_columns`` literal overrides (the
+    ``ctx._source.X = v`` script shape) and is re-ingested as an upsert
+    generation — the url identity tombstones the old versions atomically
+    (the same machinery as append), so a crash mid-update leaves the old
+    docs visible, never a mix. Matched docs stream from the scroll path
+    into the append builder; nothing matched-set-sized reaches the
+    driver. Returns the append stats (n_upserts == matched count)."""
+    import pyarrow.compute as _pc
+
+    from ..functions.analyzers import token_count_batch
+    from .export import export_matches
+    from .search import DEFAULT_FIELD
+
+    field = field or DEFAULT_FIELD
+    bad = set(set_columns) - {"lang", "text"}
+    if bad:
+        raise ValueError(f"update_by_query can set lang/text, got {bad}")
+    ds = export_matches(index_dir, query, field=field, mode=mode,
+                        stored_columns=("text", "lang", "warc_ts"))
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        text = _pc.cast(t["text"], pa.large_string())
+        lang = t["lang"]
+        if "text" in set_columns:
+            text = pa.array([set_columns["text"]] * n, pa.large_string())
+        if "lang" in set_columns:
+            lang = pa.array([set_columns["lang"]] * n, pa.string())
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": _pc.cast(t["warc_ts"], pa.timestamp("us")),
+            "text": text,
+            "lang": lang,
+            "doc_len": pa.array(token_count_batch(text), pa.int32()),
+        })
+
+    return append_index_from_corpus(
+        ds.map_batches(to_corpus, batch_format="pyarrow"), index_dir,
+        cfg or BuildConfig())

@@ -981,7 +981,14 @@ def _run_fused(source: rd.Dataset, index_dir: str, cfg: BuildConfig,
     pending: list = []           # in-flight write+partition, for throttling
     i = 0
     for bundle in source.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
+        for block_ref, bmeta in bundle.blocks:
+            # Ray Data normalizes all-empty blocks to ZERO-column tables
+            # (schema lost), which would KeyError in the partitioner —
+            # and an empty block contributes nothing anyway. Seen when a
+            # lazy source (e.g. reindex of a heavily-tombstoned index)
+            # yields fully-filtered upstream blocks.
+            if bmeta.num_rows == 0:
+                continue
             if write_corpus:
                 w = _write_corpus_block.remote(
                     block_ref, corpus_dir, f"part-{i:06d}.parquet")

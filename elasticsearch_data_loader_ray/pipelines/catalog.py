@@ -2164,6 +2164,63 @@ def q_bm25_topk(sf_dir: str):
     return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
 
 
+UBQ_FILTER = "spark"
+UBQ_LANG = "upd"
+
+
+def q_update_by_query(sf_dir: str):
+    """ES _update_by_query (index/append.py::update_by_query): docs
+    matching the filter get ``lang='upd'`` and re-ingest as an upsert
+    generation (url identity tombstones the old versions atomically),
+    then a terms agg over the UPDATED index shows the moved buckets —
+    per-generation doc-value resolution must serve the new lang for
+    updated docs and the old one for everything else. Runs on a COPY of
+    the cached index (updates mutate)."""
+    import tempfile as _tf
+
+    from ..index.aggs import terms_agg
+    from ..index.append import update_by_query
+
+    src = _ensure_doc_index(sf_dir)
+    work = _tf.mkdtemp(prefix="edlr_ubq_")
+    idx = os.path.join(work, "idx")
+    shutil.copytree(src, idx)
+    update_by_query(idx, UBQ_FILTER, {"lang": UBQ_LANG})
+    out = terms_agg(idx, TERMS_AGG_QUERY, "lang", size=10,
+                    metric_field="text")
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _sql_update_by_query() -> str:
+    from ..index.search import query_terms
+
+    fvals = ", ".join(f"('{t}')" for t in query_terms(UBQ_FILTER))
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        f"fq(term) AS (VALUES {fvals}), "
+        "updd AS (SELECT DISTINCT toks.doc_id FROM toks "
+        "JOIN fq USING (term)), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "keyed AS (SELECT h.doc_id, CASE WHEN u.doc_id IS NOT NULL "
+        f"THEN '{UBQ_LANG}' ELSE d.lang END AS key FROM hits h "
+        "JOIN docs d USING (doc_id) "
+        "LEFT JOIN updd u ON u.doc_id = h.doc_id) "
+        "SELECT key, doc_count, avg_word_count FROM ("
+        "SELECT k.key, count(*)::BIGINT AS doc_count, "
+        "sum(coalesce(dl.dl, 0))::DOUBLE / count(*) AS avg_word_count "
+        "FROM keyed k LEFT JOIN dl USING (doc_id) "
+        "WHERE k.key IS NOT NULL GROUP BY 1) "
+        "ORDER BY doc_count DESC, key ASC LIMIT 10"
+    )
+
+
 REINDEX_FILTER = "spark"
 REINDEX_SEARCH = "the data"
 REINDEX_K = 10
@@ -6599,6 +6656,7 @@ def queries() -> dict:
         "snapshot_restore": q_snapshot_restore,
         "reindex_filtered": q_reindex_filtered,
         "data_mixture": q_data_mixture,
+        "update_by_query": q_update_by_query,
         "top_hits_agg": q_top_hits_agg,
         "filters_agg_match": q_filters_agg_match,
         "composite_agg_page": q_composite_agg_page,
@@ -6730,6 +6788,7 @@ def oracle_sql() -> dict:
         "snapshot_restore": _sql_bm25_topk(),
         "reindex_filtered": _sql_reindex_filtered(),
         "data_mixture": _sql_data_mixture(),
+        "update_by_query": _sql_update_by_query(),
         "top_hits_agg": _sql_top_hits_agg(),
         "filters_agg_match": _sql_filters_agg_match(),
         "composite_agg_page": _sql_composite_agg_page(),

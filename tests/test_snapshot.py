@@ -103,6 +103,38 @@ def test_restore_detects_corruption_and_refuses_nonempty(tmp_path,
         restore_index(repo, "s1", str(tgt))
 
 
+def test_update_by_query_upserts_and_preserves_scores(tmp_path,
+                                                      ray_session):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        build_doc_values,
+        terms_agg,
+    )
+    from elasticsearch_data_loader_ray.index.append import update_by_query
+
+    idx = _build(tmp_path)  # every doc matches 'alpha', lang='en'
+    ids0, sc0 = LocalSearcher(idx).search("fast data", k=10)
+    stats = update_by_query(idx, "number 1 fast", {"lang": "xx"})
+    # 'number 1 fast' AND-of-nothing: OR mode matches every doc (all
+    # contain 'fast' and 'number'); doc "number 1" and all others match
+    assert stats["n_deleted"] > 0  # upserts tombstoned old versions
+    s = LocalSearcher(idx)
+    ids1, _sc1 = s.search("fast data", k=10)
+    # doc ids moved to the new generation (old versions tombstoned)
+    assert set(ids1).isdisjoint(set(ids0))
+    # engine semantics: df/n_docs keep counting tombstoned docs until a
+    # REINDEX rebuilds the corpus (the ES expunge-deletes analogue) —
+    # reindexing the live docs must restore the exact pre-update scores
+    from elasticsearch_data_loader_ray.index.export import reindex_matches
+
+    fresh = str(tmp_path / "fresh")
+    reindex_matches(idx, fresh, "fast")  # matches every live doc
+    _ids2, sc2 = LocalSearcher(fresh).search("fast data", k=10)
+    assert list(np.round(sc2, 6)) == list(np.round(sc0, 6))
+    build_doc_values(idx, "lang")
+    t = terms_agg(idx, "fast", "lang", size=5)
+    assert t["key"].to_pylist() == ["xx"]  # every matched doc updated
+
+
 def test_delete_snapshot_gc(tmp_path, ray_session):
     from elasticsearch_data_loader_ray.index.append import delete_by_query
 
