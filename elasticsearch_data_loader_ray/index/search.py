@@ -362,10 +362,16 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
             exists.append(str(flt["exists"]["field"]))
         else:
             raise ValueError(f"unsupported bool filter clause {flt!r}")
+    # terms_set analogue: per-doc dynamic minimum_should_match (ES
+    # minimum_should_match_script ``min(params.num_terms,
+    # max(1, doc[source].value / divisor))``) — `should` clauses are the
+    # term set, `source` a token_count-backed doc-value (word_count).
+    msm_div = bq.get("minimum_should_match_divisor")
+    msm_src = str(bq.get("minimum_should_match_source", "word_count"))
     msm = bq.get("minimum_should_match")
     if msm is None:
         msm = 0 if (must or filter_terms or filter_any or range_dl
-                    or exists) else 1
+                    or exists or msm_div) else 1
     load: dict[str, list[str]] = {
         field: sorted({t for cl in (*must, *should, *must_not) for t in cl})}
     for f, t in filter_terms:
@@ -376,7 +382,8 @@ def prepare_bool_spec(bq: dict, field: str, analyzer: str) -> dict:
     return {"field": field, "must": must, "should": should,
             "must_not": must_not, "filter_terms": filter_terms,
             "filter_any": filter_any, "exists": exists,
-            "range_dl": range_dl, "msm": int(msm), "load": load}
+            "range_dl": range_dl, "msm": int(msm), "load": load,
+            "msm_div": int(msm_div) if msm_div else 0, "msm_src": msm_src}
 
 
 def _bool_clause_ids(clause_terms, runs_of) -> np.ndarray:
@@ -785,6 +792,8 @@ class SegmentSearcher:
                     self.by_field.setdefault(f, []).extend(ts)
                 for rf, _lo, _hi in terms["range_dl"]:
                     self._extra_dl.add(_range_dl_field(rf))
+                if terms.get("msm_div"):
+                    self._extra_dl.add(_range_dl_field(terms["msm_src"]))
                 if not terms["load"]:
                     self._rangeonly_bool = True
                 continue
@@ -1118,6 +1127,20 @@ class SegmentSearcher:
             for cl in spec["should"]:
                 cnt += _in_sorted(_bool_clause_ids(cl, score_runs), cand)
             cand = cand[cnt >= spec["msm"]]
+            if len(cand) == 0:
+                return empty
+        if spec.get("msm_div") and spec["should"]:
+            # terms_set: required(doc) = min(n_clauses,
+            # max(1, floor(dl_src / divisor))) — per-doc dynamic msm
+            cnt = np.zeros(len(cand), np.int64)
+            for cl in spec["should"]:
+                cnt += _in_sorted(_bool_clause_ids(cl, score_runs), cand)
+            src = dl_by_field[_range_dl_field(spec["msm_src"])]
+            req = np.minimum(
+                len(spec["should"]),
+                np.maximum(1, src[cand - base].astype(np.int64)
+                           // spec["msm_div"]))
+            cand = cand[cnt >= req]
             if len(cand) == 0:
                 return empty
         if len(self._deleted):
@@ -2917,6 +2940,19 @@ class LocalSearcher:
             for cl in spec["should"]:
                 cnt += _in_sorted(_bool_clause_ids(cl, score_runs), cand)
             cand = cand[cnt >= spec["msm"]]
+            if len(cand) == 0:
+                return empty
+        if spec.get("msm_div") and spec["should"]:
+            # terms_set: per-doc dynamic msm (see _score_bool — identical)
+            cnt = np.zeros(len(cand), np.int64)
+            for cl in spec["should"]:
+                cnt += _in_sorted(_bool_clause_ids(cl, score_runs), cand)
+            src = self._dl_for(_range_dl_field(spec["msm_src"]))
+            req = np.minimum(
+                len(spec["should"]),
+                np.maximum(1, src[cand].astype(np.int64)
+                           // spec["msm_div"]))
+            cand = cand[cnt >= req]
             if len(cand) == 0:
                 return empty
         if len(self._deleted):

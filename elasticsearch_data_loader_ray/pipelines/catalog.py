@@ -3330,6 +3330,76 @@ def _sql_bool_queries(bool_queries: list[dict]) -> str:
     )
 
 
+TERMS_SET_QUERIES = [
+    ["merge", "window", "sort", "batch", "scan"],
+    ["table", "value", "part", "hash"],
+    ["spark", "stream", "agg", "line", "key", "row"],
+]
+TERMS_SET_DIV = 16
+
+
+def q_terms_set_topk(sf_dir: str):
+    """ES ``terms_set`` query: per-doc DYNAMIC minimum_should_match —
+    required(doc) = min(num_terms, max(1, word_count / divisor)), the
+    ``minimum_should_match_script`` shape backed by the token_count
+    doc-value (the constant-msm bool engine can't express this; see
+    ``prepare_bool_spec`` ``msm_div``). Long docs must match more of the
+    term set than short ones. Score = BM25 sum of the matched set terms.
+    Distributed segment-parallel path; doc-length doc-values resolve
+    per segment, so the dynamic gate runs where the postings live."""
+    idx = _ensure_doc_index(sf_dir)
+    qs = [{"query_id": i, "k": DOC_K + 20,
+           "bool": {"should": terms,
+                    "minimum_should_match_divisor": TERMS_SET_DIV}}
+          for i, terms in enumerate(TERMS_SET_QUERIES)]
+    res = search(idx, qs).to_pandas()
+    if len(res) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    res["doc_id"] = _docid_map(idx)[res["doc_id"].to_numpy()]
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_terms_set_topk() -> str:
+    values = []
+    for qid, terms in enumerate(TERMS_SET_QUERIES):
+        for t in terms:
+            values.append(f"({qid}, '{t}', {len(terms)})")
+    vals = ", ".join(values)
+    k1, b = codec.BM25_K1, codec.BM25_B
+    D = TERMS_SET_DIV
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(query_id, term, nt) AS (VALUES {vals}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "count(*) AS matched, max(q.nt) AS nt, max(dl.dl) AS dl, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / "
+        "s.avgdl))) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1, 2), "
+        f"elig AS (SELECT * FROM scored WHERE matched >= "
+        f"least(nt, greatest(1, dl // {D}))) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM elig) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 DOC_QS_QUERIES = [
     "data +query -slow",
     "+table +part",
@@ -6633,6 +6703,7 @@ def queries() -> dict:
         "incremental_append": q_incremental_append,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
+        "terms_set_topk": q_terms_set_topk,
         "bool_exists_topk": q_bool_exists_topk,
         "query_string_topk": q_query_string_topk,
         "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
@@ -6764,6 +6835,7 @@ def oracle_sql() -> dict:
         "incremental_append": _sql_bm25_topk(),
         "bm25_and_topk": _sql_bm25_and_topk(),
         "bm25_bool_topk": _sql_bm25_bool_topk(),
+        "terms_set_topk": _sql_terms_set_topk(),
         "bool_exists_topk": _sql_bool_exists_topk(),
         "query_string_topk": _sql_query_string_topk(),
         "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),

@@ -75,8 +75,9 @@ def brute_bool(texts: list[str], bq: dict, k: int = 10):
     must_not = [clause(s) for s in bq.get("must_not", ())]
     filters = list(bq.get("filter", ()))
     msm = bq.get("minimum_should_match")
+    msm_div = bq.get("minimum_should_match_divisor")
     if msm is None:
-        msm = 0 if (must or filters) else 1
+        msm = 0 if (must or filters or msm_div) else 1
 
     def matches(d, cl):
         return any(t in tfs[d] for t in cl)
@@ -100,6 +101,11 @@ def brute_bool(texts: list[str], bq: dict, k: int = 10):
             continue
         if should and sum(matches(d, cl) for cl in should) < msm:
             continue
+        if msm_div and should:
+            # terms_set: per-doc dynamic minimum_should_match
+            req = min(len(should), max(1, int(dl[d]) // msm_div))
+            if sum(matches(d, cl) for cl in should) < req:
+                continue
         if not must and not should and not filters:
             continue
         s = 0.0
@@ -132,7 +138,26 @@ BOOL_CASES = [
     {"must": ["data"],
      "filter": [{"terms": {"values": ["join", "merge", "zzqnone"]}}]},
     {"filter": [{"terms": {"values": ["fast", "slow"]}}]},
+    # terms_set: per-doc dynamic msm — long docs must match more terms
+    {"should": ["data", "query", "scan", "table", "fast"],
+     "minimum_should_match_divisor": 8},
+    {"must": ["the"], "should": ["data", "hash", "join", "merge"],
+     "minimum_should_match_divisor": 12},
 ]
+
+
+def test_terms_set_dynamic_msm_varies_with_doc_len(bool_index):
+    """The dynamic gate must actually bind: with divisor 8 over 4-40
+    token docs, some docs match the set >=1 time yet are excluded
+    because their length demands more matches (else the case above
+    degenerates to a plain OR)."""
+    idx, texts = bool_index
+    ls = LocalSearcher(idx)
+    terms = ["data", "query", "scan", "table", "fast"]
+    plain, _ = ls.search_bool({"should": terms}, k=10**6)
+    gated, _ = ls.search_bool(
+        {"should": terms, "minimum_should_match_divisor": 8}, k=10**6)
+    assert 0 < len(gated) < len(plain)
 
 
 def test_bool_matches_brute_force(bool_index):
