@@ -1038,6 +1038,55 @@ def date_histogram_bucket_pipeline_agg(
     })
 
 
+def date_histogram_normalize_agg(
+        index_dir: str, query: str, calendar_interval: str = "day",
+        column: str = "warc_ts", field: str = DEFAULT_FIELD,
+        concurrency: int | None = None) -> pa.Table:
+    """ES ``normalize`` pipeline agg over a date_histogram — the four
+    methods with distinct shapes (``bucket_script`` already covers
+    plain ratios):
+
+    * ``rescale_0_1``: (x - min) / (max - min); 0 when max == min.
+    * ``percent_of_sum``: x / sum.
+    * ``z-score``: (x - mean) / population stdev, computed as
+      (n*x - s1) / sqrt(n*s2 - s1^2) so numerator and radicand are
+      EXACT integers (matches the SQL oracle bit-for-bit pre-round).
+    * ``softmax``: exp(x) / sum(exp(x)), max-shifted for stability
+      (mathematically identical, never overflows at any bucket count).
+
+    Computed on the REDUCED bucket list like every ES pipeline agg —
+    coordinator-side after the shard merge, bucket count bounded."""
+    base = date_histogram_agg(index_dir, query, calendar_interval,
+                              column=column, field=field,
+                              concurrency=concurrency)
+    dc = base["doc_count"].to_numpy().astype(np.int64)
+    n = len(dc)
+    if n == 0:
+        f = pa.array([], pa.float64())
+        return pa.table({"key": base["key"], "doc_count": base["doc_count"],
+                         "rescale_0_1": f, "percent_of_sum": f,
+                         "z_score": f, "softmax": f})
+    mn, mx = int(dc.min()), int(dc.max())
+    s1 = int(dc.sum())
+    s2 = int((dc * dc).sum())
+    resc = (np.zeros(n, np.float64) if mx == mn
+            else (dc - mn) / np.float64(mx - mn))
+    pos = dc / np.float64(s1)
+    rad = n * s2 - s1 * s1
+    z = (np.zeros(n, np.float64) if rad == 0
+         else (n * dc - s1) / np.sqrt(np.float64(rad)))
+    ex = np.exp((dc - mx).astype(np.float64))
+    sm = ex / ex.sum()
+    return pa.table({
+        "key": base["key"],
+        "doc_count": base["doc_count"],
+        "rescale_0_1": pa.array(np.round(resc, 6), pa.float64()),
+        "percent_of_sum": pa.array(np.round(pos, 6), pa.float64()),
+        "z_score": pa.array(np.round(z, 6), pa.float64()),
+        "softmax": pa.array(np.round(sm, 6), pa.float64()),
+    })
+
+
 def date_histogram_bucket_select_agg(
         index_dir: str, query: str, calendar_interval: str = "day",
         min_doc_count: int = 1, size: int = 10, column: str = "warc_ts",

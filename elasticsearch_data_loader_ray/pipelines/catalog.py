@@ -3857,6 +3857,48 @@ def _sql_bucket_pipeline_aggs() -> str:
     )
 
 
+def q_normalize_agg(sf_dir: str):
+    """ES ``normalize`` pipeline agg (rescale_0_1 / percent_of_sum /
+    z-score / softmax) over the day date_histogram of matching docs —
+    see ``date_histogram_normalize_agg`` for the exact-integer z-score
+    and max-shifted softmax forms shared with the oracle."""
+    from ..index.aggs import date_histogram_normalize_agg
+
+    idx = _ensure_doc_index(sf_dir)
+    return date_histogram_normalize_agg(idx, TERMS_AGG_QUERY, "day")
+
+
+def _sql_normalize_agg() -> str:
+    from ..index.search import query_terms
+
+    vals = ", ".join(f"('{t}')" for t in query_terms(TERMS_AGG_QUERY))
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        f"q(term) AS (VALUES {vals}), "
+        "hits AS (SELECT DISTINCT toks.doc_id FROM toks JOIN q USING (term)), "
+        "hist AS (SELECT date_trunc('day', TIMESTAMP '2024-01-01' "
+        "+ to_hours(doc_id)) AS key, count(*)::BIGINT AS doc_count "
+        "FROM hits GROUP BY 1), "
+        "st AS (SELECT count(*)::BIGINT AS n, sum(doc_count)::BIGINT AS s1, "
+        "sum(doc_count * doc_count)::BIGINT AS s2, "
+        "min(doc_count)::BIGINT AS mn, max(doc_count)::BIGINT AS mx "
+        "FROM hist) "
+        "SELECT key, doc_count, "
+        "round(CASE WHEN mx = mn THEN 0.0 ELSE "
+        "(doc_count - mn)::DOUBLE / (mx - mn) END, 6) AS rescale_0_1, "
+        "round(doc_count::DOUBLE / s1, 6) AS percent_of_sum, "
+        "round(CASE WHEN n * s2 = s1 * s1 THEN 0.0 ELSE "
+        "(n * doc_count - s1)::DOUBLE / sqrt((n * s2 - s1 * s1)::DOUBLE) "
+        "END, 6) AS z_score, "
+        "round(exp((doc_count - mx)::DOUBLE) / "
+        "sum(exp((doc_count - mx)::DOUBLE)) OVER (), 6) AS softmax "
+        "FROM hist CROSS JOIN st ORDER BY key ASC"
+    )
+
+
 AUTO_HIST_TARGET = 10
 
 
@@ -6714,6 +6756,7 @@ def queries() -> dict:
         "date_histogram_match": q_date_histogram_match,
         "date_pipeline_agg": q_date_pipeline_agg,
         "bucket_pipeline_aggs": q_bucket_pipeline_aggs,
+        "normalize_agg": q_normalize_agg,
         "bucket_select_sort": q_bucket_select_sort,
         "c4_filters": q_c4_filters,
         "dsir_weights": q_dsir_weights,
@@ -6846,6 +6889,7 @@ def oracle_sql() -> dict:
         "date_histogram_match": _sql_date_histogram_match(),
         "date_pipeline_agg": _sql_date_pipeline_agg(),
         "bucket_pipeline_aggs": _sql_bucket_pipeline_aggs(),
+        "normalize_agg": _sql_normalize_agg(),
         "bucket_select_sort": _sql_bucket_select_sort(),
         "c4_filters": _sql_c4_filters(),
         "dsir_weights": _sql_dsir_weights(),

@@ -472,6 +472,57 @@ def test_date_pipeline_agg_cumsum_and_derivative(tmp_path_factory):
     assert got["derivative"].iloc[1:].tolist() == np.diff(dc).tolist()
 
 
+def test_normalize_agg_invariants(tmp_path_factory):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        date_histogram_agg,
+        date_histogram_normalize_agg,
+    )
+
+    n = 90
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = [base + np.timedelta64(i * 11, "h") for i in range(n)]
+    texts = ["match me" if i % 3 else "other text" for i in range(n)]
+    corpus = pa.table({
+        "url": pa.array([f"{i:08d}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "doc_len": pa.array(token_count_batch(
+            pa.array(texts, pa.large_string())), pa.int32()),
+    })
+    idx = str(tmp_path_factory.mktemp("norm_idx"))
+    build_index_from_corpus(rd.from_arrow(corpus), idx,
+                            BuildConfig(docs_per_segment=32))
+    base_t = date_histogram_agg(idx, "match", "day").to_pandas()
+    got = date_histogram_normalize_agg(idx, "match", "day").to_pandas()
+    assert got["key"].tolist() == base_t["key"].tolist()
+    dc = got["doc_count"].to_numpy().astype(np.float64)
+    # rescale: min -> 0, max -> 1
+    assert got["rescale_0_1"].min() == 0.0
+    assert got["rescale_0_1"].max() == 1.0
+    np.testing.assert_allclose(got["percent_of_sum"].sum(), 1.0, atol=1e-4)
+    np.testing.assert_allclose(got["softmax"].sum(), 1.0, atol=1e-4)
+    # z-score: mean ~0, population stdev ~1
+    np.testing.assert_allclose(got["z_score"].mean(), 0.0, atol=1e-4)
+    np.testing.assert_allclose(
+        got["z_score"].to_numpy().std(), 1.0, atol=1e-4)
+    # monotone with doc_count within each method
+    order = np.argsort(dc)
+    for col in ("rescale_0_1", "percent_of_sum", "z_score", "softmax"):
+        v = got[col].to_numpy()[order]
+        assert (np.diff(v) >= 0).all(), col
+
+
+def test_normalize_agg_unmatched_empty(agg_index):
+    from elasticsearch_data_loader_ray.index.aggs import (
+        date_histogram_normalize_agg,
+    )
+
+    idx, _t, _l = agg_index
+    got = date_histogram_normalize_agg(idx, "zzqnothing", "day")
+    assert got.num_rows == 0
+
+
 def test_date_pipeline_agg_unmatched_empty(agg_index):
     from elasticsearch_data_loader_ray.index.aggs import (
         date_histogram_pipeline_agg,
