@@ -525,6 +525,69 @@ SQL_EXACT_DEDUP = (
 )
 
 
+BLOOM_M_BITS = 1 << 24
+BLOOM_K = 8
+
+
+def _bloom_inject(t: pa.Table, incoming: bool) -> pa.Table:
+    """Split selection + deterministic row-local duplicate injection (the
+    sf tables carry almost no cross-split dups): incoming = doc_id%3==0,
+    base = the rest; base docs with doc_id%15==1 and incoming docs with
+    doc_id%15==0 share the content key ``synthetic duplicate doc_id//15``
+    — each injected incoming doc has exactly one base partner. Mirrored
+    verbatim in the SQL oracle."""
+    ids = t["doc_id"].to_numpy()
+    t = t.filter(pa.array((ids % 3 == 0) == incoming))
+    ids = t["doc_id"].to_numpy()
+    hit = ids % 15 == (0 if incoming else 1)
+    txt = t["text"].to_pandas().astype(str)
+    txt[hit] = [f"synthetic duplicate {g}" for g in ids[hit] // 15]
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": pa.array(txt, pa.string())})
+
+
+def q_bloom_dedup(sf_dir: str):
+    """Incremental ingest dedup WITHOUT a shuffle join: a Bloom filter
+    (m=2^24 bits, k=8) built over the 'existing corpus' split
+    (doc_id%3!=0) in one pass — per-block bit-array partials OR-merged
+    through a bounded fan-in — then broadcast once via ``ray.put`` and
+    probed vectorized by the 'incoming' split (doc_id%3==0). Output:
+    incoming doc_ids whose content was already ingested. SQL-oracled
+    exactly: at 16 bits/element the FP odds per probe are ~2e-13, so
+    the filter answers the EXISTS query deterministically at gate scale;
+    false negatives are impossible by construction."""
+    from ..stages.bloomdedup import build_bloom, probe_seen
+
+    cols = ["doc_id", "text"]
+    base = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+            .map_batches(lambda t: _bloom_inject(t, incoming=False),
+                         batch_format="pyarrow"))
+    words = build_bloom(base, "text", BLOOM_M_BITS, BLOOM_K)
+    words_ref = ray.put(words)
+    inc = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+           .map_batches(lambda t: _bloom_inject(t, incoming=True),
+                        batch_format="pyarrow"))
+    seen = (probe_seen(inc, words_ref, "text", BLOOM_K)
+            .map_batches(lambda t: t.filter(t["seen"]).select(["doc_id"]),
+                         batch_format="pyarrow")
+            .to_pandas())
+    return pa.table({"doc_id": pa.array(
+        np.sort(seen["doc_id"].to_numpy().astype(np.int64)), pa.int64())})
+
+
+SQL_BLOOM_DEDUP = (
+    "WITH base AS (SELECT CASE WHEN doc_id % 15 = 1 THEN "
+    "'synthetic duplicate ' || (doc_id // 15) ELSE text END AS text "
+    "FROM documents WHERE doc_id % 3 != 0), "
+    "inc AS (SELECT doc_id, CASE WHEN doc_id % 15 = 0 THEN "
+    "'synthetic duplicate ' || (doc_id // 15) ELSE text END AS text "
+    "FROM documents WHERE doc_id % 3 = 0) "
+    "SELECT i.doc_id FROM inc i "
+    "WHERE EXISTS (SELECT 1 FROM base b WHERE b.text = i.text) "
+    "ORDER BY i.doc_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # Near-dup: exact n-gram Jaccard (SQL oracle), MinHash-LSH (scale path),
 # SimHash (rows-only)
@@ -6719,6 +6782,7 @@ def queries() -> dict:
         "top_terms": q_top_terms,
         "first_token_edge_ngrams": q_first_token_edge_ngrams,
         "exact_dedup": q_exact_dedup,
+        "bloom_dedup": q_bloom_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "duplicate_clusters": q_duplicate_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -6845,6 +6909,7 @@ def oracle_sql() -> dict:
         "top_terms": SQL_TOP_TERMS,
         "first_token_edge_ngrams": SQL_FIRST_TOKEN_EDGE_NGRAMS,
         "exact_dedup": SQL_EXACT_DEDUP,
+        "bloom_dedup": SQL_BLOOM_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "duplicate_clusters": SQL_DUPLICATE_CLUSTERS,
         # minhash oracle match is probabilistic, not exact-by-construction:
