@@ -2980,6 +2980,59 @@ class LocalSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return cand[order].astype(np.int64), scores[order]
 
+    def search_bool_prefix(self, query: str, k: int = 10,
+                           field: str = DEFAULT_FIELD
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``match_bool_prefix``: every analyzed term but the last is
+        a scored term clause in a bool ``should``; the LAST term is a
+        PREFIX query — constant_score rewrite, +1.0 per matching doc (the
+        same convention as the wildcard/regexp tail). msm=1: a doc
+        matches on any full term OR any dictionary expansion of the
+        prefix. Expansion is UNBOUNDED (Lucene prefix queries build a
+        bitset over every matching term — no max_expansions cap), pruned
+        to one closed dictionary range by ``expand_prefix``."""
+        self._maybe_auto_refresh()
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        seq = list(analyze(_field_analyzer(self.stats, field), query))
+        if not seq or self.term_ds is None:
+            return empty
+        fixed, prefix = seq[:-1], seq[-1]
+        exps = expand_prefix(self.index_dir, field, prefix, 1 << 30)
+        uniq_fixed = sorted(set(fixed))
+        idf = self._idf(field, uniq_fixed)
+        live = [t for t in uniq_fixed if t in idf]
+        by = self._postings_for(field, live) if live else {}
+        exp_by = self._postings_for(field, exps) if exps else {}
+        runs = [ids for t in live for ids, _tfs in by.get(t, [])]
+        eruns = [ids for t in exps for ids, _tfs in exp_by.get(t, [])]
+        if not runs and not eruns:
+            return empty
+        cand = np.unique(np.concatenate(runs + eruns))
+        if len(self._deleted):
+            cand = cand[_drop_deleted(self._deleted, cand)]
+        if len(cand) == 0:
+            return empty
+        scores = np.zeros(len(cand), np.float64)
+        contribs = self._contribs_for(field, live, by, idf,
+                                      self._dl_for(field),
+                                      _avgdl(self.stats, field))
+        for t in live:  # lexicographic accumulation, the OR convention
+            for (ids, _tfs), contrib in zip(by.get(t, []),
+                                            contribs.get(t, [])):
+                hit = _in_sorted(ids, cand)
+                pos = np.searchsorted(ids, cand[hit])
+                scores[hit] += contrib[pos]
+        if eruns:
+            edocs = (eruns[0] if len(eruns) == 1
+                     else np.unique(np.concatenate(eruns)))
+            scores[_in_sorted(edocs, cand)] += 1.0
+        if len(cand) > k:
+            kth = np.partition(scores, -k)[-k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        return cand[order].astype(np.int64), scores[order]
+
     def search_fuzzy(self, query: str, k: int = 10,
                      field: str = DEFAULT_FIELD, fuzziness="AUTO",
                      prefix_length: int = 1, max_expansions: int = 50

@@ -5553,6 +5553,78 @@ def _sql_span_near_match() -> str:
 DOC_PREFIX_PHRASES = ["query s", "hash jo", "the da", "v", "fast fil"]
 
 
+BOOL_PREFIX_QUERIES = ["data qu", "hash jo", "the scan ta",
+                       "merge wind", "sp"]
+
+
+def q_match_bool_prefix(sf_dir: str):
+    """ES match_bool_prefix: all-but-last analyzed terms are scored term
+    clauses in a bool should, the last is a constant_score PREFIX clause
+    (+1.0 per matching doc, unbounded dictionary expansion) — see
+    ``LocalSearcher.search_bool_prefix``. Top-k per query."""
+    from ..index.search import LocalSearcher
+
+    idx = _ensure_doc_index(sf_dir)
+    lo = LocalSearcher(idx)
+    dmap = _docid_map(idx)
+    rows = []
+    for qid, q in enumerate(BOOL_PREFIX_QUERIES):
+        ids, sc = lo.search_bool_prefix(q, k=DOC_K + 20)
+        for d, s in zip(ids, sc):
+            rows.append((qid, int(dmap[int(d)]), float(s)))
+    res = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    return _round_rerank(res, DOC_K, "query_id", "score", "doc_id")
+
+
+def _sql_match_bool_prefix() -> str:
+    from ..functions.analyzers import analyze
+
+    crows, prows = [], []
+    for qid, q in enumerate(BOOL_PREFIX_QUERIES):
+        seq = analyze("standard", q)
+        for t in sorted(set(seq[:-1])):
+            crows.append(f"({qid}, '{t}')")
+        prows.append(f"({qid}, '{seq[-1]}')")
+    cvals = ", ".join(crows) if crows else "(NULL, NULL)"
+    pvals = ", ".join(prows)
+    k1, b = codec.BM25_K1, codec.BM25_B
+    return (
+        "WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{TOKEN_RE_SQL}')) AS term FROM docs), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dl AS (SELECT d.doc_id, coalesce(c.cnt, 0) AS dl FROM docs d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM toks GROUP BY 1) c "
+        "USING (doc_id)), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        "FROM dl), "
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        f"q(query_id, term) AS (VALUES {cvals}), "
+        f"p(query_id, prefix) AS (VALUES {pvals}), "
+        "scored_f AS (SELECT q.query_id, tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"tf.tf * {k1 + 1.0} / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / "
+        "s.avgdl))) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        "WHERE q.term IS NOT NULL GROUP BY 1, 2), "
+        "pref AS (SELECT DISTINCT p.query_id, tf.doc_id FROM p "
+        "JOIN tf ON tf.term LIKE p.prefix || '%'), "
+        "combined AS (SELECT coalesce(f.query_id, pr.query_id) AS query_id, "
+        "coalesce(f.doc_id, pr.doc_id) AS doc_id, "
+        "coalesce(f.score, 0) + CASE WHEN pr.doc_id IS NOT NULL "
+        "THEN 1.0 ELSE 0.0 END AS score "
+        "FROM scored_f f FULL OUTER JOIN pref pr "
+        "ON pr.query_id = f.query_id AND pr.doc_id = f.doc_id) "
+        "SELECT query_id, rank, doc_id, score FROM ("
+        "SELECT query_id, doc_id, round(score, 6) AS score, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM combined) "
+        f"WHERE rank <= {DOC_K}"
+    )
+
+
 def q_match_phrase_prefix(sf_dir: str):
     """ES match_phrase_prefix: the fixed tokens followed by any term
     carrying the last token as a prefix (term-dictionary expansion in term
@@ -6866,6 +6938,7 @@ def queries() -> dict:
         "contamination_scan": q_contamination_scan,
         "repetition_quality": q_repetition_quality,
         "match_phrase_prefix": q_match_phrase_prefix,
+        "match_bool_prefix": q_match_bool_prefix,
         "highlight_match": q_highlight_match,
         "snippet_match": q_snippet_match,
         "embedding_topk": q_embedding_topk,
@@ -7001,6 +7074,7 @@ def oracle_sql() -> dict:
         "contamination_scan": _sql_contamination_scan(),
         "repetition_quality": SQL_REPETITION_QUALITY,
         "match_phrase_prefix": _sql_match_phrase_prefix(),
+        "match_bool_prefix": _sql_match_bool_prefix(),
         "highlight_match": _sql_highlight_match(),
         "snippet_match": _sql_snippet_match(),
         "embedding_topk": SQL_EMBEDDING_TOPK,

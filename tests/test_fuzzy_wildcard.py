@@ -206,3 +206,42 @@ def test_regexp_expansion_is_anchored_and_local_matches_distributed(fz_index):
     have = sorted(i for i, tk in enumerate(toks)
                   if {"data", "date"} & tk)[:25]
     assert want_ids.tolist() == have
+
+
+def test_match_bool_prefix_brute_parity(fz_index):
+    """search_bool_prefix == per-doc brute force: BM25 sum of the fixed
+    terms + 1.0 when any doc token carries the prefix."""
+    from collections import Counter
+
+    from elasticsearch_data_loader_ray.index import codec
+
+    idx, texts = fz_index
+    lo = LocalSearcher(idx)
+    toks = [analyze("standard", t) for t in texts]
+    tfs = [Counter(tk) for tk in toks]
+    dl = np.array([len(tk) for tk in toks], np.float64)
+    avgdl = float(dl.mean())
+    df = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    n = len(texts)
+    for q in ("data quer", "the jo", "st", "scan tab", "zzqnone"):
+        seq = analyze("standard", q)
+        fixed, prefix = sorted(set(seq[:-1])), seq[-1]
+        hits = []
+        for d in range(n):
+            pref_hit = any(t.startswith(prefix) for t in tfs[d])
+            s = 0.0
+            for t in fixed:
+                if t in tfs[d]:
+                    s += float(codec.bm25_idf(df[t], n)) * float(
+                        codec.bm25_tf_impact(
+                            np.array([tfs[d][t]], np.float64),
+                            np.array([dl[d]]), avgdl)[0])
+            if s > 0.0 or pref_hit:
+                hits.append((d, s + (1.0 if pref_hit else 0.0)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        ids, sc = lo.search_bool_prefix(q, k=15)
+        assert ids.tolist() == [h[0] for h in hits[:15]], q
+        np.testing.assert_allclose(sc, [h[1] for h in hits[:15]],
+                                   rtol=1e-9)
