@@ -3575,6 +3575,95 @@ class PhraseSearcher:
         return np.array(sorted(hits), dtype=np.int64)
 
 
+    def intervals_all_of(self, clauses: list[str], max_gaps: int = 0,
+                         ordered: bool = False,
+                         field: str = DEFAULT_FIELD) -> np.ndarray:
+        """ES ``intervals`` query, ``all_of`` source: docs where every
+        clause term occurs inside one window with at most ``max_gaps``
+        non-matching positions between the chosen occurrences.
+
+        ``ordered=true`` is exactly the span_near DP (total in-order
+        gap budget), so it delegates. ``ordered=false`` is the minimal
+        covering window over k position lists: merge the doc's per-term
+        positions, two-pointer sweep for the smallest span containing
+        all k terms, match iff span_width - k <= max_gaps. O(total
+        positions) per doc. Clause terms must be distinct single tokens
+        (the span_term restriction shared with span_near)."""
+        if ordered:
+            return self.span_near(clauses, slop=max_gaps, field=field)
+        lo = self.local
+        if (lo.term_ds is not None
+                and not blobs.has_positions(lo.term_ds.schema)):
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig.index_positions=True required)")
+        analyzer = _field_analyzer(lo.stats, field)
+        seq: list[str] = []
+        for c in clauses:
+            toks = list(analyze(analyzer, c))
+            if len(toks) != 1:
+                raise ValueError(
+                    f"intervals clause {c!r} must analyze to one term")
+            seq.append(toks[0])
+        if len(set(seq)) != len(seq):
+            raise ValueError("intervals all_of clauses must be distinct")
+        if not seq:
+            return np.empty(0, np.int64)
+        uniq = sorted(set(seq))
+        tt = lo._read_terms(["term", "df"], {field: uniq}, positions=True)
+        per_term_docs: dict[str, list[np.ndarray]] = {t: [] for t in uniq}
+        per_term_pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq}
+        for i in range(tt.num_rows):
+            t = tt["term"][i].as_py()
+            enc_pos = tt["positions_enc"][i].as_py()
+            if enc_pos is None:
+                raise ValueError(
+                    "index was built without positions "
+                    "(BuildConfig.index_positions=True required)")
+            ids, tfs = codec.decode_postings(
+                tt["doc_ids_enc"][i].as_py(), tt["tfs_enc"][i].as_py(),
+                int(tt["df"][i].as_py()))
+            per_term_docs[t].append(ids)
+            per_term_pos[t].update(_positions_by_doc(ids, tfs, enc_pos))
+        cand = None
+        for t in uniq:
+            docs_t = (np.sort(np.concatenate(per_term_docs[t]))
+                      if per_term_docs[t] else np.empty(0, np.int64))
+            cand = docs_t if cand is None else np.intersect1d(
+                cand, docs_t, assume_unique=True)
+            if len(cand) == 0:
+                return np.empty(0, np.int64)
+        if len(lo._deleted):
+            cand = cand[_drop_deleted(lo._deleted, cand)]
+        k = len(seq)
+        hits = []
+        for d in cand:
+            di = int(d)
+            arrs = [per_term_pos[t][di] for t in seq]
+            lab = np.concatenate(
+                [np.full(len(a), i, np.int64) for i, a in enumerate(arrs)])
+            pos = np.concatenate(arrs)
+            o = np.argsort(pos)
+            pos, lab = pos[o], lab[o]
+            cnt = np.zeros(k, np.int64)
+            have, left, best = 0, 0, 1 << 60
+            for right in range(len(pos)):
+                c = lab[right]
+                cnt[c] += 1
+                if cnt[c] == 1:
+                    have += 1
+                while have == k:
+                    best = min(best, int(pos[right] - pos[left]) + 1)
+                    cl = lab[left]
+                    cnt[cl] -= 1
+                    if cnt[cl] == 0:
+                        have -= 1
+                    left += 1
+            if best - k <= max_gaps:
+                hits.append(di)
+        return np.array(sorted(hits), dtype=np.int64)
+
+
 def highlight_matches(local: "LocalSearcher", query: str,
                       field: str = DEFAULT_FIELD) -> pa.Table:
     """ES highlighter primitive: for every doc matching an OR match query,

@@ -5548,6 +5548,63 @@ def _sql_span_near_match() -> str:
     )
 
 
+# (terms, max_gaps) — unordered all_of interval sources
+INTERVALS_QUERIES = [
+    (("data", "query"), 0),
+    (("hash", "join"), 2),
+    (("slow", "filter"), 1),
+    (("table", "window", "part"), 3),
+]
+
+
+def q_intervals_match(sf_dir: str):
+    """ES intervals query (all_of, ordered=false, max_gaps): docs where
+    every clause term occurs in one window with <= max_gaps intervening
+    positions, any order — minimal-covering-window sweep over the
+    positional index (``PhraseSearcher.intervals_all_of``); ordered=true
+    delegates to the span_near DP."""
+    from ..index.search import LocalSearcher, PhraseSearcher
+
+    idx = _ensure_doc_index(sf_dir, positions=True)
+    ps = PhraseSearcher(LocalSearcher(idx))
+    dmap = _docid_map(idx)
+    out_q, out_d = [], []
+    for qid, (terms, gaps) in enumerate(INTERVALS_QUERIES):
+        ids = ps.intervals_all_of(list(terms), max_gaps=gaps)
+        out_q.extend([qid] * len(ids))
+        out_d.extend(sorted(int(dmap[i]) for i in ids))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _sql_intervals_match() -> str:
+    parts = []
+    for qid, (terms, gaps) in enumerate(INTERVALS_QUERIES):
+        k = len(terms)
+        als = [chr(ord("a") + i) for i in range(k)]
+        joins = " JOIN ".join(
+            f"pos {al}" + ("" if i == 0 else
+                           f" ON {al}.doc_id = a.doc_id")
+            for i, al in enumerate(als))
+        conds = " AND ".join(f"{al}.term = '{t}'"
+                             for al, t in zip(als, terms))
+        ps = ", ".join(f"{al}.p" for al in als)
+        parts.append(
+            f"SELECT {qid} AS query_id, a.doc_id FROM {joins} "
+            f"WHERE {conds} AND "
+            f"greatest({ps}) - least({ps}) + 1 - {k} <= {gaps} "
+            "GROUP BY 1, 2"
+        )
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE_SQL}') AS toks FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        "pos AS (SELECT doc_id, unnest(toks) AS term, "
+        "unnest(range(1, len(toks) + 1)) AS p FROM docs) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 # phrases whose LAST token is a prefix; expansions stay under ES's
 # max_expansions=50 cap on this vocabulary, so engine and oracle agree
 DOC_PREFIX_PHRASES = ["query s", "hash jo", "the da", "v", "fast fil"]
@@ -6935,6 +6992,7 @@ def queries() -> dict:
         "bm25_dismax_topk": q_bm25_dismax_topk,
         "phrase_match": q_phrase_match,
         "span_near_match": q_span_near_match,
+        "intervals_match": q_intervals_match,
         "contamination_scan": q_contamination_scan,
         "repetition_quality": q_repetition_quality,
         "match_phrase_prefix": q_match_phrase_prefix,
@@ -7071,6 +7129,7 @@ def oracle_sql() -> dict:
         "bm25_dismax_topk": _sql_bm25_dismax_topk(),
         "phrase_match": _sql_phrase_match(),
         "span_near_match": _sql_span_near_match(),
+        "intervals_match": _sql_intervals_match(),
         "contamination_scan": _sql_contamination_scan(),
         "repetition_quality": SQL_REPETITION_QUALITY,
         "match_phrase_prefix": _sql_match_phrase_prefix(),

@@ -304,3 +304,54 @@ def test_span_near_slop0_equals_phrase(pos_index):
     ids, _sc, _fq = ps.search("data query", k=10**9)
     assert ps.span_near(["data", "query"], slop=0).tolist() == sorted(
         ids.tolist())
+
+
+def brute_intervals(t, terms: list[str], max_gaps: int) -> list[int]:
+    """Unordered all_of oracle: exhaustive choice of one position per
+    term, window width - k <= max_gaps (test-sized docs)."""
+    import itertools
+
+    _urls, toks = corpus_from_webtext(t)
+    seq = [analyze("standard", c)[0] for c in terms]
+    k = len(seq)
+    hits = []
+    for d, tk in enumerate(toks):
+        pos = [[i for i, w in enumerate(tk) if w == s] for s in seq]
+        if any(not p for p in pos):
+            continue
+        ok = any(max(ch) - min(ch) + 1 - k <= max_gaps
+                 for ch in itertools.product(*pos))
+        if ok:
+            hits.append(d)
+    return hits
+
+
+@pytest.mark.parametrize("terms,gaps", [
+    (["data", "query"], 0),
+    (["data", "query"], 2),
+    (["the", "data", "query"], 1),
+    (["fast", "scan"], 4),
+    (["slow", "merge", "page"], 6),
+])
+def test_intervals_unordered_matches_brute(pos_index, terms, gaps):
+    out, t = pos_index
+    ps = PhraseSearcher(LocalSearcher(out))
+    got = ps.intervals_all_of(terms, max_gaps=gaps)
+    assert got.tolist() == brute_intervals(t, terms, gaps)
+
+
+def test_intervals_ordered_delegates_to_span_near(pos_index):
+    out, _t = pos_index
+    ps = PhraseSearcher(LocalSearcher(out))
+    a = ps.intervals_all_of(["data", "query"], max_gaps=2, ordered=True)
+    b = ps.span_near(["data", "query"], slop=2)
+    assert a.tolist() == b.tolist()
+
+
+def test_intervals_unordered_superset_of_ordered(pos_index):
+    out, _t = pos_index
+    ps = PhraseSearcher(LocalSearcher(out))
+    uo = set(ps.intervals_all_of(["data", "query"], max_gaps=1).tolist())
+    o = set(ps.intervals_all_of(["data", "query"], max_gaps=1,
+                                ordered=True).tolist())
+    assert o <= uo
