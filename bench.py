@@ -26,8 +26,12 @@ import sys
 import time
 
 BENCH_DOCS = int(os.environ.get("EDLR_BENCH_DOCS", "100000"))
-BENCH_SRC = f"/tmp/edlr_bench/webtext_{BENCH_DOCS}"
-BENCH_IDX = "/tmp/edlr_bench/index"
+# EDLR_BENCH_DIR gives each concurrent bench process a private scratch root
+# (two processes sharing the default index dir race each other's cleanup);
+# the source fixture is doc-count-keyed so sharing it stays safe.
+BENCH_ROOT = os.environ.get("EDLR_BENCH_DIR", "/tmp/edlr_bench")
+BENCH_SRC = os.path.join(BENCH_ROOT, f"webtext_{BENCH_DOCS}")
+BENCH_IDX = os.path.join(BENCH_ROOT, "index")
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 

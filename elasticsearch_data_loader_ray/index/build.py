@@ -167,6 +167,24 @@ def pin_worker_threads() -> None:
 
 # --- phase A --------------------------------------------------------------
 
+def _clear_errors_dir(errors_dir: str) -> None:
+    """Remove a previous attempt's reject side-writes before a fresh
+    extract pass. Retries ENOTEMPTY/EBUSY: a concurrent process building
+    into the same index dir (two bench runs sharing a scratch path, or a
+    straggler task from a killed build) can land a side-write file between
+    rmtree's scan and rmdir. Cleanup must not kill the build — after the
+    retries, leftover files only over-count rejects, so warn and proceed."""
+    for _ in range(3):
+        try:
+            shutil.rmtree(errors_dir)
+            return
+        except FileNotFoundError:
+            return
+        except OSError:
+            time.sleep(0.2)
+    shutil.rmtree(errors_dir, ignore_errors=True)
+
+
 def _build_corpus(input_path: str, index_dir: str, cfg: BuildConfig) -> None:
     corpus_dir = os.path.join(index_dir, "corpus")
     success = os.path.join(corpus_dir, "_SUCCESS")
@@ -179,7 +197,7 @@ def _build_corpus(input_path: str, index_dir: str, cfg: BuildConfig) -> None:
     # a resumed-after-crash build doesn't double-count rejects (files from
     # the aborted attempt would otherwise accumulate alongside the new ones)
     if os.path.isdir(errors_dir):
-        shutil.rmtree(errors_dir)
+        _clear_errors_dir(errors_dir)
     # stateless tasks, not an actor pool: a pool sized to the node starves
     # the read/write operators of CPU slots and serializes the phase
     ds = rd.read_parquet(input_path, override_num_blocks=max(2 * _ncpus(), 16))
@@ -1327,7 +1345,7 @@ def build_index(input_path: str, index_dir: str,
                               write_corpus=False)
         errors_dir = os.path.join(index_dir, "errors")
         if plan_override is None and os.path.isdir(errors_dir):
-            shutil.rmtree(errors_dir)  # resume keeps retry-safe sinks
+            _clear_errors_dir(errors_dir)  # resume keeps retry-safe sinks
         if plan_override is not None:
             # corpus never committed: re-extract, but keep the FROZEN
             # boundaries/offsets so resumed doc ids are bitwise-identical
