@@ -121,3 +121,34 @@ def test_corpus_restart_resets_reject_counts(tmp_path):
         shutil.rmtree(os.path.join(idx, sub))
     s2 = build_index(str(src), idx, cfg)
     assert s2["rejects"] == s1["rejects"]  # not inflated by the restart
+
+
+def test_clear_errors_dir_retries_transient_enotempty(tmp_path, monkeypatch):
+    """A concurrent writer landing a side-write mid-rmtree (ENOTEMPTY)
+    must not fail the build: cleanup retries, then degrades to
+    best-effort instead of raising."""
+    import shutil
+
+    from elasticsearch_data_loader_ray.index.build import _clear_errors_dir
+
+    d = tmp_path / "errors"
+    (d / "missing_payload").mkdir(parents=True)
+    (d / "missing_payload" / "b0.parquet").write_bytes(b"x")
+
+    real_rmtree = shutil.rmtree
+    calls = {"n": 0}
+
+    def flaky_rmtree(path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError(39, "Directory not empty", str(path))
+        return real_rmtree(path, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", flaky_rmtree)
+    _clear_errors_dir(str(d))
+    assert not d.exists()
+    assert calls["n"] == 2  # one transient failure, one successful retry
+
+    # missing dir is a silent no-op (fresh index, nothing to clear)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    _clear_errors_dir(str(tmp_path / "never_existed"))
